@@ -1,0 +1,119 @@
+"""Benchmark harness (driver contract).
+
+Builds the inverted index over a deterministic synthetic Common-Crawl-style
+pages corpus sized to the scale factor (600k docs/sf — so sf0.1 = 60k pages,
+~180 tokens each), then runs the headline BM25 query set and reports per-query
+latency. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "docs_per_sec": ..., "query_p50_sec": ...}
+
+Environment: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) — used for the
+sf label and the documents-table gate queries; SPARK_GRAFT_CPUS (default 32).
+
+Scaling-efficiency evidence (N vs 4N cores on the same input) is produced by
+tools/bench_scaling.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from quickwit_spark.operators.build import IndexConfig, build_index  # noqa: E402
+from quickwit_spark.operators.search import (  # noqa: E402
+    IndexReader,
+    SearchRequest,
+    count_hits,
+    search,
+)
+from quickwit_spark.session import get_spark  # noqa: E402
+from quickwit_spark.sources.pages import synth_pages  # noqa: E402
+
+QUERY_SET: list[tuple[str, dict]] = [
+    ("q_term_rare", {"query": "needleone", "max_hits": 10}),
+    ("q_term_common", {"query": "w0", "max_hits": 10}),
+    ("q_and", {"query": "w3 w7", "max_hits": 10}),
+    ("q_or", {"query": "w11 OR w13", "max_hits": 10}),
+    ("q_not", {"query": "w2 -w5", "max_hits": 10}),
+    ("q_termset", {"query": "text:IN [needleone needletwo needlethree]", "max_hits": 10}),
+    ("q_phrase", {"query": '"w0 w1"', "max_hits": 10}),
+    ("q_sort_ts", {"query": "w1", "max_hits": 10, "sort_by_field": "warc_ts"}),
+    ("q_paged", {"query": "w4", "max_hits": 10, "start_offset": 10}),
+    ("q_time_range", {
+        "query": "w0",
+        "max_hits": 10,
+        "start_timestamp": "2023-01-02T00:00:00",
+        "end_timestamp": "2023-01-08T00:00:00",
+    }),
+]
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_from_dir(sf_dir)
+    n_docs = max(int(600_000 * sf), 1000)
+    n_splits = max(4, min(32, n_docs // 15_000))
+
+    spark = get_spark(app_name="quickwit_spark_bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    index_dir = f"/tmp/quickwit_spark_bench_idx_{n_docs}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    t_total0 = time.time()
+    pages = synth_pages(spark, n_docs, partitions=int(cpus) * 2 if cpus.isdigit() else 64)
+    t0 = time.time()
+    metrics = build_index(
+        spark, pages, index_dir, IndexConfig(num_splits=n_splits), resume=False
+    )
+    t_build = time.time() - t0
+
+    reader = IndexReader(spark, index_dir)
+    timings: dict[str, float] = {"index_build": round(t_build, 3)}
+    lat: list[float] = []
+    for name, kw in QUERY_SET:
+        t0 = time.time()
+        res = search(reader, SearchRequest(**kw), fetch_fields=("url",))
+        res.collect()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        lat.append(dt)
+    t0 = time.time()
+    count_hits(reader, SearchRequest(query="w0 w1")).collect()
+    timings["q_count"] = round(time.time() - t0, 3)
+    lat.append(timings["q_count"])
+
+    total = time.time() - t_total0
+    out = {
+        "metric": "index_build_plus_bm25_queries",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "n_splits": n_splits,
+        "docs_per_sec": round(metrics.num_docs / t_build, 1),
+        "query_p50_sec": round(statistics.median(lat), 3),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

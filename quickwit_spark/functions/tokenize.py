@@ -1,0 +1,124 @@
+"""Tokenizers.
+
+Semantics follow the reference's tokenizer registry
+(quickwit-doc-mapper/src/tokenizers.rs:28-41 and tantivy's SimpleTokenizer):
+
+- ``default``: split on non-alphanumeric (Unicode-aware), lowercase, drop
+  tokens longer than 40 chars. This defines the term universe for BM25 —
+  rank-identity depends on it.
+- ``raw``: the whole value is one token; dropped if > 100 chars
+  (tokenizers.rs:29). Used for keyword/tag columns.
+- ``chinese_compatible``: CJK codepoints become single-char tokens, non-CJK
+  alphanumeric runs are words, lowercased, 40-char limit
+  (tokenizers.rs:43-145; CJK ranges :64-78).
+
+The hot path is a pure Spark SQL expression (whole-stage codegen, no Python):
+``tokenize_expr``. The ``*_py`` variants are the reference implementations
+used by the pure-python oracle and by pandas-UDF paths; pytest asserts they
+agree with the Spark expression on the fixture corpus.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Java regex (Spark side). \p{L}\p{N} == Unicode letters+digits, matching
+# tantivy SimpleTokenizer's char::is_alphanumeric split rule.
+SPLIT_PATTERN_JAVA = r"[^\p{L}\p{N}]+"
+# Python re equivalent: [\W_] == anything not alphanumeric (underscore is
+# \p{Pc}, not a letter/digit, so it is a separator on the Java side too).
+_SPLIT_RE_PY = re.compile(r"[\W_]+", re.UNICODE)
+
+MAX_TOKEN_LEN = 40  # tantivy SimpleTokenizer default (tokenizers.rs proptest)
+RAW_MAX_LEN = 100  # quickwit raw tokenizer drop threshold (tokenizers.rs:29)
+
+# CJK ranges from the reference (quickwit-doc-mapper/src/tokenizers.rs:64-78)
+CJK_RANGES = (
+    (0x4E00, 0x9FFF),  # CJK Unified Ideographs
+    (0x3400, 0x4DBF),  # CJK Unified Ideographs Extension A
+    (0x20000, 0x2A6DF),  # CJK Unified Ideographs Extension B
+    (0x2A700, 0x2B73F),  # Extension C
+    (0x2B740, 0x2B81F),  # Extension D
+    (0x2B820, 0x2CEAF),  # Extension E
+    (0xF900, 0xFAFF),  # CJK Compatibility Ideographs
+    (0x2F800, 0x2FA1F),  # CJK Compatibility Ideographs Supplement
+)
+
+
+def tokenize_expr(col: Column, max_token_len: int = MAX_TOKEN_LEN) -> Column:
+    """``default`` tokenizer as a pure Spark expression -> array<string>.
+
+    Stays inside whole-stage codegen: lower + regex split + filter. Empty
+    tokens (leading/trailing separators) and over-long tokens are dropped.
+    """
+    toks = F.split(F.lower(col), SPLIT_PATTERN_JAVA)
+    return F.filter(
+        toks, lambda t: (F.length(t) > 0) & (F.length(t) <= F.lit(max_token_len))
+    )
+
+
+def tokenize_sql(expr: str, max_token_len: int = MAX_TOKEN_LEN) -> str:
+    """Same tokenizer as an ANSI-ish SQL fragment DuckDB can evaluate.
+
+    Used to build the DuckDB oracle queries so Spark and the oracle share one
+    term universe by construction.
+    """
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '[^\\p{{L}}\\p{{N}}]+'),"
+        f" t -> len(t) > 0 and len(t) <= {max_token_len})"
+    )
+
+
+def tokenize_py(text: str, max_token_len: int = MAX_TOKEN_LEN) -> list[str]:
+    """Reference python implementation of the ``default`` tokenizer."""
+    if text is None:
+        return []
+    out = []
+    for tok in _SPLIT_RE_PY.split(text.lower()):
+        if tok and len(tok) <= max_token_len:
+            out.append(tok)
+    return out
+
+
+def raw_tokenize_py(text: str) -> list[str]:
+    """``raw`` tokenizer: identity, dropped beyond 100 chars."""
+    if text is None or len(text) > RAW_MAX_LEN or not text:
+        return []
+    return [text]
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in CJK_RANGES)
+
+
+def chinese_compatible_tokenize_py(
+    text: str, max_token_len: int = MAX_TOKEN_LEN
+) -> list[str]:
+    """``chinese_compatible`` tokenizer: CJK chars -> 1-char tokens, other
+    alphanumeric runs -> word tokens, lowercased (tokenizers.rs:43-145)."""
+    if text is None:
+        return []
+    out: list[str] = []
+    buf: list[str] = []
+
+    def flush() -> None:
+        if buf:
+            tok = "".join(buf)
+            if len(tok) <= max_token_len:
+                out.append(tok)
+            buf.clear()
+
+    for ch in text.lower():
+        if _is_cjk(ch):
+            flush()
+            out.append(ch)
+        elif ch.isalnum():
+            buf.append(ch)
+        else:
+            flush()
+    flush()
+    return out

@@ -1,0 +1,151 @@
+"""Split manifest / metastore.
+
+The Spark analog of the reference metastore (SplitMetadata fields from
+quickwit-metastore/src/split_metadata.rs:63-129; atomic publish from
+quickwit-indexing/src/actors/publisher.rs:108-175): one JSON file per split
+under ``<index_dir>/manifest/``, written staged-then-renamed so a publish is
+atomic at the filesystem level. The manifest is the unit of:
+
+- **pruning**   — time-range + tag filtering before any scan is planned
+  (quickwit-search/src/lib.rs:117-141),
+- **merge planning** — the StableLog policy consumes these rows only,
+- **checkpoint lineage** — ``source_fingerprint`` + ``input_partition`` let a
+  re-run skip partitions whose split is already Published (exactly-once
+  publish semantics of checkpoint deltas, quickwit-metastore/src/checkpoint.rs).
+
+Driver-side metadata logic on purpose: like the reference, pruning and merge
+planning are metadata operations over thousands of rows, not data operations —
+no reason to involve the cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class SplitMetadata:
+    split_id: str
+    index_id: str
+    partition_id: int
+    num_docs: int
+    uncompressed_docs_size_in_bytes: int
+    total_tokens: int  # sum of doc_len -> avgdl = total_tokens / num_docs
+    time_range_start: str | None  # isoformat
+    time_range_end: str | None
+    create_timestamp: float = 0.0
+    tags: list[str] = field(default_factory=list)
+    num_merge_ops: int = 0
+    state: str = "Staged"  # Staged | Published | MarkedForDeletion
+    source_fingerprint: str = ""  # checkpoint lineage: identifies the input
+    generation: int = 0
+
+    @property
+    def avgdl(self) -> float:
+        return self.total_tokens / self.num_docs if self.num_docs else 0.0
+
+
+class Manifest:
+    """Filesystem-backed metastore for one index."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.dir = os.path.join(index_dir, "manifest")
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- io ---------------------------------------------------------------
+    def _path(self, split_id: str) -> str:
+        return os.path.join(self.dir, f"{split_id}.json")
+
+    def stage(self, meta: SplitMetadata) -> None:
+        meta.state = "Staged"
+        meta.create_timestamp = meta.create_timestamp or time.time()
+        self._write(meta)
+
+    def publish(
+        self, new: list[SplitMetadata], replaced: list[str] | None = None
+    ) -> None:
+        """Atomic-ish publish: mark replaced splits for deletion and flip the
+        new splits to Published (publisher.rs:129-140 semantics — the only
+        transaction in the system)."""
+        for split_id in replaced or []:
+            meta = self.get(split_id)
+            if meta is not None:
+                meta.state = "MarkedForDeletion"
+                self._write(meta)
+        for meta in new:
+            meta.state = "Published"
+            self._write(meta)
+
+    def _write(self, meta: SplitMetadata) -> None:
+        tmp = self._path(meta.split_id) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(asdict(meta), f)
+        os.replace(tmp, self._path(meta.split_id))
+
+    def get(self, split_id: str) -> SplitMetadata | None:
+        p = self._path(split_id)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return SplitMetadata(**json.load(f))
+
+    def list_all(self) -> list[SplitMetadata]:
+        out = []
+        for name in sorted(os.listdir(self.dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.dir, name)) as f:
+                    out.append(SplitMetadata(**json.load(f)))
+        return out
+
+    # -- pruning (the reference's list_relevant_splits) --------------------
+    def list_published(
+        self,
+        start_ts: str | None = None,
+        end_ts: str | None = None,
+        tags: set[str] | None = None,
+    ) -> list[SplitMetadata]:
+        """Published splits overlapping the semi-open ``[start_ts, end_ts)``
+        window and (if given) carrying at least one of ``tags``. Mirrors
+        metastore list_splits + tag pruning (sound over-approximation:
+        splits with no recorded tags are never pruned)."""
+        out = []
+        for m in self.list_all():
+            if m.state != "Published":
+                continue
+            if start_ts is not None and m.time_range_end is not None:
+                if m.time_range_end < start_ts:
+                    continue
+            if end_ts is not None and m.time_range_start is not None:
+                if m.time_range_start >= end_ts:
+                    continue
+            if tags and m.tags and not (set(m.tags) & tags):
+                continue
+            out.append(m)
+        return out
+
+    def published_fingerprints(self) -> dict[int, str]:
+        """partition_id -> source_fingerprint for Published original splits
+        (generation 0). Resume skips matching partitions."""
+        return {
+            m.partition_id: m.source_fingerprint
+            for m in self.list_all()
+            if m.state == "Published" and m.num_merge_ops == 0
+        }
+
+    def stats(self) -> dict[str, dict]:
+        """split_id -> {num_docs, avgdl} for Published splits (broadcast to
+        the scorer: per-split BM25 stats, see SURVEY §7.4)."""
+        return {
+            m.split_id: {
+                "num_docs": m.num_docs,
+                "avgdl": m.avgdl,
+                "num_merge_ops": m.num_merge_ops,
+            }
+            for m in self.list_all()
+            if m.state == "Published"
+        }

@@ -1,0 +1,479 @@
+"""BM25 top-k search over the split index: the Spark rebuild of the
+reference's root/leaf search tree (quickwit-search/src/root.rs, leaf.rs).
+
+Lifecycle mapping (SURVEY §3.1):
+- root validate+prune   -> driver: parse query, manifest time/tag pruning;
+- leaf warmup           -> Parquet scan of ONLY the needed (split, term) rows
+  (postings are written sorted by term, so row-group stats prune the scan —
+  the analog of warming exact term-dict/posting byte ranges, leaf.rs:141-227);
+- leaf search+collect   -> decode blocks (Arrow kernel), score with pure
+  column arithmetic (JVM codegen; per-split N/avgdl broadcast), partial top-k
+  per partition;
+- root merge            -> global ``ORDER BY score DESC, split_id, docid
+  LIMIT k+offset`` = Catalyst TakeOrderedAndProject (partial+final top-k,
+  exactly collector.rs:423-538's re-top-k);
+- fetch phase           -> broadcast-join the k winners back to the docstore
+  (fetch_docs.rs:132-245).
+
+BM25 is per-split (each split is its own index in the reference; scores merge
+by value, never with global stats — SURVEY §7.4): idf = ln(1 + (N-df+0.5)/
+(df+0.5)), tf_norm with k1=1.2, b=0.75, |d| optionally SmallFloat-quantized
+for tantivy fidelity. Tie-break: (score desc, split_id asc, docid asc), the
+documented PartialHit contract (search_api.proto:207-218).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from quickwit_spark import BM25_B, BM25_K1
+from quickwit_spark.functions.tokenize import tokenize_py, SPLIT_PATTERN_JAVA
+from quickwit_spark.index.codec import decode_block
+from quickwit_spark.index.manifest import Manifest
+from quickwit_spark.plans.query import (
+    Bool,
+    Boost,
+    MatchAll,
+    Node,
+    Phrase,
+    Range,
+    Term,
+    TermSet,
+    parse_query,
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("split_id", T.StringType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_freq", T.LongType()),
+        T.StructField("docid", T.LongType()),
+        T.StructField("tf", T.LongType()),
+    ]
+)
+
+
+@dataclass
+class SearchRequest:
+    """Mirror of the reference SearchRequest surface (search_api.proto:66-106,
+    REST caps root.rs:113-134)."""
+
+    query: str
+    max_hits: int = 20
+    start_offset: int = 0
+    sort_by_field: str | None = None  # None => _score
+    start_timestamp: str | None = None  # semi-open [start, end)
+    end_timestamp: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.max_hits > 10_000 or self.start_offset > 10_000:
+            raise ValueError("max_hits/start_offset capped at 10_000")
+
+
+class IndexReader:
+    """Lazy handles over one index's postings/docstore/manifest."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.manifest = Manifest(index_dir)
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/postings")
+
+    def docstore(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/docstore")
+
+    def split_stats(self) -> DataFrame:
+        """Tiny per-split stats DF (broadcast into the scorer)."""
+        rows = [
+            (sid, s["num_docs"], float(s["avgdl"]))
+            for sid, s in self.manifest.stats().items()
+        ]
+        return self.spark.createDataFrame(
+            rows, "split_id string, n_docs long, avgdl double"
+        )
+
+
+def _decode_postings_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: postings rows (with compressed blocks) ->
+    (split_id, term, doc_freq, docid, tf) exploded rows. numpy inside."""
+    for pdf in batches:
+        sids: list = []
+        terms: list = []
+        dfs: list = []
+        docids: list = []
+        tfs: list = []
+        for sid, term, dfreq, blocks in zip(
+            pdf["split_id"], pdf["term"], pdf["doc_freq"], pdf["blocks"]
+        ):
+            for b in blocks:
+                d, t = decode_block(b)
+                sids.append(np.full(len(d), sid, dtype=object))
+                terms.append(np.full(len(d), term, dtype=object))
+                dfs.append(np.full(len(d), dfreq, dtype=np.int64))
+                docids.append(d)
+                tfs.append(t)
+        if not docids:
+            continue
+        yield pd.DataFrame(
+            {
+                "split_id": np.concatenate(sids),
+                "term": np.concatenate(terms),
+                "doc_freq": np.concatenate(dfs),
+                "docid": np.concatenate(docids),
+                "tf": np.concatenate(tfs),
+            }
+        )
+
+
+class Searcher:
+    """Compiles a query AST into a DataFrame plan over one index."""
+
+    def __init__(
+        self,
+        reader: IndexReader,
+        default_field: str = "text",
+        tag_field: str = "lang",
+        ts_field: str = "warc_ts",
+        quantize_norms: bool = True,
+    ):
+        self.reader = reader
+        self.default_field = default_field
+        self.tag_field = tag_field
+        self.ts_field = ts_field
+        self.quantize_norms = quantize_norms
+        # docstore column names are normalized at build time
+        self.fast_fields = {ts_field: "ts", "doc_len": "doc_len", "url": "url"}
+
+    # ---- term universe --------------------------------------------------
+    def _collect_text_terms(self, node: Node) -> list[str]:
+        out: list[str] = []
+
+        def walk(n: Node) -> None:
+            if isinstance(n, Term) and self._is_text(n.field):
+                out.extend(tokenize_py(n.value))
+            elif isinstance(n, Phrase) and self._is_text(n.field):
+                out.extend(tokenize_py(n.text))
+            elif isinstance(n, TermSet) and self._is_text(n.field):
+                for v in n.values:
+                    out.extend(tokenize_py(v))
+            elif isinstance(n, Boost):
+                walk(n.child)
+            elif isinstance(n, Bool):
+                for c in n.must + n.should + n.must_not:
+                    walk(c)
+
+        walk(node)
+        return sorted(set(out))
+
+    def _is_text(self, fieldname: str | None) -> bool:
+        return fieldname is None or fieldname == self.default_field
+
+    # ---- scored term table ----------------------------------------------
+    def scored_terms(
+        self, terms: list[str], split_ids: list[str]
+    ) -> DataFrame:
+        """(term, split_id, docid, score) for every query term — ONE postings
+        scan, decode, one norms join, pure-expression BM25."""
+        spark = self.reader.spark
+        if not terms:
+            return spark.createDataFrame(
+                [], "term string, split_id string, docid long, score double"
+            )
+        post = self.reader.postings().filter(
+            F.col("term").isin(terms) & F.col("split_id").isin(split_ids)
+        )
+        decoded = post.mapInPandas(_decode_postings_rows, DECODED_SCHEMA)
+        norm_col = "norm_len" if self.quantize_norms else "doc_len"
+        norms = self.reader.docstore().select(
+            "split_id", "docid", F.col(norm_col).cast("double").alias("dl")
+        )
+        stats = F.broadcast(self.reader.split_stats())
+        j = decoded.join(stats, "split_id").join(norms, ["split_id", "docid"])
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+            / (F.col("doc_freq") + F.lit(0.5))
+        )
+        tf = F.col("tf").cast("double")
+        tf_norm = tf * F.lit(BM25_K1 + 1.0) / (
+            tf
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        )
+        return j.select(
+            "term",
+            "split_id",
+            "docid",
+            (idf * tf_norm).alias("score"),
+        )
+
+    # ---- boolean plan ----------------------------------------------------
+    def matching(
+        self,
+        node: Node,
+        split_ids: list[str],
+        start_ts: str | None = None,
+        end_ts: str | None = None,
+    ) -> DataFrame:
+        """AST -> DataFrame(split_id, docid, score)."""
+        terms = self._collect_text_terms(node)
+        scored = self.scored_terms(terms, split_ids)
+        docs = self.reader.docstore().filter(F.col("split_id").isin(split_ids))
+        if start_ts is not None:
+            docs = docs.filter(F.col("ts") >= F.lit(start_ts).cast("timestamp"))
+        if end_ts is not None:
+            docs = docs.filter(F.col("ts") < F.lit(end_ts).cast("timestamp"))
+        base = self._eval(node, scored, docs)
+        if start_ts is not None or end_ts is not None:
+            # semi-open [start, end) per-doc check (filters.rs:26-107);
+            # manifest pruning already removed fully-outside splits.
+            base = base.join(
+                docs.select("split_id", "docid"), ["split_id", "docid"], "inner"
+            )
+        return base
+
+    def _zero(self, docs: DataFrame) -> DataFrame:
+        return docs.select(
+            "split_id", "docid", F.lit(0.0).alias("score")
+        )
+
+    def _eval(self, node: Node, scored: DataFrame, docs: DataFrame) -> DataFrame:
+        if isinstance(node, MatchAll):
+            return self._zero(docs)
+        if isinstance(node, Boost):
+            child = self._eval(node.child, scored, docs)
+            return child.withColumn("score", F.col("score") * F.lit(node.factor))
+        if isinstance(node, Term):
+            return self._eval_term(node, scored, docs)
+        if isinstance(node, TermSet):
+            return self._eval_termset(node, scored, docs)
+        if isinstance(node, Phrase):
+            return self._eval_phrase(node, scored, docs)
+        if isinstance(node, Range):
+            return self._eval_range(node, docs)
+        if isinstance(node, Bool):
+            return self._eval_bool(node, scored, docs)
+        raise ValueError(f"unsupported node {node!r}")
+
+    def _eval_term(self, node: Term, scored: DataFrame, docs: DataFrame) -> DataFrame:
+        if self._is_text(node.field):
+            toks = tokenize_py(node.value)
+            if not toks:
+                return self._zero(docs).limit(0)
+            if len(toks) == 1:
+                return scored.filter(F.col("term") == toks[0]).select(
+                    "split_id", "docid", "score"
+                )
+            # multi-token value => implicit AND of its tokens
+            return self._eval_bool(
+                Bool(must=[Term(node.field, t) for t in toks]), scored, docs
+            )
+        if node.field == self.tag_field:
+            # raw-tokenizer keyword column: exact match on the docstore
+            return docs.filter(F.col("tag") == node.value).select(
+                "split_id", "docid", F.lit(0.0).alias("score")
+            )
+        col = self.fast_fields.get(node.field, node.field)
+        return docs.filter(F.col(col) == node.value).select(
+            "split_id", "docid", F.lit(0.0).alias("score")
+        )
+
+    def _eval_termset(
+        self, node: TermSet, scored: DataFrame, docs: DataFrame
+    ) -> DataFrame:
+        if self._is_text(node.field):
+            toks = sorted({t for v in node.values for t in tokenize_py(v)})
+            return (
+                scored.filter(F.col("term").isin(toks))
+                .groupBy("split_id", "docid")
+                .agg(F.sum("score").alias("score"))
+            )
+        col = "tag" if node.field == self.tag_field else node.field
+        return docs.filter(F.col(col).isin(node.values)).select(
+            "split_id", "docid", F.lit(0.0).alias("score")
+        )
+
+    def _eval_phrase(
+        self, node: Phrase, scored: DataFrame, docs: DataFrame
+    ) -> DataFrame:
+        """Positions are not stored (record=basic default, SURVEY §1.2):
+        candidates = AND of the phrase's tokens, then an exact ordered-window
+        verification regex over the stored text (fetch-phase check). Scoring
+        = sum of constituent term BM25 (documented deviation from tantivy's
+        phrase-freq scoring)."""
+        toks = tokenize_py(node.text)
+        if not toks:
+            return self._zero(docs).limit(0)
+        cand = self._eval_bool(
+            Bool(must=[Term(node.field, t) for t in toks]), scored, docs
+        )
+        if len(toks) == 1:
+            return cand
+        sep = r"[^\p{L}\p{N}]+"
+        gap = sep if node.slop == 0 else sep + rf"(?:[\p{{L}}\p{{N}}]+{sep}){{0,{node.slop}}}"
+        pattern = (
+            r"(?:^|[^\p{L}\p{N}])"
+            + gap.join(re_escape(t) for t in toks)
+            + r"(?:$|[^\p{L}\p{N}])"
+        )
+        verify = docs.filter(F.lower(F.col("text")).rlike(pattern)).select(
+            "split_id", "docid"
+        )
+        return cand.join(verify, ["split_id", "docid"], "inner")
+
+    def _eval_range(self, node: Range, docs: DataFrame) -> DataFrame:
+        col_name = self.fast_fields.get(node.field, node.field)
+        if col_name == self.default_field:
+            raise ValueError("range queries forbidden on text fields")
+        c = F.col(col_name)
+        cond = F.lit(True)
+        lo, hi = node.lo, node.hi
+        if col_name == "ts":
+            lo = F.lit(lo).cast("timestamp") if lo is not None else None
+            hi = F.lit(hi).cast("timestamp") if hi is not None else None
+        if lo is not None:
+            cond = cond & ((c >= lo) if node.lo_inc else (c > lo))
+        if hi is not None:
+            cond = cond & ((c <= hi) if node.hi_inc else (c < hi))
+        return docs.filter(cond).select(
+            "split_id", "docid", F.lit(0.0).alias("score")
+        )
+
+    def _eval_bool(self, node: Bool, scored: DataFrame, docs: DataFrame) -> DataFrame:
+        parts = []
+        for i, child in enumerate(node.must):
+            parts.append(
+                self._eval(child, scored, docs).withColumn("cl", F.lit(i))
+            )
+        n_must = len(node.must)
+        if parts:
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            base = (
+                u.groupBy("split_id", "docid")
+                .agg(
+                    F.sum("score").alias("score"),
+                    F.count_distinct("cl").alias("n_cl"),
+                )
+                .filter(F.col("n_cl") == n_must)
+                .drop("n_cl")
+            )
+        elif node.should:
+            base = None
+        else:
+            base = self._zero(docs)  # pure-negative query: NOT x over all docs
+
+        if node.should:
+            sparts = [self._eval(c, scored, docs) for c in node.should]
+            su = sparts[0]
+            for p in sparts[1:]:
+                su = su.unionByName(p)
+            sdf = su.groupBy("split_id", "docid").agg(
+                F.sum("score").alias("s_score")
+            )
+            if base is None:
+                base = sdf.select(
+                    "split_id", "docid", F.col("s_score").alias("score")
+                )
+            else:
+                # should-clauses alongside must: optional, add to score
+                base = (
+                    base.join(sdf, ["split_id", "docid"], "left")
+                    .withColumn(
+                        "score",
+                        F.col("score") + F.coalesce(F.col("s_score"), F.lit(0.0)),
+                    )
+                    .drop("s_score")
+                )
+        for child in node.must_not:
+            neg = self._eval(child, scored, docs).select("split_id", "docid")
+            base = base.join(neg, ["split_id", "docid"], "left_anti")
+        return base
+
+
+def re_escape(s: str) -> str:
+    import re
+
+    return re.escape(s)
+
+
+def search(
+    reader: IndexReader,
+    request: SearchRequest,
+    quantize_norms: bool = True,
+    fetch_fields: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """Full search: prune -> match/score -> global top-k -> fetch.
+
+    Returns (split_id, docid, score, *fetch_fields) with exactly the
+    reference ordering (score desc | fast-field, split_id asc, docid asc),
+    offset dropped at the 'root' like root.rs:487-502.
+    """
+    ast = parse_query(request.query)
+    splits = reader.manifest.list_published(
+        request.start_timestamp, request.end_timestamp
+    )
+    split_ids = [m.split_id for m in splits]
+    searcher = Searcher(reader, quantize_norms=quantize_norms)
+    if not split_ids:
+        return reader.spark.createDataFrame(
+            [], "split_id string, docid long, score double"
+        )
+    m = searcher.matching(
+        ast, split_ids, request.start_timestamp, request.end_timestamp
+    )
+
+    if request.sort_by_field and request.sort_by_field != "_score":
+        ff = searcher.fast_fields.get(request.sort_by_field, request.sort_by_field)
+        docs = reader.docstore().select(
+            "split_id", "docid", F.col(ff).alias("_sort")
+        )
+        m = m.join(docs, ["split_id", "docid"]).withColumn(
+            "score", F.col("_sort").cast("double")
+        ).drop("_sort")
+
+    k = request.max_hits + request.start_offset
+    order = [F.desc("score"), F.asc("split_id"), F.asc("docid")]
+    top = m.orderBy(*order).limit(k)
+    if request.start_offset:
+        w = Window.orderBy(*order)
+        top = (
+            top.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > request.start_offset)
+            .drop("_rn")
+        )
+    if fetch_fields:
+        # fetch phase: broadcast the k winners into the docstore scan
+        store = reader.docstore().select("split_id", "docid", *fetch_fields)
+        top = F.broadcast(top).join(store, ["split_id", "docid"], "left")
+    return top.orderBy(*order)
+
+
+def count_hits(reader: IndexReader, request: SearchRequest) -> DataFrame:
+    """num_hits counts ALL matches (collector.rs:226) — single aggregate."""
+    ast = parse_query(request.query)
+    splits = reader.manifest.list_published(
+        request.start_timestamp, request.end_timestamp
+    )
+    searcher = Searcher(reader)
+    m = searcher.matching(
+        ast,
+        [s.split_id for s in splits],
+        request.start_timestamp,
+        request.end_timestamp,
+    )
+    return m.agg(F.count(F.lit(1)).alias("num_hits"))

@@ -1,0 +1,61 @@
+"""Build determinism + checkpoint-resume invariants (FIXTURES.md §5.3/5.4).
+
+Regression guard: a resume rebuilding one partition must not truncate sibling
+splits' parquet data (dynamic partition overwrite)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from quickwit_spark.operators.build import IndexConfig, build_index
+from quickwit_spark.operators.search import IndexReader, SearchRequest, search
+
+
+def _hits(reader, q, k=10):
+    res = search(reader, SearchRequest(query=q, max_hits=k), fetch_fields=())
+    return [(r["split_id"], r["docid"], round(r["score"], 6)) for r in res.collect()]
+
+
+def test_resume_skips_and_preserves(spark, pages_small, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    cfg = IndexConfig(index_id="pages", num_splits=3)
+    m1 = build_index(spark, pages_small, index_dir, cfg)
+    assert m1.num_docs == 600 and m1.num_splits == 3
+
+    reader = IndexReader(spark, index_dir)
+    before = _hits(reader, "needleone")
+    assert before, "fixture needle must be present"
+
+    # full rerun: everything skipped, nothing rebuilt
+    m2 = build_index(spark, pages_small, index_dir, cfg)
+    assert m2.skipped_partitions == 3 and m2.num_docs == 0
+
+    # simulate a crash that lost one partition's publish
+    os.remove(os.path.join(index_dir, "manifest", "pages-00-p00001.json"))
+    m3 = build_index(spark, pages_small, index_dir, cfg)
+    assert m3.skipped_partitions == 2 and m3.num_splits == 1
+
+    # search results identical after resume (docids AND scores)
+    assert _hits(reader, "needleone") == before
+    # sibling splits' data still on disk
+    assert sorted(os.listdir(os.path.join(index_dir, "docstore"))) == [
+        "split_id=pages-00-p00000",
+        "split_id=pages-00-p00001",
+        "split_id=pages-00-p00002",
+    ]
+
+
+def test_build_determinism(spark, pages_small, tmp_path):
+    """Same input + config => identical manifest stats and identical top-k."""
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    cfg = IndexConfig(index_id="pages", num_splits=3)
+    build_index(spark, pages_small, d1, cfg)
+    build_index(spark, pages_small, d2, cfg)
+    r1, r2 = IndexReader(spark, d1), IndexReader(spark, d2)
+    s1 = {m.split_id: (m.num_docs, m.total_tokens) for m in r1.manifest.list_all()}
+    s2 = {m.split_id: (m.num_docs, m.total_tokens) for m in r2.manifest.list_all()}
+    assert s1 == s2
+    assert _hits(r1, "w0 w3", 20) == _hits(r2, "w0 w3", 20)
+    shutil.rmtree(d1)
+    shutil.rmtree(d2)
