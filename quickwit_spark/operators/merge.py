@@ -1,0 +1,230 @@
+"""Merge executor: turn N published splits into one, on the cluster.
+
+The reference downloads split files and lets tantivy merge segments
+(quickwit-indexing/src/actors/merge_executor.rs:283-318, attrs :195-258). Our
+splits are Parquet DataFrames, so a merge is a small, fully relational job:
+
+- docids are **re-based**: splits are ordered by split_id (deterministic), and
+  split *i*'s docids shift by the cumulative num_docs of splits 0..i — the
+  exact analog of tantivy's segment concatenation docid mapping;
+- docstore: read the N split partitions, shift docid, rewrite under the new
+  split_id (one partition-local pass, no wide shuffle);
+- postings: per term, decode each source split's blocks, apply the docid
+  offset, concatenate in split order (already docid-sorted within each split,
+  and offsets make ranges disjoint), re-encode. The shuffle is keyed by term
+  but only over the <= max_merge_factor(12) splits being merged — bounded by
+  12 x split_num_docs_target regardless of index size;
+- merged metadata: num_docs/bytes/tokens summed, time-range unioned, tags
+  unioned, ``num_merge_ops = max + 1``, partition_id = Boost-hash-combine of
+  the sources (merge_executor.rs:210-226), then an atomic publish that
+  replaces the sources (publisher.rs:129-140 semantics).
+
+At 100 TB scale, merge work per operation is bounded (<= 12 splits, <= 10M
+docs each), merges for different operations are independent Spark jobs, and
+the planner only reads manifest rows — the same scaling story as the
+reference's merge pipeline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from quickwit_spark import BLOCK_SIZE
+from quickwit_spark.index.codec import decode_postings, encode_postings
+from quickwit_spark.index.manifest import Manifest, SplitMetadata
+from quickwit_spark.index.merge_policy import (
+    MergeOperation,
+    StableLogMergePolicy,
+    combine_partition_ids,
+)
+from quickwit_spark.operators.build import POSTINGS_SCHEMA
+
+
+@dataclass
+class MergeMetrics:
+    num_ops: int = 0
+    splits_merged: int = 0
+    docs_merged: int = 0
+    elapsed_sec: float = 0.0
+    new_splits: list[str] = field(default_factory=list)
+
+
+def merged_split_id(index_id: str, source_split_ids: list[str]) -> str:
+    """Deterministic id for the merged split (reference uses a fresh ULID;
+    determinism is required here for resumable, reproducible merges)."""
+    h = hashlib.sha256("|".join(sorted(source_split_ids)).encode()).hexdigest()
+    return f"{index_id}-m-{h[:16]}"
+
+
+def _docid_offsets(metas: list[SplitMetadata]) -> dict[str, int]:
+    """split_id -> docid shift, in deterministic split_id order."""
+    offsets: dict[str, int] = {}
+    acc = 0
+    for m in sorted(metas, key=lambda m: m.split_id):
+        offsets[m.split_id] = acc
+        acc += m.num_docs
+    return offsets
+
+
+def execute_merge(
+    spark: SparkSession,
+    index_dir: str,
+    op: MergeOperation,
+    index_id: str | None = None,
+) -> SplitMetadata:
+    """Run one merge operation and publish the result."""
+    manifest = Manifest(index_dir)
+    metas = op.splits
+    index_id = index_id or metas[0].index_id
+    new_id = merged_split_id(index_id, op.split_ids)
+    offsets = _docid_offsets(metas)
+    src_ids = list(offsets)  # sorted
+
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(sid, off) for sid, off in offsets.items()],
+            "split_id string, _off long",
+        )
+    )
+
+    # The merged split is written straight into its own hive-style partition
+    # directory (…/split_id=<new_id>) — source partitions are inputs of the
+    # same job and must not be overwritten (Spark forbids read+overwrite of
+    # one path; the reference likewise never mutates source splits — they are
+    # immutable and replaced only in the metastore).
+    store_base = f"{index_dir}/docstore"
+    post_base = f"{index_dir}/postings"
+
+    # --- docstore: shift docids, rewrite under the merged split_id.
+    # Partition-local: each source file maps to a monotone docid shift, so
+    # per-file docid order (and disjoint cross-file ranges) is preserved.
+    store = (
+        spark.read.option("basePath", store_base)
+        .parquet(*[f"{store_base}/split_id={sid}" for sid in src_ids])
+        .join(off_df, "split_id")
+        # int32 like the build-time docid (row_number); a merged split holds
+        # <= max_merge_factor * split_num_docs_target = 120M docs, well in range
+        .withColumn("docid", (F.col("docid") + F.col("_off")).cast("int"))
+        .drop("_off", "split_id")
+    )
+    store.write.mode("overwrite").parquet(f"{store_base}/split_id={new_id}")
+
+    # --- postings: per-term k-way concat in split order (docid ranges are
+    # disjoint after re-basing, so concat in offset order stays sorted)
+    post = (
+        spark.read.option("basePath", post_base)
+        .parquet(*[f"{post_base}/split_id={sid}" for sid in src_ids])
+        .join(off_df, "split_id")
+    )
+    def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_off", kind="stable")
+        docid_parts: list[np.ndarray] = []
+        tf_parts: list[np.ndarray] = []
+        for blocks, off in zip(pdf["blocks"], pdf["_off"]):
+            d, t = decode_postings(list(blocks))
+            docid_parts.append(d + int(off))
+            tf_parts.append(t)
+        docids = np.concatenate(docid_parts)
+        tfs = np.concatenate(tf_parts)
+        return pd.DataFrame(
+            {
+                "split_id": [new_id],
+                "term": [pdf["term"].iloc[0]],
+                "doc_freq": [len(docids)],
+                "sum_tf": [int(tfs.sum())],
+                "blocks": [encode_postings(docids, tfs, BLOCK_SIZE)],
+            }
+        )
+
+    merged = post.groupBy("term").applyInPandas(_merge_term, POSTINGS_SCHEMA)
+    (
+        # range-partition + sort by term so parquet min/max stats give tight
+        # term pruning on the merged split (same property the per-split sorted
+        # write gives fresh splits)
+        merged.drop("split_id")
+        .repartitionByRange(max(2, len(src_ids) // 2), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{post_base}/split_id={new_id}")
+    )
+
+    # --- merged metadata + atomic publish-and-replace
+    tags = sorted({t for m in metas for t in m.tags})
+    starts = [m.time_range_start for m in metas if m.time_range_start]
+    ends = [m.time_range_end for m in metas if m.time_range_end]
+    meta = SplitMetadata(
+        split_id=new_id,
+        index_id=index_id,
+        partition_id=combine_partition_ids([m.partition_id for m in metas]),
+        num_docs=sum(m.num_docs for m in metas),
+        uncompressed_docs_size_in_bytes=sum(
+            m.uncompressed_docs_size_in_bytes for m in metas
+        ),
+        total_tokens=sum(m.total_tokens for m in metas),
+        time_range_start=min(starts) if starts else None,
+        time_range_end=max(ends) if ends else None,
+        tags=tags,
+        num_merge_ops=max(m.num_merge_ops for m in metas) + 1,
+        generation=max(m.generation for m in metas) + 1,
+    )
+    manifest.stage(meta)
+    manifest.publish([meta], replaced=op.split_ids)
+    return meta
+
+
+def garbage_collect(index_dir: str) -> list[str]:
+    """Delete data of MarkedForDeletion splits (replaced by merges) and drop
+    their manifest rows — the janitor's GC pass (quickwit-janitor/src/
+    garbage_collection.rs). Safe any time after publish: searches only ever
+    read splits listed Published in the manifest."""
+    import os
+    import shutil
+
+    manifest = Manifest(index_dir)
+    removed: list[str] = []
+    for m in manifest.list_all():
+        if m.state != "MarkedForDeletion":
+            continue
+        for sub in ("docstore", "postings"):
+            shutil.rmtree(
+                os.path.join(index_dir, sub, f"split_id={m.split_id}"),
+                ignore_errors=True,
+            )
+        os.remove(os.path.join(index_dir, "manifest", f"{m.split_id}.json"))
+        removed.append(m.split_id)
+    return removed
+
+
+def run_merge_pipeline(
+    spark: SparkSession,
+    index_dir: str,
+    policy: StableLogMergePolicy | None = None,
+    max_rounds: int = 10,
+) -> MergeMetrics:
+    """Plan-and-execute loop: the MergePlanner feedback cycle
+    (actors/merge_planner.rs:99-199) — re-plan after each round until the
+    policy finds nothing further to merge."""
+    policy = policy or StableLogMergePolicy()
+    manifest = Manifest(index_dir)
+    metrics = MergeMetrics()
+    t0 = time.time()
+    for _ in range(max_rounds):
+        splits = manifest.list_published()
+        ops, _ = policy.operations(splits)
+        if not ops:
+            break
+        for op in ops:
+            meta = execute_merge(spark, index_dir, op)
+            metrics.num_ops += 1
+            metrics.splits_merged += len(op.splits)
+            metrics.docs_merged += meta.num_docs
+            metrics.new_splits.append(meta.split_id)
+    metrics.elapsed_sec = time.time() - t0
+    return metrics
