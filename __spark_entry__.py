@@ -23,11 +23,21 @@ from pyspark.sql import functions as F
 from quickwit_spark.entry_helpers import (
     ORACLE_PRELUDE,
     TOKENIZE,
+    _sql_list,
     bm25_and_sql,
     bm25_or_sql,
+    docs_df,
     gate_index,
+    minhash_lsh_sql,
+    ngram_jaccard_sql,
+    simhash_sql,
 )
 from quickwit_spark.operators import aggs as A
+from quickwit_spark.operators import dedup as DD
+from quickwit_spark.operators import multimodal as MM
+from quickwit_spark.operators import similarity as SIM
+from quickwit_spark.operators import textstats as TS
+from quickwit_spark.operators.textstats import STOPWORDS
 from quickwit_spark.operators.search import (
     SearchRequest,
     Searcher,
@@ -77,6 +87,10 @@ def _fts_matching(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -180,6 +194,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["agg_stats_by_type"] = stats_by_type
+
+    # --- training-data pipeline ops (dedup / textstats / similarity / mm) --
+    q["ts_token_count"] = lambda s, d: TS.token_count(docs_df(s, d))
+    q["ts_lang_id"] = lambda s, d: TS.lang_id(docs_df(s, d))
+    q["ts_quality"] = lambda s, d: TS.quality_score(docs_df(s, d))
+    q["ts_fingerprint"] = lambda s, d: TS.fingerprint(docs_df(s, d))
+    q["dedup_exact"] = lambda s, d: DD.exact_dedup(docs_df(s, d))
+    q["dedup_ngram_pairs"] = lambda s, d: DD.ngram_jaccard_pairs(
+        docs_df(s, d), threshold=0.8
+    )
+    q["dedup_minhash_pairs"] = lambda s, d: DD.minhash_lsh_pairs(
+        docs_df(s, d), threshold=0.8
+    )
+    q["dedup_simhash"] = lambda s, d: DD.simhash(docs_df(s, d))
+    q["dedup_emb_pairs"] = lambda s, d: DD.embedding_near_dup_pairs(
+        _emb(s, d), threshold=0.46
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+    def sim_topk(s: SparkSession, d: str) -> DataFrame:
+        emb = _emb(s, d)
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return SIM.brute_force_topk(emb, qv, k=10)
+
+    q["sim_topk"] = sim_topk
+
+    def sim_ivf_topk(s: SparkSession, d: str) -> DataFrame:
+        # nprobe == n_cells scans every cell: exercises the IVF machinery
+        # with an exact-result configuration the oracle can check
+        emb = _emb(s, d)
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        assigned, centroids = SIM.ivf_assign(emb, n_cells=8)
+        return SIM.ivf_topk(assigned, centroids, qv, k=10, nprobe=8)
+
+    q["sim_ivf_topk"] = sim_ivf_topk
+
+    def sim_lsh_topk(s: SparkSession, d: str) -> DataFrame:
+        # approximate path — gated rows-only (no oracle entry)
+        emb = _emb(s, d)
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return SIM.lsh_topk(emb, qv, k=10, multiprobe=2)
+
+    q["sim_lsh_topk"] = sim_lsh_topk
+
+    q["mm_features"] = lambda s, d: MM.extract_features(
+        MM.synth_media(docs_df(s, d))
+    ).select("media_id", "modality", "payload_bytes", "payload_sha")
     return q
 
 
@@ -259,5 +319,85 @@ SELECT event_type AS key, count(value) AS count,
   round(sum(value), 2) AS sum, round(avg(value), 4) AS avg,
   round(stddev_pop(value), 4) AS stddev
 FROM events GROUP BY 1 ORDER BY key
+"""
+
+    # --- training-data pipeline ops ---------------------------------------
+    o["ts_token_count"] = f"""
+SELECT doc_id, len({TOKENIZE}) AS n_tokens FROM documents
+"""
+    hits = {
+        lang: f"len(list_filter(toks, x -> list_contains({_sql_list(ws)}, x)))"
+        for lang, ws in STOPWORDS.items()
+    }
+    mx = f"greatest({hits['de']}, {hits['en']}, {hits['es']}, {hits['fr']})"
+    o["ts_lang_id"] = f"""
+WITH t AS (SELECT doc_id, text, {TOKENIZE} AS toks FROM documents)
+SELECT doc_id, CASE
+  WHEN regexp_matches(text, '[一-鿿㐀-䶿]') THEN 'zh'
+  WHEN {mx} = 0 THEN 'und'
+  WHEN {hits['de']} = {mx} THEN 'de'
+  WHEN {hits['en']} = {mx} THEN 'en'
+  WHEN {hits['es']} = {mx} THEN 'es'
+  ELSE 'fr' END AS lang_pred
+FROM t
+"""
+    all_stop = _sql_list(sorted({w for ws in STOPWORDS.values() for w in ws}))
+    o["ts_quality"] = f"""
+WITH t AS (SELECT doc_id, {TOKENIZE} AS toks FROM documents),
+m AS (SELECT doc_id, len(toks)::DOUBLE AS n,
+  len(list_filter(toks, x -> list_contains({all_stop}, x)))::DOUBLE AS nstop,
+  list_sum(list_transform(toks, x -> len(x)))::DOUBLE AS chars FROM t)
+SELECT doc_id, round(CASE WHEN n > 0 THEN
+    0.4 * least(1.0, n / 100.0)
+  + 0.3 * least(1.0, (nstop / n) * 5.0)
+  + 0.3 * least(1.0, (chars / n) / 8.0)
+  ELSE 0.0 END, 4) AS quality
+FROM m
+"""
+    o["ts_fingerprint"] = f"""
+SELECT doc_id, md5(array_to_string({TOKENIZE}, ' ')) AS fingerprint
+FROM documents
+"""
+    o["dedup_exact"] = f"""
+WITH f AS (SELECT doc_id, md5(array_to_string({TOKENIZE}, ' ')) AS fp
+           FROM documents)
+SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM f GROUP BY 1
+"""
+    o["dedup_ngram_pairs"] = ngram_jaccard_sql(0.8)
+    o["dedup_minhash_pairs"] = minhash_lsh_sql(0.8)
+    o["dedup_simhash"] = simhash_sql(16)
+    o["dedup_emb_pairs"] = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+        6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= 0.46
+"""
+    sim_topk_sql = """
+WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+           FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings)
+SELECT e.vec_id,
+  round(list_dot_product(e.v, q.qv)
+        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+        6) AS cosine
+FROM e, q ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+    o["sim_topk"] = sim_topk_sql
+    o["sim_ivf_topk"] = sim_topk_sql  # nprobe==n_cells => exact
+    o["mm_features"] = """
+SELECT doc_id AS media_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS modality,
+  octet_length(encode(text)) AS payload_bytes,
+  substr(sha256(text), 1, 16) AS payload_sha
+FROM documents
 """
     return o

@@ -27,7 +27,8 @@ K1 = 1.2
 B = 0.75
 N_GATE_SPLITS = 4
 
-_CACHE_ROOT = os.environ.get("QS_INDEX_CACHE", "/tmp/quickwit_spark_gate_index")
+# v2: block sidecar gained last_docid (WAND) — old cached indexes unreadable
+_CACHE_ROOT = os.environ.get("QS_INDEX_CACHE", "/tmp/quickwit_spark_gate_index_v2")
 
 
 def docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,6 +97,97 @@ scores AS (
   JOIN ss ON tf.split_id = ss.split_id
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# pipeline-operator oracle fragments (dedup / textstats / similarity)
+# ---------------------------------------------------------------------------
+
+# distinct word trigrams over the engine tokenizer (mirrors
+# operators/dedup.shingles_expr with n=3)
+SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def ngram_jaccard_sql(threshold: float) -> str:
+    """Exact trigram-Jaccard near-dup pairs (mirrors ngram_jaccard_pairs)."""
+    return f"""
+WITH d AS (SELECT doc_id, {TOKENIZE} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({SHINGLES}) AS sh FROM d),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+          FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.id_a, i.id_b, i.n / (sa.s + sb.s - i.n) AS jaccard
+FROM inter i
+JOIN sz sa ON i.id_a = sa.doc_id JOIN sz sb ON i.id_b = sb.doc_id
+WHERE i.n / (sa.s + sb.s - i.n) >= {threshold}
+"""
+
+
+def minhash_lsh_sql(threshold: float = 0.8, num_perm: int = 12,
+                    bands: int = 4) -> str:
+    """MinHash+LSH banding + exact-Jaccard verify (mirrors
+    minhash_lsh_pairs: md5('<perm>|'||shingle) min-signatures, band key =
+    md5 of '|'-joined slice)."""
+    r = num_perm // bands
+    sig_cols = ",\n  ".join(
+        f"min(md5('{i}|' || sh)) AS h{i}" for i in range(num_perm)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({e}) AS bkey FROM sig".format(
+            b=b, e=" || '|' || ".join(f"h{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {TOKENIZE} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({SHINGLES}) AS sh FROM d),
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b USING (band, bkey)
+         WHERE a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+          FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT c.id_a, c.id_b, i.n / (sa.s + sb.s - i.n) AS jaccard
+FROM cand c JOIN inter i USING (id_a, id_b)
+JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
+WHERE i.n / (sa.s + sb.s - i.n) >= {threshold}
+"""
+
+
+def simhash_sql(bits: int = 16) -> str:
+    """Portable SimHash (bit b = MSB of md5 hex digit b), mirrors
+    simhash(portable=True)."""
+    votes = ",\n  ".join(
+        f"sum(CASE WHEN strpos('89abcdef', substr(md5(tok), {b + 1}, 1)) > 0 "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} >= 0 THEN 1 ELSE 0 END) * {1 << b}" for b in range(bits)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {TOKENIZE} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+v AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)
+SELECT doc_id, ({sig})::BIGINT AS simhash FROM v
+"""
+
+
+COSINE_EMB = (
+    "round(list_dot_product(e.v, q.qv) / "
+    "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+)
 
 
 def bm25_and_sql(terms: list[str], k: int, offset: int = 0) -> str:

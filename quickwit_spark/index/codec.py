@@ -74,6 +74,10 @@ def encode_postings(
         blocks.append(
             {
                 "first_docid": int(d[0]),
+                # last_docid makes the block's docid range [first, last]
+                # visible relationally (WAND candidate-overlap joins and
+                # skip-data pruning read it without decoding the payload)
+                "last_docid": int(d[-1]),
                 "count": int(len(d)),
                 "max_tf": int(t.max()),
                 "gap_bits": gw,

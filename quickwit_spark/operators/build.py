@@ -52,6 +52,7 @@ from quickwit_spark.index.manifest import Manifest, SplitMetadata
 BLOCK_STRUCT = T.StructType(
     [
         T.StructField("first_docid", T.LongType()),
+        T.StructField("last_docid", T.LongType()),
         T.StructField("count", T.IntegerType()),
         T.StructField("max_tf", T.IntegerType()),
         T.StructField("gap_bits", T.IntegerType()),

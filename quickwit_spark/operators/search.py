@@ -135,6 +135,45 @@ def _decode_postings_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         )
 
 
+BLOCK_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("split_id", T.StringType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_freq", T.LongType()),
+        T.StructField("docid", T.LongType()),
+        T.StructField("tf", T.LongType()),
+    ]
+)
+
+
+def _decode_block_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel over (split_id, term, doc_freq, block) rows — each
+    row is ONE compressed block (the WAND path decodes selected blocks only,
+    unlike _decode_postings_rows which decodes whole posting lists)."""
+    for pdf in batches:
+        sids, terms, dfs, docids, tfs = [], [], [], [], []
+        for sid, term, dfreq, block in zip(
+            pdf["split_id"], pdf["term"], pdf["doc_freq"], pdf["block"]
+        ):
+            d, t = decode_block(block)
+            sids.append(np.full(len(d), sid, dtype=object))
+            terms.append(np.full(len(d), term, dtype=object))
+            dfs.append(np.full(len(d), dfreq, dtype=np.int64))
+            docids.append(d)
+            tfs.append(t)
+        if not docids:
+            continue
+        yield pd.DataFrame(
+            {
+                "split_id": np.concatenate(sids),
+                "term": np.concatenate(terms),
+                "doc_freq": np.concatenate(dfs),
+                "docid": np.concatenate(docids),
+                "tf": np.concatenate(tfs),
+            }
+        )
+
+
 class Searcher:
     """Compiles a query AST into a DataFrame plan over one index."""
 
@@ -179,20 +218,10 @@ class Searcher:
         return fieldname is None or fieldname == self.default_field
 
     # ---- scored term table ----------------------------------------------
-    def scored_terms(
-        self, terms: list[str], split_ids: list[str]
-    ) -> DataFrame:
-        """(term, split_id, docid, score) for every query term — ONE postings
-        scan, decode, one norms join, pure-expression BM25."""
-        spark = self.reader.spark
-        if not terms:
-            return spark.createDataFrame(
-                [], "term string, split_id string, docid long, score double"
-            )
-        post = self.reader.postings().filter(
-            F.col("term").isin(terms) & F.col("split_id").isin(split_ids)
-        )
-        decoded = post.mapInPandas(_decode_postings_rows, DECODED_SCHEMA)
+    def _score_decoded(self, decoded: DataFrame) -> DataFrame:
+        """(split_id, term, doc_freq, docid, tf) rows -> per-posting BM25
+        contributions: one norms join + one broadcast stats join, then pure
+        column arithmetic (whole-stage codegen)."""
         norm_col = "norm_len" if self.quantize_norms else "doc_len"
         norms = self.reader.docstore().select(
             "split_id", "docid", F.col(norm_col).cast("double").alias("dl")
@@ -218,6 +247,166 @@ class Searcher:
             "split_id",
             "docid",
             (idf * tf_norm).alias("score"),
+        )
+
+    def scored_terms(
+        self, terms: list[str], split_ids: list[str]
+    ) -> DataFrame:
+        """(term, split_id, docid, score) for every query term — ONE postings
+        scan, decode, one norms join, pure-expression BM25."""
+        spark = self.reader.spark
+        if not terms:
+            return spark.createDataFrame(
+                [], "term string, split_id string, docid long, score double"
+            )
+        post = self.reader.postings().filter(
+            F.col("term").isin(terms) & F.col("split_id").isin(split_ids)
+        )
+        decoded = post.mapInPandas(_decode_postings_rows, DECODED_SCHEMA)
+        return self._score_decoded(decoded)
+
+    # ---- block-max WAND (top-k pruning for scored disjunctions) ----------
+    def disjunctive_tokens(self, node: Node) -> list[str] | None:
+        """Return the flat token list iff the query is a pure disjunction of
+        single-token text terms (the classic WAND domain: term / OR / IN).
+        None disables pruning and falls back to the exhaustive path."""
+        if isinstance(node, Term) and self._is_text(node.field):
+            toks = tokenize_py(node.value)
+            return toks if len(toks) == 1 else None
+        if isinstance(node, TermSet) and self._is_text(node.field):
+            toks: list[str] = []
+            for v in node.values:
+                t = tokenize_py(v)
+                if len(t) != 1:
+                    return None
+                toks += t
+            return sorted(set(toks))
+        if (
+            isinstance(node, Bool)
+            and node.should
+            and not node.must
+            and not node.must_not
+        ):
+            out: list[str] = []
+            for c in node.should:
+                sub = self.disjunctive_tokens(c)
+                if sub is None:
+                    return None
+                out += sub
+            # duplicated tokens would double-count in the exhaustive union
+            # path; keep both paths identical by bailing out
+            return sorted(out) if len(set(out)) == len(out) else None
+        return None
+
+    def scored_topk_wand(
+        self, tokens: list[str], split_ids: list[str], k: int
+    ) -> DataFrame:
+        """Block-max WAND as a relational two-phase plan (SURVEY §7.4).
+
+        The reference activates tantivy's block-max WAND whenever a query
+        sorts by ``_score`` (collector.rs:413-421). Document-at-a-time WAND
+        is iterative; the sound Spark formulation is:
+
+        1. **Block metadata pass** (no payload decode): per (split, term,
+           block) compute a score upper bound ``ub = idf * max_tf*(k1+1) /
+           (max_tf + k1*(1-b))`` — the dl→0 bound of the tf-norm, using the
+           block-max sidecar written at build time.
+        2. **Threshold seed**: decode only the globally best few blocks by
+           ub, score them exactly; the k-th best partial score is a lower
+           bound θ of the true k-th best total score (contributions are
+           non-negative).
+        3. **Prune**: a block survives iff ``ub + Σ_{other terms} max_ub >=
+           θ``. Any doc all of whose blocks are pruned scores < θ — sound,
+           never lossy.
+        4. **Exact re-score**: candidate docs = docs of surviving blocks;
+           decode every block whose [first_docid, last_docid] range contains
+           a candidate (each candidate hits <= 1 block per term), restrict to
+           candidates, sum exact BM25 — identical scores to the exhaustive
+           path, then global top-k.
+
+        Driver involvement: one scalar collect (θ), like the reference's
+        per-leaf threshold exchange.
+        """
+        spark = self.reader.spark
+        post = self.reader.postings().filter(
+            F.col("term").isin(tokens) & F.col("split_id").isin(split_ids)
+        )
+        exploded = post.select(
+            "split_id",
+            "term",
+            "doc_freq",
+            F.posexplode("blocks").alias("bi", "block"),
+        )
+        stats = F.broadcast(self.reader.split_stats())
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+            / (F.col("doc_freq") + F.lit(0.5))
+        )
+        mtf = F.col("block.max_tf").cast("double")
+        ub_tf = mtf * F.lit(BM25_K1 + 1.0) / (mtf + F.lit(BM25_K1 * (1.0 - BM25_B)))
+        meta = (
+            exploded.join(stats, "split_id")
+            .select(
+                "split_id",
+                "term",
+                "doc_freq",
+                "bi",
+                F.col("block.first_docid").alias("first_docid"),
+                F.col("block.last_docid").alias("last_docid"),
+                (idf * ub_tf).alias("ub"),
+            )
+            .cache()
+        )
+
+        def decode_sel(sel_keys: DataFrame) -> DataFrame:
+            rows = exploded.join(
+                F.broadcast(sel_keys.select("split_id", "term", "bi")),
+                ["split_id", "term", "bi"],
+                "left_semi",
+            ).select("split_id", "term", "doc_freq", "block")
+            return rows.mapInPandas(_decode_block_rows, BLOCK_ROW_SCHEMA)
+
+        # -- phase 2: threshold from the best seed blocks
+        seed_n = max(8, 2 * ((k + 127) // 128 + 1))
+        seed = meta.orderBy(F.desc("ub")).limit(seed_n)
+        seed_scores = (
+            self._score_decoded(decode_sel(seed))
+            .groupBy("split_id", "docid")
+            .agg(F.sum("score").alias("score"))
+            .orderBy(F.desc("score"))
+            .limit(k)
+            .collect()
+        )
+        theta = seed_scores[-1]["score"] if len(seed_scores) >= k else 0.0
+
+        # -- phase 3: slack = per-split sum of each term's best block ub
+        term_max = meta.groupBy("split_id", "term").agg(F.max("ub").alias("tmax"))
+        slack = term_max.groupBy("split_id").agg(F.sum("tmax").alias("slack"))
+        surv = (
+            meta.join(term_max, ["split_id", "term"])
+            .join(slack, "split_id")
+            .filter(F.col("ub") + F.col("slack") - F.col("tmax") >= F.lit(theta))
+        )
+
+        # -- phase 4: exact scores for candidate docs
+        cand = (
+            decode_sel(surv)
+            .select("split_id", "docid")
+            .distinct()
+        )
+        needed = meta.alias("m").join(
+            F.broadcast(cand).alias("c"),
+            (F.col("m.split_id") == F.col("c.split_id"))
+            & (F.col("c.docid") >= F.col("m.first_docid"))
+            & (F.col("c.docid") <= F.col("m.last_docid")),
+            "left_semi",
+        )
+        exact = self._score_decoded(decode_sel(needed)).join(
+            F.broadcast(cand), ["split_id", "docid"], "left_semi"
+        )
+        return exact.groupBy("split_id", "docid").agg(
+            F.sum("score").alias("score")
         )
 
     # ---- boolean plan ----------------------------------------------------
@@ -416,12 +605,15 @@ def search(
     request: SearchRequest,
     quantize_norms: bool = True,
     fetch_fields: tuple[str, ...] = ("url",),
+    use_wand: bool = True,
 ) -> DataFrame:
     """Full search: prune -> match/score -> global top-k -> fetch.
 
     Returns (split_id, docid, score, *fetch_fields) with exactly the
-    reference ordering (score desc | fast-field, split_id asc, docid asc),
-    offset dropped at the 'root' like root.rs:487-502.
+    reference ordering (score desc | fast-field, split_id asc, docid ascending),
+    offset dropped at the 'root' like root.rs:487-502. Scored disjunctions go
+    through the block-max WAND pruning plan (rank-identical by construction —
+    the pruning is sound); everything else uses the exhaustive plan.
     """
     ast = parse_query(request.query)
     splits = reader.manifest.list_published(
@@ -433,9 +625,21 @@ def search(
         return reader.spark.createDataFrame(
             [], "split_id string, docid long, score double"
         )
-    m = searcher.matching(
-        ast, split_ids, request.start_timestamp, request.end_timestamp
+    k_total = request.max_hits + request.start_offset
+    wand_tokens = (
+        searcher.disjunctive_tokens(ast)
+        if use_wand
+        and request.sort_by_field in (None, "_score")
+        and request.start_timestamp is None
+        and request.end_timestamp is None
+        else None
     )
+    if wand_tokens:
+        m = searcher.scored_topk_wand(wand_tokens, split_ids, k_total)
+    else:
+        m = searcher.matching(
+            ast, split_ids, request.start_timestamp, request.end_timestamp
+        )
 
     if request.sort_by_field and request.sort_by_field != "_score":
         ff = searcher.fast_fields.get(request.sort_by_field, request.sort_by_field)
@@ -446,9 +650,8 @@ def search(
             "score", F.col("_sort").cast("double")
         ).drop("_sort")
 
-    k = request.max_hits + request.start_offset
     order = [F.desc("score"), F.asc("split_id"), F.asc("docid")]
-    top = m.orderBy(*order).limit(k)
+    top = m.orderBy(*order).limit(k_total)
     if request.start_offset:
         w = Window.orderBy(*order)
         top = (

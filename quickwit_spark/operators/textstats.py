@@ -1,0 +1,126 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These extend the engine beyond the reference's query surface (SURVEY §2) with
+the document-processing ops a 100 TB web-text corpus needs before indexing or
+training: language ID, quality scoring, token counting, fingerprinting.
+
+Design rules:
+- everything is a pure Spark column expression (whole-stage codegen, zero
+  Python in the hot path);
+- every op shares the engine's `default` tokenizer (functions/tokenize.py) so
+  term universes agree across search, dedup and stats;
+- all arithmetic is expressible 1:1 in ANSI SQL — each op has a DuckDB oracle
+  in __spark_entry__.py and is correctness-gated like the search operators.
+
+Scale notes: all ops are embarrassingly parallel per-row projections — no
+shuffle at all; at 10^12 docs they pipeline into the same scan that feeds the
+index build (one pass over the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from quickwit_spark.functions.tokenize import tokenize_expr
+
+# Small deterministic stopword inventories (public, standard function words).
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "a", "is", "that", "for", "it",
+           "was", "on", "are", "with", "as", "be", "at", "by", "this", "have"],
+    "de": ["der", "die", "das", "und", "ist", "von", "den", "mit", "für",
+           "auf", "des", "ein", "eine", "im", "nicht", "auch", "sich", "dem"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "un", "une", "du",
+           "que", "qui", "dans", "pour", "pas", "sur", "avec", "au", "ce"],
+    "es": ["el", "la", "los", "las", "de", "y", "es", "un", "una", "del",
+           "que", "en", "por", "con", "para", "no", "se", "su", "al", "como"],
+}
+
+
+def _stop_hits(tokens: Column, lang: str) -> Column:
+    """Count of tokens (with multiplicity) that are stopwords of ``lang``."""
+    lit = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lit, t)))
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Tokens per document under the engine tokenizer (the `default`
+    tokenizer is also a reasonable whitespace+punct BPE-precursor count)."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokenize_expr(F.col(text_col))).alias("n_tokens"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: CJK-codepoint presence => 'zh', else the
+    language whose stopword list has the highest hit ratio (ties broken by
+    language code, no hits => 'und'). Deterministic, SQL-expressible."""
+    toks = tokenize_expr(F.col(text_col))
+    df = df.select(F.col(id_col), toks.alias("_toks"), F.col(text_col))
+    hit_cols = {lang: _stop_hits(F.col("_toks"), lang) for lang in STOPWORDS}
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(STOPWORDS):
+        # ascending iteration + strict > keeps the earliest code on ties
+        # (de beats en only when en has strictly more hits, etc.)
+        cond = hit_cols[lang] > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, hit_cols[lang]).otherwise(best_hits)
+    has_cjk = F.col(text_col).rlike(r"[一-鿿㐀-䶿]")
+    return df.select(
+        F.col(id_col),
+        F.when(has_cjk, F.lit("zh")).otherwise(best).alias("lang_pred"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality heuristic in [0, 1]:
+
+    0.4 * min(1, n_tokens/100)            — enough content
+    + 0.3 * stopword_ratio * 5 (capped 1) — natural-language-ness
+    + 0.3 * min(1, mean_token_len/8)      — not just noise chars
+
+    Mirrors the C4/Gopher-style length+stopword+char filters in spirit while
+    staying a pure closed-form column expression.
+    """
+    toks = tokenize_expr(F.col(text_col))
+    df = df.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size("_toks").cast("double")
+    stop_all = F.array(
+        *[F.lit(w) for w in sorted({w for ws in STOPWORDS.values() for w in ws})]
+    )
+    n_stop = F.size(
+        F.filter(F.col("_toks"), lambda t: F.array_contains(stop_all, t))
+    ).cast("double")
+    tok_chars = F.aggregate(
+        F.col("_toks"), F.lit(0), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    mean_len = F.when(n > 0, tok_chars / n).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+    q = (
+        F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(100.0))
+        + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * F.lit(5.0))
+        + F.lit(0.3) * F.least(F.lit(1.0), mean_len / F.lit(8.0))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(q, 4).alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Canonical content fingerprint: md5 over the token stream (whitespace/
+    punct/case-insensitive — two docs differing only in formatting collide,
+    which is the point). md5 is used (not xxhash) so any engine reproduces
+    the same fingerprints — they are meant to be stable, portable artifacts.
+    """
+    toks = tokenize_expr(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
+    )

@@ -1,0 +1,200 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing (the beyond-the-reference operator set)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.operators import dedup as D
+from quickwit_spark.operators import similarity as S
+from quickwit_spark.operators import textstats as TS
+from quickwit_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog!!", "en"),  # exact dup mod punct
+        (2, "The quick brown fox jumps over the lazy cat today", "en"),  # near dup
+        (3, "der hund und die katze sind mit dem ball im garten", "de"),
+        (4, "le chat est dans la maison avec le chien pour une fete", "fr"),
+        (5, "el perro y el gato en la casa con su pelota", "es"),
+        (6, "totally unrelated text about spark query engines and indexes", "en"),
+        (7, "你好 世界 搜索", "zh"),
+        (8, "", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = []
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.99, 0.14, 0.0, 0.0]
+    for i in range(20):
+        ang = i * math.pi / 20
+        rows.append((i, [math.cos(ang), math.sin(ang), 0.1 * i, 1.0]))
+    rows.append((100, base))
+    rows.append((101, near))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+# --- textstats -------------------------------------------------------------
+
+def test_token_count(docs):
+    out = {r["doc_id"]: r["n_tokens"] for r in TS.token_count(docs).collect()}
+    assert out[0] == 9
+    assert out[8] == 0
+
+
+def test_lang_id(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in TS.lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[3] == "de"
+    assert out[4] == "fr"
+    assert out[5] == "es"
+    assert out[7] == "zh"
+    assert out[8] == "und"
+
+
+def test_quality_score_bounds(docs):
+    for r in TS.quality_score(docs).collect():
+        assert 0.0 <= r["quality"] <= 1.0
+    out = {r["doc_id"]: r["quality"] for r in TS.quality_score(docs).collect()}
+    assert out[8] == 0.0
+    assert out[0] > out[8]
+
+
+def test_fingerprint_normalizes_formatting(docs):
+    out = {r["doc_id"]: r["fingerprint"] for r in TS.fingerprint(docs).collect()}
+    assert out[0] == out[1]  # case/punct-insensitive
+    assert out[0] != out[2]
+
+
+# --- dedup -----------------------------------------------------------------
+
+def test_exact_dedup(docs):
+    groups = D.exact_dedup(docs).collect()
+    dup = [g for g in groups if g["n_docs"] > 1]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 0 and dup[0]["n_docs"] == 2
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+    assert not any(6 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_dups_and_verifies(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    # LSH candidates are a subset of exact-jaccard pairs at same threshold
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(pairs) <= exact
+
+
+def test_simhash_portable_and_fast_paths(docs):
+    sp = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, portable=True).collect()}
+    sf = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, bits=32, portable=False).collect()}
+    assert sp[0] == sp[1]  # identical token streams
+    assert sf[0] == sf[1]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+
+
+def test_embedding_near_dup(vecs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.embedding_near_dup_pairs(vecs, threshold=0.98).collect()
+    }
+    assert (100, 101) in pairs
+    assert pairs[(100, 101)] > 0.98
+
+
+# --- similarity ------------------------------------------------------------
+
+def test_brute_force_topk_matches_numpy(vecs):
+    q = [1.0, 0.0, 0.0, 0.0]
+    got = S.brute_force_topk(vecs, q, k=5).collect()
+    rows = vecs.collect()
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    cos = m @ np.array(q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(ids, np.round(cos, 6)), key=lambda t: (-t[1], t[0]))[:5]
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (int(i), float(c)) for i, c in order
+    ]
+
+
+def test_lsh_topk_subset_of_exact_scores(vecs):
+    q = [1.0, 0.0, 0.0, 0.0]
+    exact = {r["vec_id"]: r["cosine"] for r in S.brute_force_topk(vecs, q, k=50).collect()}
+    approx = S.lsh_topk(vecs, q, k=5, multiprobe=2).collect()
+    assert approx  # finds something near the query
+    for r in approx:
+        assert exact[r["vec_id"]] == r["cosine"]  # scores are exact
+
+
+def test_ivf_topk(vecs):
+    q = [1.0, 0.0, 0.0, 0.0]
+    assigned, centroids = S.ivf_assign(vecs, n_cells=4)
+    assert len(centroids) == 4
+    res = S.ivf_topk(assigned, centroids, q, k=3, nprobe=4)  # all cells = exact
+    exact = S.brute_force_topk(vecs, q, k=3).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in res.collect()] == [
+        (r["vec_id"], r["cosine"]) for r in exact
+    ]
+
+
+# --- multimodal ------------------------------------------------------------
+
+def test_media_pipeline(docs):
+    media = M.synth_media(docs)
+    assert [(f.name, f.dataType.simpleString()) for f in media.schema] == [
+        (f.name, f.dataType.simpleString()) for f in M.MEDIA_SCHEMA
+    ]
+    feats = M.extract_features(media).collect()
+    assert len(feats) == 9
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["payload_bytes"] == len(
+        "The quick brown fox jumps over the lazy dog".encode()
+    )
+    v = np.array(by_id[0]["feature"])
+    assert len(v) == M.FEATURE_DIM
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # determinism
+    feats2 = {r["media_id"]: r["payload_sha"] for r in M.extract_features(media).collect()}
+    assert feats2 == {r["media_id"]: r["payload_sha"] for r in feats}
+
+
+def test_sample_frames(docs):
+    media = M.synth_media(docs)
+    frames = M.sample_frames(media, every_ms=5000).collect()
+    vids = {r["media_id"] for r in frames}
+    assert vids  # ids where id % 3 == 2 are videos
+    assert all(mid % 3 == 2 for mid in vids)
+    one = [r for r in frames if r["media_id"] == 2]
+    assert [r["frame_ts_ms"] for r in one] == sorted(r["frame_ts_ms"] for r in one)
+
+
+def test_resize_stub_raises(docs):
+    with pytest.raises(NotImplementedError):
+        M.resize_images(M.synth_media(docs), 64, 64)
