@@ -128,13 +128,17 @@ class Manifest:
             out.append(m)
         return out
 
-    def published_fingerprints(self) -> dict[int, str]:
+    def published_fingerprints(self, generation: int = 0) -> dict[int, str]:
         """partition_id -> source_fingerprint for Published original splits
-        (generation 0). Resume skips matching partitions."""
+        of one build generation (a batch build is generation 0; each
+        streaming micro-batch is its own generation). Resume skips matching
+        partitions; lineage keys are (generation, partition)."""
         return {
             m.partition_id: m.source_fingerprint
             for m in self.list_all()
-            if m.state == "Published" and m.num_merge_ops == 0
+            if m.state == "Published"
+            and m.num_merge_ops == 0
+            and m.generation == generation
         }
 
     def stats(self) -> dict[str, dict]:

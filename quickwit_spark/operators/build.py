@@ -85,6 +85,17 @@ class IndexConfig:
     # optional pre-computed routing column (overrides hash routing; used by
     # the correctness gate where the oracle must mirror the routing in SQL)
     routing_col: str | None = None
+    # generation tag for split ids — batch builds use 0; the streaming
+    # indexer stamps each micro-batch with its batch_id so split ids and
+    # checkpoint lineage stay disjoint across batches
+    generation: int = 0
+    # hot-term skew handling (north_rule): when set, posting encoding runs in
+    # two stages — encode per (split, term, docid-range salt) then concatenate
+    # per (split, term) — so no single task ever materializes a stopword's
+    # full posting list as rows. Value = docids per salt bucket; decoded
+    # postings are identical to the unsalted path (block boundaries may
+    # differ, content cannot).
+    salt_range: int | None = None
 
 
 @dataclass
@@ -112,6 +123,36 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "term": [pdf["term"].iloc[0]],
             "doc_freq": [len(docids)],
             "sum_tf": [int(tfs.sum())],
+            "blocks": [blocks],
+        }
+    )
+
+
+PARTIAL_POSTINGS_SCHEMA = T.StructType(
+    list(POSTINGS_SCHEMA.fields) + [T.StructField("salt", T.IntegerType())]
+)
+
+
+def _encode_group_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Stage 1 of the skew-salted encode: one (split, term, salt) docid-range
+    slice -> one partial postings row."""
+    out = _encode_group(pdf)
+    out["salt"] = [int(pdf["salt"].iloc[0])]
+    return out
+
+
+def _concat_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Stage 2: concatenate a term's partial rows in salt (= docid-range)
+    order. Inputs are already-encoded blocks (~2 bytes/posting), so even a
+    stopword's full list is a few MB here, not millions of rows."""
+    pdf = pdf.sort_values("salt", kind="stable")
+    blocks = [b for row in pdf["blocks"] for b in row]
+    return pd.DataFrame(
+        {
+            "split_id": [pdf["split_id"].iloc[0]],
+            "term": [pdf["term"].iloc[0]],
+            "doc_freq": [int(pdf["doc_freq"].sum())],
+            "sum_tf": [int(pdf["sum_tf"].sum())],
             "blocks": [blocks],
         }
     )
@@ -152,17 +193,28 @@ def build_index(
     index_dir: str,
     cfg: IndexConfig | None = None,
     resume: bool = True,
+    source_tag: str | None = None,
 ) -> BuildMetrics:
-    """Build (or resume) the index for ``pages`` under ``index_dir``."""
+    """Build (or resume) the index for ``pages`` under ``index_dir``.
+
+    ``source_tag`` overrides the logical-plan-derived lineage fingerprint —
+    required when the input plan string is not stable across retries (e.g. a
+    streaming micro-batch, fingerprinted by its batch_id instead)."""
     cfg = cfg or IndexConfig()
     t0 = time.time()
     manifest = Manifest(index_dir)
 
     # --- checkpoint-resume: skip partitions whose split is already Published
-    done = manifest.published_fingerprints() if resume else {}
-    fingerprints = {
-        p: source_fingerprint(pages, p) for p in range(cfg.num_splits)
-    }
+    done = manifest.published_fingerprints(cfg.generation) if resume else {}
+    if source_tag is not None:
+        fingerprints = {
+            p: hashlib.sha256(f"{source_tag}|{p}".encode()).hexdigest()[:16]
+            for p in range(cfg.num_splits)
+        }
+    else:
+        fingerprints = {
+            p: source_fingerprint(pages, p) for p in range(cfg.num_splits)
+        }
     todo = [p for p in range(cfg.num_splits) if done.get(p) != fingerprints[p]]
     skipped = cfg.num_splits - len(todo)
     metrics = BuildMetrics(skipped_partitions=skipped)
@@ -174,7 +226,7 @@ def build_index(
     if len(todo) < cfg.num_splits:
         docs = docs.filter(F.col("partition_id").isin(todo))
     sid = F.concat(
-        F.lit(f"{cfg.index_id}-00-p"),
+        F.lit(f"{cfg.index_id}-{cfg.generation:02d}-p"),
         F.lpad(F.col("partition_id").cast("string"), 5, "0"),
     )
     docs = docs.withColumn("split_id", sid)
@@ -217,9 +269,20 @@ def build_index(
         .groupBy("split_id", "term", "docid")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    postings = tf.groupBy("split_id", "term").applyInPandas(
-        _encode_group, POSTINGS_SCHEMA
-    )
+    if cfg.salt_range:
+        salted = tf.withColumn(
+            "salt", (F.col("docid") / F.lit(cfg.salt_range)).cast("int")
+        )
+        partial = salted.groupBy("split_id", "term", "salt").applyInPandas(
+            _encode_group_salted, PARTIAL_POSTINGS_SCHEMA
+        )
+        postings = partial.groupBy("split_id", "term").applyInPandas(
+            _concat_salted, POSTINGS_SCHEMA
+        )
+    else:
+        postings = tf.groupBy("split_id", "term").applyInPandas(
+            _encode_group, POSTINGS_SCHEMA
+        )
     (
         postings.repartition("split_id")
         .sortWithinPartitions("term")
@@ -263,6 +326,7 @@ def build_index(
             time_range_end=row["ts_max"].isoformat() if cfg.timestamp_field else None,
             tags=tags,
             source_fingerprint=fingerprints[row["partition_id"]],
+            generation=cfg.generation,
         )
         manifest.stage(meta)
         new_metas.append(meta)

@@ -1,0 +1,90 @@
+"""Structured-Streaming indexing pipeline.
+
+The reference ingests via micro-batches with commit triggers bounding latency
+and size (SURVEY §2.8: no watermarks/event-time — late docs just land in a
+split whose time_range covers them; exactly-once publish via checkpoint
+deltas, quickwit-metastore/src/checkpoint.rs + indexer.rs:237-240).
+
+Spark formulation: ``readStream -> foreachBatch(build_index)``:
+
+- each micro-batch is one build **generation** (generation = batch_id), so
+  split ids and lineage rows are disjoint across batches;
+- exactly-once: Spark's streaming checkpoint gives at-least-once foreachBatch
+  delivery; the manifest makes the publish idempotent — a replayed batch sees
+  its (generation, partition) lineage rows already Published and skips them,
+  the exact analog of the reference rejecting non-contiguous checkpoint
+  deltas;
+- commit triggers: ``trigger(processingTime=...)`` bounds latency like the
+  60 s commit_timeout; ``maxFilesPerTrigger``/``maxOffsetsPerTrigger`` bound
+  batch size like split_num_docs_target;
+- merge: run operators/merge.run_merge_pipeline between/after batches — the
+  merge planner only reads manifest rows, so it composes with a live stream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import DataFrame, SparkSession
+
+from quickwit_spark.operators.build import BuildMetrics, IndexConfig, build_index
+
+
+class StreamingIndexer:
+    """foreachBatch sink that turns a stream of pages into published splits."""
+
+    def __init__(self, index_dir: str, cfg: IndexConfig | None = None):
+        self.index_dir = index_dir
+        self.cfg = cfg or IndexConfig()
+        self.batch_metrics: list[tuple[int, BuildMetrics]] = []
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        cfg = replace(self.cfg, generation=int(batch_id))
+        metrics = build_index(
+            batch_df.sparkSession,
+            batch_df,
+            self.index_dir,
+            cfg,
+            resume=True,
+            source_tag=f"stream-batch-{batch_id}",
+        )
+        self.batch_metrics.append((int(batch_id), metrics))
+
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str,
+        trigger_available_now: bool = True,
+        processing_time: str | None = None,
+    ):
+        writer = stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+
+def index_stream_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    cfg: IndexConfig | None = None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingIndexer:
+    """Index a parquet directory as a bounded stream (availableNow): every
+    file present is processed in micro-batches, then the query stops. Re-runs
+    with the same checkpoint pick up only new files — the file-source analog
+    of the reference's file/Kafka sources with positions."""
+    static = spark.read.parquet(source_dir)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
+    sink = StreamingIndexer(index_dir, cfg)
+    q = sink.start(stream, checkpoint_dir, trigger_available_now=True)
+    q.awaitTermination()
+    return sink
