@@ -6,7 +6,8 @@ Serializer -> Packager -> Uploader -> Publisher, quickwit-indexing/src/actors/
 indexing_pipeline.rs:246-380) collapses into ONE DataFrame lineage here:
 
 1. doc processing: html->text check, tokenize (whole-stage codegen expression),
-   doc_len + quantized norm columns;
+   doc_len + quantized norm columns; only index-relevant columns survive
+   (html never crosses a shuffle);
 2. partition routing: ``partition_id = pmod(xxhash64(url), num_splits)``
    (the reference hashes a routing key into at most max_num_partitions=200
    partitions, routing_expression/mod.rs:34-80);
@@ -15,19 +16,27 @@ indexing_pipeline.rs:246-380) collapses into ONE DataFrame lineage here:
    rebuilds and resumes reproduce identical splits (SURVEY §7.4);
 4. docstore: one zstd parquet dir partitioned by split_id (row store + fast
    fields + fieldnorms in one columnar table — Spark is columnar-native, no
-   separate fast-field structure needed);
-5. postings: explode -> count tf -> groupBy(split, term) -> Arrow-vectorized
-   block encoder (delta + bitpack + block max-tf), written sorted by term so
-   Parquet row-group stats prune term lookups;
-6. manifest rows staged then atomically published, with a source fingerprint
-   per partition for checkpoint-resume.
+   separate fast-field structure needed). Written straight from the window
+   partitioning: rows are already clustered by split and sorted by docid;
+5. postings (default path): per-split single-pass **Arrow kernel**
+   (mapInArrow) — the analog of the reference's per-partition in-memory
+   IndexWriter (indexer.rs workbench). Token lists stay in Arrow; C++
+   dictionary_encode factorizes terms; (code<<32|docid) np.unique yields
+   (term, doc, tf) runs sorted exactly as posting lists need; blocks are
+   delta+bitpack encoded with a block-max sidecar. Zero intermediate
+   shuffle; memory bound = one split's docs per task (the 2 GB-heap commit
+   trigger analog — cap num docs per split accordingly);
+6. postings (salt_range path): shuffled two-stage encode for splits beyond
+   one task's RAM — per-(doc,term) tf rows salted by docid range, encoded
+   per (split, term, salt), concatenated per (split, term). Hot terms
+   (stopwords) spread across tasks; decoded content is identical;
+7. manifest rows staged then atomically published, with a source fingerprint
+   per (generation, partition) for checkpoint-resume.
 
-Scale notes (100 TB story): every shuffle is keyed by (partition_id) or
-(partition_id, term) — bounded by the 10M-doc split target, never global.
-Hot terms (stopwords) produce at most one group per (split, term), i.e.
-<= num_docs_per_split rows ~ 80 MB of int64 per worst-case group: inside one
-Arrow batch this is fine, and distinct splits distribute across executors.
-AQE skew-join handles residual imbalance.
+Scale notes (100 TB story): the only full-data shuffle is the docid window,
+keyed by partition_id with num_splits >> cores; the salted path's shuffle is
+keyed by (partition, term, salt) and bounded by salt_range rows per group.
+Searches and merges touch only (query-term x split) / (<=12 splits) slices.
 """
 
 from __future__ import annotations
@@ -39,6 +48,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -110,35 +121,231 @@ class BuildMetrics:
     splits: list[str] = field(default_factory=list)
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """(split_id, term) group of (docid, tf) rows -> one postings row with
-    compressed blocks. Runs as applyInPandas (Arrow in/out, numpy inside)."""
-    order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
-    docids = pdf["docid"].to_numpy()[order]
-    tfs = pdf["tf"].to_numpy()[order]
-    blocks = encode_postings(docids, tfs, BLOCK_SIZE)
-    return pd.DataFrame(
-        {
-            "split_id": [pdf["split_id"].iloc[0]],
-            "term": [pdf["term"].iloc[0]],
-            "doc_freq": [len(docids)],
-            "sum_tf": [int(tfs.sum())],
-            "blocks": [blocks],
-        }
-    )
+# hot-path rows key on partition_id (int) — the split_id string is attached
+# only to the ~1-row-per-term encoded output (cheap) and the docstore write
+TF_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("docid", T.IntegerType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("tf", T.IntegerType()),
+    ]
+)
 
+ENC_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_freq", T.LongType()),
+        T.StructField("sum_tf", T.LongType()),
+        T.StructField("blocks", T.ArrayType(BLOCK_STRUCT)),
+    ]
+)
 
-PARTIAL_POSTINGS_SCHEMA = T.StructType(
-    list(POSTINGS_SCHEMA.fields) + [T.StructField("salt", T.IntegerType())]
+ENC_SALTED_SCHEMA = T.StructType(
+    list(ENC_SCHEMA.fields) + [T.StructField("salt", T.IntegerType())]
 )
 
 
-def _encode_group_salted(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Stage 1 of the skew-salted encode: one (split, term, salt) docid-range
-    slice -> one partial postings row."""
-    out = _encode_group(pdf)
-    out["salt"] = [int(pdf["salt"].iloc[0])]
-    return out
+def _doc_tf_kernel(batches) -> "pd.DataFrame":
+    """mapInPandas: (partition_id, docid, tokens) -> one row per distinct
+    (doc, term) with its term frequency.
+
+    Term frequencies are counted LOCALLY per document (one vectorized pandas
+    groupby per Arrow batch) — the per-token explode never hits a shuffle;
+    only the ~40%-smaller distinct (doc, term) pairs do. This is the map-side
+    combine of the indexing pipeline."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        lens = np.fromiter((len(t) for t in pdf["tokens"]), dtype=np.int64,
+                           count=len(pdf))
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        flat = pd.DataFrame(
+            {
+                "partition_id": np.repeat(pdf["partition_id"].to_numpy(), lens),
+                "docid": np.repeat(pdf["docid"].to_numpy(), lens),
+                "term": np.concatenate(
+                    [np.asarray(t, dtype=object) for t in pdf["tokens"]]
+                ),
+            }
+        )
+        out = (
+            flat.groupby(["partition_id", "docid", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        out["tf"] = out["tf"].astype("int32")
+        yield out
+
+
+def _encode_sorted_slice(pdf: pd.DataFrame, with_salt: bool) -> pd.DataFrame:
+    """Encode a slice of rows already sorted by (partition, term[, salt],
+    docid): group boundaries found vectorized, one encode_postings call per
+    group."""
+    pid = pdf["partition_id"].to_numpy()
+    term = pdf["term"].to_numpy()
+    change = (pid[1:] != pid[:-1]) | (term[1:] != term[:-1])
+    if with_salt:
+        salt = pdf["salt"].to_numpy()
+        change = change | (salt[1:] != salt[:-1])
+    bounds = np.concatenate(
+        [[0], np.flatnonzero(change) + 1, [len(pdf)]]
+    )
+    docid_all = pdf["docid"].to_numpy().astype(np.int64)
+    tf_all = pdf["tf"].to_numpy().astype(np.int64)
+    rows = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        row = {
+            "partition_id": int(pid[a]),
+            "term": term[a],
+            "doc_freq": int(b - a),
+            "sum_tf": int(tf_all[a:b].sum()),
+            "blocks": encode_postings(docid_all[a:b], tf_all[a:b], BLOCK_SIZE),
+        }
+        if with_salt:
+            row["salt"] = int(pdf["salt"].to_numpy()[a])
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+PA_BLOCK = pa.struct(
+    [
+        ("first_docid", pa.int64()),
+        ("last_docid", pa.int64()),
+        ("count", pa.int32()),
+        ("max_tf", pa.int32()),
+        ("gap_bits", pa.int32()),
+        ("tf_bits", pa.int32()),
+        ("docid_gaps", pa.binary()),
+        ("tfs", pa.binary()),
+    ]
+)
+
+PA_ENC_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("term", pa.string()),
+        ("doc_freq", pa.int64()),
+        ("sum_tf", pa.int64()),
+        ("blocks", pa.list_(PA_BLOCK)),
+    ]
+)
+
+
+def _encode_arrow_split(batches: list) -> "pa.RecordBatch":
+    """One split's (partition_id, docid, tokens) Arrow batches -> its full
+    postings, keyed by real term strings but WITHOUT materializing per-token
+    Python objects:
+
+    - the token ListArray's flat values stay in Arrow;
+    - ``pc.dictionary_encode`` (C++) factorizes them to int32 codes + a
+      unique-term dictionary (only the vocab ever becomes Python strings);
+    - (code << 32 | docid) int64 keys -> np.unique gives (term, doc) -> tf
+      sorted exactly as posting lists need.
+
+    This is the per-split in-memory IndexWriter of the reference (indexer.rs
+    workbench) as a vectorized Arrow kernel. The earlier per-token-string
+    version caused a Python allocation storm that inverted core scaling.
+    """
+    tbl = pa.Table.from_batches(batches)
+    pid = tbl.column("partition_id").chunk(0)[0].as_py()
+    toks = tbl.column("tokens").combine_chunks()
+    docid = tbl.column("docid").to_numpy().astype(np.int64)
+    lens = np.diff(toks.offsets.to_numpy())
+    flat = toks.flatten()
+    if len(flat) == 0:
+        return pa.RecordBatch.from_pylist([], schema=PA_ENC_SCHEMA)
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy().astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+    key = (codes << np.int64(32)) | np.repeat(docid, lens)
+    key.sort()
+    new = np.ones(len(key), dtype=bool)
+    new[1:] = key[1:] != key[:-1]
+    idx = np.flatnonzero(new)
+    tf = np.diff(np.append(idx, len(key)))
+    ukey = key[idx]
+    ucode = (ukey >> np.int64(32)).astype(np.int64)
+    ud = ukey & np.int64(0xFFFFFFFF)
+    bounds = np.concatenate(
+        [[0], np.flatnonzero(ucode[1:] != ucode[:-1]) + 1, [len(ukey)]]
+    )
+    terms, dfs, sums, blocks = [], [], [], []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        terms.append(vocab[ucode[a]])
+        dfs.append(int(b - a))
+        sums.append(int(tf[a:b].sum()))
+        blocks.append(encode_postings(ud[a:b], tf[a:b], BLOCK_SIZE))
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([pid] * len(terms), type=pa.int32()),
+            pa.array(terms, type=pa.string()),
+            pa.array(dfs, type=pa.int64()),
+            pa.array(sums, type=pa.int64()),
+            pa.array(blocks, type=pa.list_(PA_BLOCK)),
+        ],
+        schema=PA_ENC_SCHEMA,
+    )
+
+
+def _arrow_stream_kernel(batches):
+    """mapInArrow wrapper over _encode_arrow_split: buffer record batches per
+    split (splits are contiguous within a partition), emit on boundary."""
+    # one Arrow compute thread per worker: N workers x default pool (= all
+    # cores each) oversubscribes the box N-fold and *inverts* core scaling
+    try:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+    except Exception:  # noqa: BLE001 - best effort, harmless if unavailable
+        pass
+    buf: list = []
+    cur: int | None = None
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        pids = rb.column(rb.schema.get_field_index("partition_id")).to_numpy()
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(pids[1:] != pids[:-1]) + 1, [rb.num_rows]]
+        )
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            pid = int(pids[a])
+            if cur is not None and pid != cur:
+                yield _encode_arrow_split(buf)
+                buf = []
+            cur = pid
+            buf.append(rb.slice(a, b - a))
+    if buf:
+        yield _encode_arrow_split(buf)
+
+
+def _make_encode_stream(with_salt: bool):
+    """mapInPandas kernel over a partition hash-clustered by (partition, term
+    [, salt]) and sorted by (key, docid). A group may straddle Arrow batch
+    boundaries; the trailing group of each batch is carried into the next."""
+    keycols = ["partition_id", "term"] + (["salt"] if with_salt else [])
+
+    def kernel(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            mask = np.ones(len(pdf), dtype=bool)
+            for c in keycols:
+                col = pdf[c].to_numpy()
+                mask &= col == col[-1]
+            carry = pdf.iloc[np.flatnonzero(mask)]
+            body = pdf.iloc[np.flatnonzero(~mask)]
+            if len(body):
+                yield _encode_sorted_slice(body, with_salt)
+        if carry is not None and len(carry):
+            yield _encode_sorted_slice(carry, with_salt)
+
+    return kernel
 
 
 def _concat_salted(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -149,7 +356,7 @@ def _concat_salted(pdf: pd.DataFrame) -> pd.DataFrame:
     blocks = [b for row in pdf["blocks"] for b in row]
     return pd.DataFrame(
         {
-            "split_id": [pdf["split_id"].iloc[0]],
+            "partition_id": [int(pdf["partition_id"].iloc[0])],
             "term": [pdf["term"].iloc[0]],
             "doc_freq": [int(pdf["doc_freq"].sum())],
             "sum_tf": [int(pdf["sum_tf"].sum())],
@@ -171,15 +378,27 @@ def source_fingerprint(pages: DataFrame, partition_id: int) -> str:
 
 
 def prepare_docs(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """Doc-processing + routing + stable docid assignment (steps 1-3)."""
+    """Doc-processing + routing + stable docid assignment (steps 1-3).
+
+    Only the columns the index needs survive past this point — the routing
+    shuffle must not carry dead weight (html is the bulk of a web page and
+    appears in no index structure)."""
     toks = tokenize_expr(F.col(cfg.text_field))
     route = (
         F.col(cfg.routing_col).cast("int")
         if cfg.routing_col
         else F.pmod(F.xxhash64(F.col(cfg.doc_key)), F.lit(cfg.num_splits)).cast("int")
     )
+    keep = {cfg.doc_key, cfg.text_field}
+    if cfg.tag_field:
+        keep.add(cfg.tag_field)
+    if cfg.timestamp_field:
+        keep.add(cfg.timestamp_field)
+    if cfg.routing_col:
+        keep.add(cfg.routing_col)
     df = (
-        pages.withColumn("partition_id", route)
+        pages.select(*sorted(keep))
+        .withColumn("partition_id", route)
         .withColumn("tokens", toks)
         .withColumn("doc_len", F.size("tokens"))
     )
@@ -229,7 +448,9 @@ def build_index(
         F.lit(f"{cfg.index_id}-{cfg.generation:02d}-p"),
         F.lpad(F.col("partition_id").cast("string"), 5, "0"),
     )
-    docs = docs.withColumn("split_id", sid)
+    docs = docs.withColumn("split_id", sid).drop("tokens")
+    # cache WITHOUT the tokens column (it would double the cache footprint);
+    # the postings path re-derives tokens from the cached text JVM-side
     docs.cache()  # reused by docstore write + postings build + stats
 
     # --- docstore (row store + fast fields + norms)
@@ -253,9 +474,10 @@ def build_index(
         store_cols.append(F.col(cfg.timestamp_field).alias("ts"))
     docstore = docs.select(*store_cols)
     (
-        docstore.repartition("split_id")
-        .sortWithinPartitions("docid")
-        .write.mode("overwrite")
+        # no repartition: the docid-assignment window already clustered rows
+        # by partition_id and sorted them by doc_key (= docid order), so each
+        # task streams straight into its split's directory with sorted docids
+        docstore.write.mode("overwrite")
         # only replace the split partitions being (re)built — a resume must
         # not truncate sibling splits' data
         .option("partitionOverwriteMode", "dynamic")
@@ -264,25 +486,42 @@ def build_index(
     )
 
     # --- postings
-    tf = (
-        docs.select("split_id", "docid", F.explode("tokens").alias("term"))
-        .groupBy("split_id", "term", "docid")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
     if cfg.salt_range:
+        # shuffled path: per-(doc,term) tf rows, salted by docid range so hot
+        # terms spread across tasks — for splits too big for one task's RAM
+        tf = docs.withColumn(
+            "tokens", tokenize_expr(F.col(cfg.text_field))
+        ).select("partition_id", "docid", "tokens").mapInPandas(
+            _doc_tf_kernel, TF_SCHEMA
+        )
         salted = tf.withColumn(
             "salt", (F.col("docid") / F.lit(cfg.salt_range)).cast("int")
         )
-        partial = salted.groupBy("split_id", "term", "salt").applyInPandas(
-            _encode_group_salted, PARTIAL_POSTINGS_SCHEMA
-        )
-        postings = partial.groupBy("split_id", "term").applyInPandas(
-            _concat_salted, POSTINGS_SCHEMA
+        partial = salted.repartition(
+            "partition_id", "term", "salt"
+        ).sortWithinPartitions(
+            "partition_id", "term", "salt", "docid"
+        ).mapInPandas(_make_encode_stream(True), ENC_SALTED_SCHEMA)
+        encoded = partial.groupBy("partition_id", "term").applyInPandas(
+            _concat_salted, ENC_SCHEMA
         )
     else:
-        postings = tf.groupBy("split_id", "term").applyInPandas(
-            _encode_group, POSTINGS_SCHEMA
+        # default: per-split single-pass build, zero intermediate shuffle
+        # (docs are clustered by partition_id from the docid window); token
+        # arrays flow to the Arrow kernel without any per-token explode
+        ex = docs.select(
+            "partition_id",
+            "docid",
+            tokenize_expr(F.col(cfg.text_field)).alias("tokens"),
         )
+        encoded = ex.mapInArrow(_arrow_stream_kernel, ENC_SCHEMA)
+    postings = encoded.withColumn(
+        "split_id",
+        F.concat(
+            F.lit(f"{cfg.index_id}-{cfg.generation:02d}-p"),
+            F.lpad(F.col("partition_id").cast("string"), 5, "0"),
+        ),
+    ).drop("partition_id")
     (
         postings.repartition("split_id")
         .sortWithinPartitions("term")

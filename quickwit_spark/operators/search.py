@@ -50,6 +50,9 @@ from quickwit_spark.plans.query import (
     parse_query,
 )
 
+# corpus size above which the WAND pruning plan beats exhaustive decode
+WAND_MIN_DOCS = 1_000_000
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("split_id", T.StringType()),
@@ -541,7 +544,35 @@ class Searcher:
             "split_id", "docid", F.lit(0.0).alias("score")
         )
 
+    def _simple_token(self, node: Node) -> str | None:
+        """Single-token text Term — eligible for the collapsed AND pass."""
+        if isinstance(node, Term) and self._is_text(node.field):
+            toks = tokenize_py(node.value)
+            if len(toks) == 1:
+                return toks[0]
+        return None
+
     def _eval_bool(self, node: Bool, scored: DataFrame, docs: DataFrame) -> DataFrame:
+        # fast path: AND of simple text terms collapses to ONE pass over the
+        # scored-terms table (filter isin + groupBy) instead of a self-union
+        # per term, which would re-decode the postings once per clause
+        simple = [self._simple_token(c) for c in node.must]
+        if (
+            node.must
+            and all(t is not None for t in simple)
+            and len(set(simple)) == len(simple)
+        ):
+            base = (
+                scored.filter(F.col("term").isin(list(simple)))
+                .groupBy("split_id", "docid")
+                .agg(
+                    F.sum("score").alias("score"),
+                    F.count_distinct("term").alias("n_cl"),
+                )
+                .filter(F.col("n_cl") == len(simple))
+                .drop("n_cl")
+            )
+            return self._bool_tail(node, base, scored, docs)
         parts = []
         for i, child in enumerate(node.must):
             parts.append(
@@ -565,7 +596,17 @@ class Searcher:
             base = None
         else:
             base = self._zero(docs)  # pure-negative query: NOT x over all docs
+        return self._bool_tail(node, base, scored, docs)
 
+    def _bool_tail(
+        self,
+        node: Bool,
+        base: DataFrame | None,
+        scored: DataFrame,
+        docs: DataFrame,
+    ) -> DataFrame:
+        """Apply should (optional, score-additive) and must_not (anti-join)
+        clauses to the must result."""
         if node.should:
             sparts = [self._eval(c, scored, docs) for c in node.should]
             su = sparts[0]
@@ -605,7 +646,7 @@ def search(
     request: SearchRequest,
     quantize_norms: bool = True,
     fetch_fields: tuple[str, ...] = ("url",),
-    use_wand: bool = True,
+    use_wand: bool | None = None,
 ) -> DataFrame:
     """Full search: prune -> match/score -> global top-k -> fetch.
 
@@ -626,6 +667,12 @@ def search(
             [], "split_id string, docid long, score double"
         )
     k_total = request.max_hits + request.start_offset
+    if use_wand is None:
+        # cost switch: WAND spends ~3 extra tiny jobs (seed θ collect +
+        # candidate joins) to avoid decoding whole posting lists — a win only
+        # once the pruned splits hold enough docs that decode dominates.
+        # Below the threshold the exhaustive single-pass plan is faster.
+        use_wand = sum(m.num_docs for m in splits) >= WAND_MIN_DOCS
     wand_tokens = (
         searcher.disjunctive_tokens(ast)
         if use_wand
@@ -660,9 +707,12 @@ def search(
             .drop("_rn")
         )
     if fetch_fields:
-        # fetch phase: broadcast the k winners into the docstore scan
+        # fetch phase: broadcast the k winners into the docstore scan.
+        # Inner join on purpose: every hit exists in the docstore by
+        # construction, and a left-outer would force a SortMergeJoin (the
+        # broadcast-left hint is unsupported for left joins).
         store = reader.docstore().select("split_id", "docid", *fetch_fields)
-        top = F.broadcast(top).join(store, ["split_id", "docid"], "left")
+        top = F.broadcast(top).join(store, ["split_id", "docid"], "inner")
     return top.orderBy(*order)
 
 
