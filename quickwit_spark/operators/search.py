@@ -268,6 +268,35 @@ class Searcher:
         decoded = post.mapInPandas(_decode_postings_rows, DECODED_SCHEMA)
         return self._score_decoded(decoded)
 
+    # ---- tag pruning (quickwit-doc-mapper/src/tag_pruning.rs analog) -----
+    def extract_tags(self, node: Node) -> set[str] | None:
+        """Sound over-approximation: returns a tag set such that any doc
+        matching the query lives in a split carrying one of these tags, or
+        None when the query is uninformative about tags (no pruning). Any
+        subtree may safely degrade to None (tag_pruning.rs:29-164)."""
+        if isinstance(node, Term) and node.field == self.tag_field:
+            return {node.value}
+        if isinstance(node, TermSet) and node.field == self.tag_field:
+            return set(node.values)
+        if isinstance(node, Boost):
+            return self.extract_tags(node.child)
+        if isinstance(node, Bool):
+            # must: any single informative clause is a valid requirement
+            for c in node.must:
+                t = self.extract_tags(c)
+                if t is not None:
+                    return t
+            # pure disjunction: union, unless any branch is uninformative
+            if node.should and not node.must:
+                acc: set[str] = set()
+                for c in node.should:
+                    t = self.extract_tags(c)
+                    if t is None:
+                        return None
+                    acc |= t
+                return acc
+        return None
+
     # ---- block-max WAND (top-k pruning for scored disjunctions) ----------
     def disjunctive_tokens(self, node: Node) -> list[str] | None:
         """Return the flat token list iff the query is a pure disjunction of
@@ -641,12 +670,44 @@ def re_escape(s: str) -> str:
     return re.escape(s)
 
 
+def make_snippet_udf(terms: list[str], window: int = 80):
+    """Fetch-phase highlighter: first window around a query-term hit, all
+    term occurrences wrapped in <b></b> (reference SnippetGenerator,
+    fetch_docs.rs:286-330). Runs over only the k fetched rows — per-row
+    Python is fine here, this is not a hot path."""
+    import re
+
+    body = "|".join(sorted(map(re.escape, terms), key=len, reverse=True))
+    # token boundaries: alnum-excluding-underscore on either side
+    pat = re.compile(
+        rf"(?<![^\W_])({body})(?![^\W_])", re.IGNORECASE | re.UNICODE
+    )
+
+    @F.pandas_udf("string")
+    def snip(texts: pd.Series) -> pd.Series:
+        def one(t: str | None) -> str | None:
+            if t is None:
+                return None
+            m = pat.search(t)
+            if not m:
+                return ""
+            start = max(0, m.start() - window // 2)
+            end = min(len(t), m.end() + window)
+            frag = t[start:end]
+            return pat.sub(lambda mo: f"<b>{mo.group(0)}</b>", frag)
+
+        return texts.map(one)
+
+    return snip
+
+
 def search(
     reader: IndexReader,
     request: SearchRequest,
     quantize_norms: bool = True,
     fetch_fields: tuple[str, ...] = ("url",),
     use_wand: bool | None = None,
+    snippet_fields: tuple[str, ...] = (),
 ) -> DataFrame:
     """Full search: prune -> match/score -> global top-k -> fetch.
 
@@ -657,11 +718,13 @@ def search(
     the pruning is sound); everything else uses the exhaustive plan.
     """
     ast = parse_query(request.query)
+    searcher = Searcher(reader, quantize_norms=quantize_norms)
     splits = reader.manifest.list_published(
-        request.start_timestamp, request.end_timestamp
+        request.start_timestamp,
+        request.end_timestamp,
+        tags=searcher.extract_tags(ast),
     )
     split_ids = [m.split_id for m in splits]
-    searcher = Searcher(reader, quantize_norms=quantize_norms)
     if not split_ids:
         return reader.spark.createDataFrame(
             [], "split_id string, docid long, score double"
@@ -706,23 +769,37 @@ def search(
             .filter(F.col("_rn") > request.start_offset)
             .drop("_rn")
         )
-    if fetch_fields:
+    fetch = tuple(fetch_fields) + tuple(
+        f for f in snippet_fields if f not in fetch_fields
+    )
+    if fetch:
         # fetch phase: broadcast the k winners into the docstore scan.
         # Inner join on purpose: every hit exists in the docstore by
         # construction, and a left-outer would force a SortMergeJoin (the
         # broadcast-left hint is unsupported for left joins).
-        store = reader.docstore().select("split_id", "docid", *fetch_fields)
+        store = reader.docstore().select("split_id", "docid", *fetch)
         top = F.broadcast(top).join(store, ["split_id", "docid"], "inner")
+    if snippet_fields:
+        # snippet fields must be stored text reachable from the query's
+        # terms (query_builder.rs:212-253 validation)
+        terms = searcher._collect_text_terms(ast)
+        if not terms:
+            raise ValueError("snippet fields require text terms in the query")
+        snip = make_snippet_udf(terms)
+        for f_ in snippet_fields:
+            top = top.withColumn(f"snippet_{f_}", snip(F.col(f_)))
     return top.orderBy(*order)
 
 
 def count_hits(reader: IndexReader, request: SearchRequest) -> DataFrame:
     """num_hits counts ALL matches (collector.rs:226) — single aggregate."""
     ast = parse_query(request.query)
-    splits = reader.manifest.list_published(
-        request.start_timestamp, request.end_timestamp
-    )
     searcher = Searcher(reader)
+    splits = reader.manifest.list_published(
+        request.start_timestamp,
+        request.end_timestamp,
+        tags=searcher.extract_tags(ast),
+    )
     m = searcher.matching(
         ast,
         [s.split_id for s in splits],

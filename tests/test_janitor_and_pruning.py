@@ -1,0 +1,135 @@
+"""Tag pruning, snippets, retention, delete-by-query."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from quickwit_spark.operators.build import IndexConfig, build_index
+from quickwit_spark.operators.janitor import apply_retention, delete_by_query
+from quickwit_spark.operators.merge import garbage_collect
+from quickwit_spark.operators.search import (
+    IndexReader,
+    Searcher,
+    SearchRequest,
+    search,
+)
+from quickwit_spark.plans.query import parse_query
+
+
+def _lang_routed_index(spark, pages_small, tmp_path, name="idx"):
+    """Index routed by lang so splits carry distinct tag sets."""
+    langs = ["en", "zh", "de", "fr", "es"]
+    expr = F.when(F.col("lang") == langs[0], 0)
+    for i, lg in enumerate(langs[1:], start=1):
+        expr = expr.when(F.col("lang") == lg, i)
+    pages = pages_small.withColumn("lang_part", expr.otherwise(0).cast("int"))
+    d = str(tmp_path / name)
+    cfg = IndexConfig(
+        index_id="pages", num_splits=5, routing_col="lang_part"
+    )
+    build_index(spark, pages, d, cfg)
+    return IndexReader(spark, d)
+
+
+def test_extract_tags():
+    s = Searcher.__new__(Searcher)
+    s.default_field = "text"
+    s.tag_field = "lang"
+    assert s.extract_tags(parse_query("lang:zh")) == {"zh"}
+    assert s.extract_tags(parse_query("lang:zh w0")) == {"zh"}
+    assert s.extract_tags(parse_query("lang:zh OR lang:de")) == {"zh", "de"}
+    assert s.extract_tags(parse_query("lang:IN [zh de]")) == {"zh", "de"}
+    # uninformative shapes degrade soundly to None
+    assert s.extract_tags(parse_query("w0")) is None
+    assert s.extract_tags(parse_query("lang:zh OR w0")) is None
+    assert s.extract_tags(parse_query("-lang:zh w0")) is None
+
+
+def test_tag_pruned_search(spark, pages_small, tmp_path):
+    reader = _lang_routed_index(spark, pages_small, tmp_path)
+    # manifest-level pruning: only the zh-tagged split is relevant
+    pruned = reader.manifest.list_published(tags={"zh"})
+    assert len(pruned) == 1 and pruned[0].tags == ["zh"]
+    res = search(
+        reader,
+        SearchRequest(query="lang:zh 好", max_hits=50),
+        fetch_fields=("url",),
+    ).collect()
+    assert res, "zh docs carry the CJK snippet"
+    # same result as an unpruned evaluation over all splits
+    searcher = Searcher(reader)
+    all_ids = [m.split_id for m in reader.manifest.list_published()]
+    m = searcher.matching(parse_query("lang:zh 好"), all_ids)
+    assert m.count() >= len(res)
+
+
+def test_snippets(spark, small_index):
+    res = search(
+        small_index,
+        SearchRequest(query="needleone", max_hits=5),
+        fetch_fields=("url",),
+        snippet_fields=("text",),
+    ).collect()
+    assert res
+    for r in res:
+        assert "<b>needleone</b>" in r["snippet_text"]
+    # snippet without text terms is a validation error
+    import pytest
+
+    with pytest.raises(ValueError):
+        search(
+            small_index,
+            SearchRequest(query="url:x", max_hits=5),
+            snippet_fields=("text",),
+        )
+
+
+def test_retention(spark, pages_small, tmp_path):
+    d = str(tmp_path / "ret")
+    build_index(spark, pages_small, d, IndexConfig(index_id="pages", num_splits=3))
+    reader = IndexReader(spark, d)
+    ends = sorted(m.time_range_end for m in reader.manifest.list_published())
+    # cutoff right above the earliest-ending split
+    cutoff = ends[0] + "z"
+    dropped = apply_retention(d, cutoff)
+    assert len(dropped) >= 1
+    left = reader.manifest.list_published()
+    assert all(m.time_range_end >= cutoff or m.time_range_end > ends[0] for m in left)
+    removed = garbage_collect(d)
+    assert set(removed) == set(dropped)
+
+
+def test_delete_by_query(spark, pages_small, tmp_path):
+    d = str(tmp_path / "del")
+    build_index(spark, pages_small, d, IndexConfig(index_id="pages", num_splits=3))
+    reader = IndexReader(spark, d)
+
+    def hits(q):
+        return search(
+            reader, SearchRequest(query=q, max_hits=1000), fetch_fields=()
+        ).count()
+
+    before_needle = hits("needleone")
+    before_total = hits("*")
+    assert before_needle > 0
+
+    m = delete_by_query(spark, d, "needleone")
+    assert m.matched_docs == before_needle
+    assert m.rewritten_splits
+
+    reader2 = IndexReader(spark, d)
+
+    def hits2(q):
+        return search(
+            reader2, SearchRequest(query=q, max_hits=1000), fetch_fields=()
+        ).count()
+
+    assert hits2("needleone") == 0
+    assert hits2("*") == before_total - before_needle
+    # other content still searchable, scores consistent with shrunken stats
+    assert hits2("needletwo") > 0
+    # replaced split data reclaimed by GC
+    garbage_collect(d)
+    assert hits2("needletwo") > 0
