@@ -42,6 +42,7 @@ from quickwit_spark.operators.search import (
     SearchRequest,
     Searcher,
     count_hits,
+    export_fast_field,
     search,
 )
 from quickwit_spark.plans.query import parse_query
@@ -163,6 +164,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _fts_matching(s, d, "dup")
 
     q["stream_export_ids"] = stream_export
+
+    def stream_export_partitioned(s: SparkSession, d: str) -> DataFrame:
+        # search-stream with partition_by_field (search_stream/leaf.rs)
+        return export_fast_field(
+            gate_index(s, d), SearchRequest(query="dup"), "url",
+            partition_by=("tag",),
+        ).select(F.col("url").cast("long").alias("doc_id"), F.col("tag"))
+
+    q["stream_export_partitioned"] = stream_export_partitioned
+
+    def fts_filtered_terms_agg(s: SparkSession, d: str) -> DataFrame:
+        # aggregation over the docs matching a full-text query (the
+        # reference runs aggs on query matches, aggregation.md)
+        reader = gate_index(s, d)
+        searcher = Searcher(reader, quantize_norms=False)
+        split_ids = [m.split_id for m in reader.manifest.list_published()]
+        m = searcher.matching(parse_query("dup"), split_ids)
+        docs = reader.docstore().select("split_id", "docid", "tag")
+        joined = m.join(docs, ["split_id", "docid"])
+        return A.terms_agg(joined, "tag", size=5)
+
+    q["fts_filtered_terms_agg"] = fts_filtered_terms_agg
 
     # --- aggregations over events (SURVEY §2.5 aggregation set) -----------
     q["agg_histogram_value"] = lambda s, d: A.histogram(
@@ -319,6 +342,17 @@ SELECT event_type AS key, count(value) AS count,
   round(sum(value), 2) AS sum, round(avg(value), 4) AS avg,
   round(stddev_pop(value), 4) AS stddev
 FROM events GROUP BY 1 ORDER BY key
+"""
+
+    o["stream_export_partitioned"] = f"""
+WITH d AS (SELECT doc_id, lang, {TOKENIZE} AS toks FROM documents)
+SELECT doc_id, lang AS tag FROM d WHERE list_contains(toks, 'dup')
+"""
+    o["fts_filtered_terms_agg"] = f"""
+WITH d AS (SELECT doc_id, lang, {TOKENIZE} AS toks FROM documents)
+SELECT lang AS key, count(*) AS doc_count FROM d
+WHERE list_contains(toks, 'dup')
+GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5
 """
 
     # --- training-data pipeline ops ---------------------------------------

@@ -60,6 +60,46 @@ def tokenize_expr(col: Column, max_token_len: int = MAX_TOKEN_LEN) -> Column:
     )
 
 
+# Java-regex class covering the reference's CJK ranges (tokenizers.rs:64-78);
+# astral planes use \x{...} syntax (Java regex)
+_CJK_CLASS_JAVA = (
+    "[一-鿿㐀-䶿豈-﫿"
+    r"\x{20000}-\x{2A6DF}\x{2A700}-\x{2B73F}\x{2B740}-\x{2B81F}"
+    r"\x{2B820}-\x{2CEAF}\x{2F800}-\x{2FA1F}]"
+)
+
+
+def chinese_compatible_expr(
+    col: Column, max_token_len: int = MAX_TOKEN_LEN
+) -> Column:
+    """``chinese_compatible`` tokenizer as a pure Spark expression: every CJK
+    codepoint becomes its own token, other alphanumeric runs tokenize as the
+    ``default`` tokenizer (tokenizers.rs:43-145). Implemented by spacing out
+    CJK chars then running the default split — stays in codegen."""
+    spaced = F.regexp_replace(col, _CJK_CLASS_JAVA, " $0 ")
+    return tokenize_expr(spaced, max_token_len)
+
+
+def analyzer_expr(
+    col: Column, tokenizer: str = "default", max_token_len: int = MAX_TOKEN_LEN
+) -> Column:
+    """Tokenizer registry dispatch (tokenizers.rs:28-41)."""
+    if tokenizer == "default":
+        return tokenize_expr(col, max_token_len)
+    if tokenizer == "chinese_compatible":
+        return chinese_compatible_expr(col, max_token_len)
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
+def analyzer_py(tokenizer: str = "default"):
+    """Python mirror of analyzer_expr for query-side tokenization."""
+    if tokenizer == "default":
+        return tokenize_py
+    if tokenizer == "chinese_compatible":
+        return chinese_compatible_tokenize_py
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
 def tokenize_sql(expr: str, max_token_len: int = MAX_TOKEN_LEN) -> str:
     """Same tokenizer as an ANSI-ish SQL fragment DuckDB can evaluate.
 

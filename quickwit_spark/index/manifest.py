@@ -87,6 +87,21 @@ class Manifest:
             json.dump(asdict(meta), f)
         os.replace(tmp, self._path(meta.split_id))
 
+    # -- index-level config (the reference keeps IndexConfig/DocMapper in the
+    # metastore; searchers must use the index's own tokenizer and fields) ---
+    def save_index_config(self, cfg: dict) -> None:
+        tmp = os.path.join(self.dir, f"_index_config.tmp.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(cfg, f)
+        os.replace(tmp, os.path.join(self.dir, "_index_config.json"))
+
+    def load_index_config(self) -> dict:
+        p = os.path.join(self.dir, "_index_config.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
     def get(self, split_id: str) -> SplitMetadata | None:
         p = self._path(split_id)
         if not os.path.exists(p):
@@ -97,7 +112,7 @@ class Manifest:
     def list_all(self) -> list[SplitMetadata]:
         out = []
         for name in sorted(os.listdir(self.dir)):
-            if name.endswith(".json"):
+            if name.endswith(".json") and not name.startswith("_"):
                 with open(os.path.join(self.dir, name)) as f:
                     out.append(SplitMetadata(**json.load(f)))
         return out

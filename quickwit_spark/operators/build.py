@@ -56,7 +56,7 @@ from pyspark.sql import types as T
 
 from quickwit_spark import BLOCK_SIZE
 from quickwit_spark.functions.fieldnorm import quantize_len, fieldnorm_to_id
-from quickwit_spark.functions.tokenize import tokenize_expr
+from quickwit_spark.functions.tokenize import analyzer_expr, tokenize_expr
 from quickwit_spark.index.codec import encode_postings
 from quickwit_spark.index.manifest import Manifest, SplitMetadata
 
@@ -96,6 +96,9 @@ class IndexConfig:
     # optional pre-computed routing column (overrides hash routing; used by
     # the correctness gate where the oracle must mirror the routing in SQL)
     routing_col: str | None = None
+    # text analyzer: "default" | "chinese_compatible" (tokenizers.rs:28-41);
+    # persisted in the manifest so searchers tokenize queries identically
+    tokenizer: str = "default"
     # generation tag for split ids — batch builds use 0; the streaming
     # indexer stamps each micro-batch with its batch_id so split ids and
     # checkpoint lineage stay disjoint across batches
@@ -383,7 +386,7 @@ def prepare_docs(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
     Only the columns the index needs survive past this point — the routing
     shuffle must not carry dead weight (html is the bulk of a web page and
     appears in no index structure)."""
-    toks = tokenize_expr(F.col(cfg.text_field))
+    toks = analyzer_expr(F.col(cfg.text_field), cfg.tokenizer)
     route = (
         F.col(cfg.routing_col).cast("int")
         if cfg.routing_col
@@ -422,6 +425,16 @@ def build_index(
     cfg = cfg or IndexConfig()
     t0 = time.time()
     manifest = Manifest(index_dir)
+    manifest.save_index_config(
+        {
+            "index_id": cfg.index_id,
+            "text_field": cfg.text_field,
+            "tag_field": cfg.tag_field,
+            "timestamp_field": cfg.timestamp_field,
+            "doc_key": cfg.doc_key,
+            "tokenizer": cfg.tokenizer,
+        }
+    )
 
     # --- checkpoint-resume: skip partitions whose split is already Published
     done = manifest.published_fingerprints(cfg.generation) if resume else {}
@@ -490,7 +503,7 @@ def build_index(
         # shuffled path: per-(doc,term) tf rows, salted by docid range so hot
         # terms spread across tasks — for splits too big for one task's RAM
         tf = docs.withColumn(
-            "tokens", tokenize_expr(F.col(cfg.text_field))
+            "tokens", analyzer_expr(F.col(cfg.text_field), cfg.tokenizer)
         ).select("partition_id", "docid", "tokens").mapInPandas(
             _doc_tf_kernel, TF_SCHEMA
         )
@@ -512,7 +525,7 @@ def build_index(
         ex = docs.select(
             "partition_id",
             "docid",
-            tokenize_expr(F.col(cfg.text_field)).alias("tokens"),
+            analyzer_expr(F.col(cfg.text_field), cfg.tokenizer).alias("tokens"),
         )
         encoded = ex.mapInArrow(_arrow_stream_kernel, ENC_SCHEMA)
     postings = encoded.withColumn(

@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from quickwit_spark import BM25_B, BM25_K1
-from quickwit_spark.functions.tokenize import tokenize_py, SPLIT_PATTERN_JAVA
+from quickwit_spark.functions.tokenize import analyzer_py, tokenize_py, SPLIT_PATTERN_JAVA
 from quickwit_spark.index.codec import decode_block
 from quickwit_spark.index.manifest import Manifest
 from quickwit_spark.plans.query import (
@@ -82,18 +82,50 @@ class SearchRequest:
 
 
 class IndexReader:
-    """Lazy handles over one index's postings/docstore/manifest."""
+    """Lazy handles over one index's postings/docstore/manifest.
+
+    The postings/docstore DataFrames are memoized: re-creating them per query
+    would re-list the parquet directories every time (the reference avoids
+    re-opens with its hotcache/footer cache — reusing the relation is the
+    Spark analog). Call ``refresh()`` after builds/merges/deletes."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
         self.manifest = Manifest(index_dir)
+        self._postings: DataFrame | None = None
+        self._docstore: DataFrame | None = None
+
+    def refresh(self) -> None:
+        self._postings = None
+        self._docstore = None
+
+    def warm(self, materialize: bool = True) -> None:
+        """Pin postings + docstore in executor memory — the analog of the
+        reference searcher's fast-field/footer caches (1 GB + 500 MB,
+        quickwit_config/mod.rs:99-126). On a cluster this caches the hot
+        columns per executor; at full 10^12-doc scale you would cache the
+        manifest + term dictionaries only and let the OS page cache carry
+        postings."""
+        p = self.postings().cache()
+        d = self.docstore().cache()
+        if materialize:
+            p.count()
+            d.count()
 
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/postings")
+        if self._postings is None:
+            self._postings = self.spark.read.parquet(
+                f"{self.index_dir}/postings"
+            )
+        return self._postings
 
     def docstore(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/docstore")
+        if self._docstore is None:
+            self._docstore = self.spark.read.parquet(
+                f"{self.index_dir}/docstore"
+            )
+        return self._docstore
 
     def split_stats(self) -> DataFrame:
         """Tiny per-split stats DF (broadcast into the scorer)."""
@@ -183,18 +215,26 @@ class Searcher:
     def __init__(
         self,
         reader: IndexReader,
-        default_field: str = "text",
-        tag_field: str = "lang",
-        ts_field: str = "warc_ts",
+        default_field: str | None = None,
+        tag_field: str | None = None,
+        ts_field: str | None = None,
         quantize_norms: bool = True,
     ):
         self.reader = reader
-        self.default_field = default_field
-        self.tag_field = tag_field
-        self.ts_field = ts_field
+        # index-level config persisted at build time (the reference searcher
+        # builds its query against the split's own DocMapper/schema)
+        icfg = reader.manifest.load_index_config()
+        self.default_field = default_field or icfg.get("text_field") or "text"
+        self.tag_field = tag_field or icfg.get("tag_field") or "lang"
+        self.ts_field = ts_field or icfg.get("timestamp_field") or "warc_ts"
+        self.tokenizer = icfg.get("tokenizer", "default")
         self.quantize_norms = quantize_norms
         # docstore column names are normalized at build time
-        self.fast_fields = {ts_field: "ts", "doc_len": "doc_len", "url": "url"}
+        self.fast_fields = {
+            self.ts_field: "ts",
+            "doc_len": "doc_len",
+            "url": "url",
+        }
 
     # ---- term universe --------------------------------------------------
     def _collect_text_terms(self, node: Node) -> list[str]:
@@ -202,12 +242,12 @@ class Searcher:
 
         def walk(n: Node) -> None:
             if isinstance(n, Term) and self._is_text(n.field):
-                out.extend(tokenize_py(n.value))
+                out.extend(self._tok(n.value))
             elif isinstance(n, Phrase) and self._is_text(n.field):
-                out.extend(tokenize_py(n.text))
+                out.extend(self._tok(n.text))
             elif isinstance(n, TermSet) and self._is_text(n.field):
                 for v in n.values:
-                    out.extend(tokenize_py(v))
+                    out.extend(self._tok(v))
             elif isinstance(n, Boost):
                 walk(n.child)
             elif isinstance(n, Bool):
@@ -217,18 +257,27 @@ class Searcher:
         walk(node)
         return sorted(set(out))
 
+    def _tok(self, text: str) -> list[str]:
+        return analyzer_py(getattr(self, "tokenizer", "default"))(text)
+
     def _is_text(self, fieldname: str | None) -> bool:
         return fieldname is None or fieldname == self.default_field
 
     # ---- scored term table ----------------------------------------------
-    def _score_decoded(self, decoded: DataFrame) -> DataFrame:
+    def _score_decoded(
+        self, decoded: DataFrame, split_ids: list[str] | None = None
+    ) -> DataFrame:
         """(split_id, term, doc_freq, docid, tf) rows -> per-posting BM25
         contributions: one norms join + one broadcast stats join, then pure
-        column arithmetic (whole-stage codegen)."""
+        column arithmetic (whole-stage codegen). ``split_ids`` statically
+        prunes the norms scan to published splits (dead split directories may
+        be garbage-collected at any time)."""
         norm_col = "norm_len" if self.quantize_norms else "doc_len"
         norms = self.reader.docstore().select(
             "split_id", "docid", F.col(norm_col).cast("double").alias("dl")
         )
+        if split_ids is not None:
+            norms = norms.filter(F.col("split_id").isin(split_ids))
         stats = F.broadcast(self.reader.split_stats())
         j = decoded.join(stats, "split_id").join(norms, ["split_id", "docid"])
         idf = F.log(
@@ -266,7 +315,7 @@ class Searcher:
             F.col("term").isin(terms) & F.col("split_id").isin(split_ids)
         )
         decoded = post.mapInPandas(_decode_postings_rows, DECODED_SCHEMA)
-        return self._score_decoded(decoded)
+        return self._score_decoded(decoded, split_ids)
 
     # ---- tag pruning (quickwit-doc-mapper/src/tag_pruning.rs analog) -----
     def extract_tags(self, node: Node) -> set[str] | None:
@@ -303,12 +352,12 @@ class Searcher:
         single-token text terms (the classic WAND domain: term / OR / IN).
         None disables pruning and falls back to the exhaustive path."""
         if isinstance(node, Term) and self._is_text(node.field):
-            toks = tokenize_py(node.value)
+            toks = self._tok(node.value)
             return toks if len(toks) == 1 else None
         if isinstance(node, TermSet) and self._is_text(node.field):
             toks: list[str] = []
             for v in node.values:
-                t = tokenize_py(v)
+                t = self._tok(v)
                 if len(t) != 1:
                     return None
                 toks += t
@@ -403,7 +452,7 @@ class Searcher:
         seed_n = max(8, 2 * ((k + 127) // 128 + 1))
         seed = meta.orderBy(F.desc("ub")).limit(seed_n)
         seed_scores = (
-            self._score_decoded(decode_sel(seed))
+            self._score_decoded(decode_sel(seed), split_ids)
             .groupBy("split_id", "docid")
             .agg(F.sum("score").alias("score"))
             .orderBy(F.desc("score"))
@@ -434,7 +483,7 @@ class Searcher:
             & (F.col("c.docid") <= F.col("m.last_docid")),
             "left_semi",
         )
-        exact = self._score_decoded(decode_sel(needed)).join(
+        exact = self._score_decoded(decode_sel(needed), split_ids).join(
             F.broadcast(cand), ["split_id", "docid"], "left_semi"
         )
         return exact.groupBy("split_id", "docid").agg(
@@ -491,7 +540,7 @@ class Searcher:
 
     def _eval_term(self, node: Term, scored: DataFrame, docs: DataFrame) -> DataFrame:
         if self._is_text(node.field):
-            toks = tokenize_py(node.value)
+            toks = self._tok(node.value)
             if not toks:
                 return self._zero(docs).limit(0)
             if len(toks) == 1:
@@ -516,7 +565,7 @@ class Searcher:
         self, node: TermSet, scored: DataFrame, docs: DataFrame
     ) -> DataFrame:
         if self._is_text(node.field):
-            toks = sorted({t for v in node.values for t in tokenize_py(v)})
+            toks = sorted({t for v in node.values for t in self._tok(v)})
             return (
                 scored.filter(F.col("term").isin(toks))
                 .groupBy("split_id", "docid")
@@ -535,7 +584,7 @@ class Searcher:
         verification regex over the stored text (fetch-phase check). Scoring
         = sum of constituent term BM25 (documented deviation from tantivy's
         phrase-freq scoring)."""
-        toks = tokenize_py(node.text)
+        toks = self._tok(node.text)
         if not toks:
             return self._zero(docs).limit(0)
         cand = self._eval_bool(
@@ -576,7 +625,7 @@ class Searcher:
     def _simple_token(self, node: Node) -> str | None:
         """Single-token text Term — eligible for the collapsed AND pass."""
         if isinstance(node, Term) and self._is_text(node.field):
-            toks = tokenize_py(node.value)
+            toks = self._tok(node.value)
             if len(toks) == 1:
                 return toks[0]
         return None
@@ -751,6 +800,9 @@ def search(
             ast, split_ids, request.start_timestamp, request.end_timestamp
         )
 
+    if request.sort_by_field == searcher.default_field:
+        # sort fields must be fast, non-text (query_builder.rs:255-300)
+        raise ValueError("sort by a text field is not supported")
     if request.sort_by_field and request.sort_by_field != "_score":
         ff = searcher.fast_fields.get(request.sort_by_field, request.sort_by_field)
         docs = reader.docstore().select(
@@ -789,6 +841,38 @@ def search(
         for f_ in snippet_fields:
             top = top.withColumn(f"snippet_{f_}", snip(F.col(f_)))
     return top.orderBy(*order)
+
+
+def export_fast_field(
+    reader: IndexReader,
+    request: SearchRequest,
+    column: str,
+    partition_by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Search-stream export (search_stream/leaf.rs:106-311): one fast-field
+    column for ALL matching docs, optionally alongside partition-by columns.
+    No global sort — the reference root concatenates leaf streams in arrival
+    order; downstream OLAP joins don't need one either."""
+    ast = parse_query(request.query)
+    searcher = Searcher(reader)
+    splits = reader.manifest.list_published(
+        request.start_timestamp,
+        request.end_timestamp,
+        tags=searcher.extract_tags(ast),
+    )
+    m = searcher.matching(
+        ast,
+        [s.split_id for s in splits],
+        request.start_timestamp,
+        request.end_timestamp,
+    )
+    cols = (column,) + tuple(c for c in partition_by if c != column)
+    docs = reader.docstore().select("split_id", "docid", *cols)
+    return (
+        m.select("split_id", "docid")
+        .join(docs, ["split_id", "docid"])
+        .select(*cols)
+    )
 
 
 def count_hits(reader: IndexReader, request: SearchRequest) -> DataFrame:

@@ -33,6 +33,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # splits are immutable: a file can only vanish when its (dead,
+        # replaced) split is garbage-collected, so skipping missing files is
+        # sound and lets long-lived readers survive janitor/GC runs
+        .config("spark.sql.files.ignoreMissingFiles", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
