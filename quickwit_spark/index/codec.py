@@ -64,6 +64,10 @@ def encode_postings(
     docids = np.asarray(docids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     assert len(docids) == len(tfs)
+    if len(docids) > 1 and not (np.diff(docids) > 0).all():
+        # gaps are bitpacked as unsigned — a non-ascending input (e.g. a
+        # docid-rebase bug upstream) would silently corrupt the list
+        raise ValueError("encode_postings requires strictly ascending docids")
     blocks: list[dict] = []
     for start in range(0, len(docids), block_size):
         d = docids[start : start + block_size]

@@ -43,6 +43,15 @@ class SplitMetadata:
     state: str = "Staged"  # Staged | Published | MarkedForDeletion
     source_fingerprint: str = ""  # checkpoint lineage: identifies the input
     generation: int = 0
+    # docid ceiling: the largest docid present in the split. Delete rewrites
+    # keep survivors' ORIGINAL docids (with gaps), so max_docid can exceed
+    # num_docs - 1 — merges must re-base by (max_docid + 1), never num_docs.
+    max_docid: int | None = None
+
+    @property
+    def docid_ceiling(self) -> int:
+        """Exclusive upper bound on docids in this split."""
+        return (self.max_docid + 1) if self.max_docid is not None else self.num_docs
 
     @property
     def avgdl(self) -> float:
@@ -80,6 +89,43 @@ class Manifest:
         for meta in new:
             meta.state = "Published"
             self._write(meta)
+        # durable checkpoint lineage: record (generation, partition) ->
+        # fingerprint for original (never-merged) splits in a sidecar that
+        # SURVIVES merge/retention/GC split replacement — exactly-once replay
+        # must not depend on the gen-0 splits still being alive
+        # (checkpoint.rs semantics; the reference checkpoint outlives splits).
+        lineage_new = [
+            m for m in new if m.num_merge_ops == 0 and m.source_fingerprint
+        ]
+        for gen in {m.generation for m in lineage_new}:
+            rec = self._load_lineage(gen)
+            for m in lineage_new:
+                if m.generation == gen:
+                    rec[str(m.partition_id)] = m.source_fingerprint
+            self._save_lineage(gen, rec)
+
+    def _lineage_path(self, generation: int) -> str:
+        return os.path.join(self.dir, f"_lineage_g{generation}.json")
+
+    def _load_lineage(self, generation: int) -> dict[str, str]:
+        p = self._lineage_path(generation)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def drop_lineage(self, generation: int, partition_id: int) -> None:
+        """Forget one (generation, partition) lineage row — forces the next
+        resume to re-index that partition (manual re-index escape hatch)."""
+        rec = self._load_lineage(generation)
+        if rec.pop(str(partition_id), None) is not None:
+            self._save_lineage(generation, rec)
+
+    def _save_lineage(self, generation: int, rec: dict[str, str]) -> None:
+        tmp = self._lineage_path(generation) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, self._lineage_path(generation))
 
     def _write(self, meta: SplitMetadata) -> None:
         tmp = self._path(meta.split_id) + f".tmp.{uuid.uuid4().hex[:8]}"
@@ -144,17 +190,26 @@ class Manifest:
         return out
 
     def published_fingerprints(self, generation: int = 0) -> dict[int, str]:
-        """partition_id -> source_fingerprint for Published original splits
-        of one build generation (a batch build is generation 0; each
-        streaming micro-batch is its own generation). Resume skips matching
-        partitions; lineage keys are (generation, partition)."""
-        return {
-            m.partition_id: m.source_fingerprint
-            for m in self.list_all()
-            if m.state == "Published"
-            and m.num_merge_ops == 0
-            and m.generation == generation
+        """partition_id -> source_fingerprint for one build generation (a
+        batch build is generation 0; each streaming micro-batch is its own
+        generation). Resume skips matching partitions.
+
+        Read from the durable lineage sidecar first — a batch whose splits
+        were since merged/retired must still be recognized as done on replay —
+        then union in any live original splits (covers indexes written before
+        the sidecar existed)."""
+        out = {
+            int(p): fp for p, fp in self._load_lineage(generation).items()
         }
+        for m in self.list_all():
+            if (
+                m.state == "Published"
+                and m.num_merge_ops == 0
+                and m.generation == generation
+                and m.partition_id not in out
+            ):
+                out[m.partition_id] = m.source_fingerprint
+        return out
 
     def stats(self) -> dict[str, dict]:
         """split_id -> {num_docs, avgdl} for Published splits (broadcast to

@@ -579,6 +579,8 @@ def build_index(
             tags=tags,
             source_fingerprint=fingerprints[row["partition_id"]],
             generation=cfg.generation,
+            # docids are dense row_number()-1 per split at build time
+            max_docid=row["num_docs"] - 1,
         )
         manifest.stage(meta)
         new_metas.append(meta)

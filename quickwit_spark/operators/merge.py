@@ -64,12 +64,17 @@ def merged_split_id(index_id: str, source_split_ids: list[str]) -> str:
 
 
 def _docid_offsets(metas: list[SplitMetadata]) -> dict[str, int]:
-    """split_id -> docid shift, in deterministic split_id order."""
+    """split_id -> docid shift, in deterministic split_id order.
+
+    Shift by each source's docid CEILING (max_docid + 1), not num_docs:
+    delete rewrites keep survivors' original docids with gaps, so num_docs
+    can undercount the docid range — offsetting by it would make two docs
+    collide on one merged docid and feed non-ascending ids to the codec."""
     offsets: dict[str, int] = {}
     acc = 0
     for m in sorted(metas, key=lambda m: m.split_id):
         offsets[m.split_id] = acc
-        acc += m.num_docs
+        acc += m.docid_ceiling
     return offsets
 
 
@@ -173,6 +178,8 @@ def execute_merge(
         tags=tags,
         num_merge_ops=max(m.num_merge_ops for m in metas) + 1,
         generation=max(m.generation for m in metas) + 1,
+        # last source's offset + its ceiling = exclusive bound of merged ids
+        max_docid=sum(m.docid_ceiling for m in metas) - 1,
     )
     manifest.stage(meta)
     manifest.publish([meta], replaced=op.split_ids)

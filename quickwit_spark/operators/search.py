@@ -95,10 +95,29 @@ class IndexReader:
         self.manifest = Manifest(index_dir)
         self._postings: DataFrame | None = None
         self._docstore: DataFrame | None = None
+        self._warmed: list[DataFrame] = []
+        self._scratch: list[DataFrame] = []
 
     def refresh(self) -> None:
+        # unpersist before dropping the references — executor storage memory
+        # would otherwise leak across rebuild/refresh cycles
+        self.release_scratch()
+        for df in self._warmed:
+            df.unpersist()
+        self._warmed = []
         self._postings = None
         self._docstore = None
+
+    def hold_scratch(self, df: DataFrame) -> DataFrame:
+        """Register a per-query cached DataFrame (e.g. WAND block metadata)
+        so the NEXT query (or refresh) releases it after its actions ran."""
+        self._scratch.append(df)
+        return df
+
+    def release_scratch(self) -> None:
+        for df in self._scratch:
+            df.unpersist()
+        self._scratch = []
 
     def warm(self, materialize: bool = True) -> None:
         """Pin postings + docstore in executor memory — the analog of the
@@ -109,6 +128,9 @@ class IndexReader:
         postings."""
         p = self.postings().cache()
         d = self.docstore().cache()
+        self._warmed = [p, d]
+        self._postings = p
+        self._docstore = d
         if materialize:
             p.count()
             d.count()
@@ -439,6 +461,10 @@ class Searcher:
             )
             .cache()
         )
+        # released by the next query / refresh (the final action on the
+        # returned plan happens outside this function, so it cannot
+        # unpersist eagerly)
+        self.reader.hold_scratch(meta)
 
         def decode_sel(sel_keys: DataFrame) -> DataFrame:
             rows = exploded.join(
@@ -719,7 +745,7 @@ def re_escape(s: str) -> str:
     return re.escape(s)
 
 
-def make_snippet_udf(terms: list[str], window: int = 80):
+def make_snippet_udf(terms: list[str], window: int = 80, tokenizer: str = "default"):
     """Fetch-phase highlighter: first window around a query-term hit, all
     term occurrences wrapped in <b></b> (reference SnippetGenerator,
     fetch_docs.rs:286-330). Runs over only the k fetched rows — per-row
@@ -727,10 +753,17 @@ def make_snippet_udf(terms: list[str], window: int = 80):
     import re
 
     body = "|".join(sorted(map(re.escape, terms), key=len, reverse=True))
-    # token boundaries: alnum-excluding-underscore on either side
-    pat = re.compile(
-        rf"(?<![^\W_])({body})(?![^\W_])", re.IGNORECASE | re.UNICODE
-    )
+    if tokenizer == "chinese_compatible":
+        # the analyzer splits CJK runs per codepoint, so a single-char term
+        # inside a CJK run IS a token boundary — the word-boundary
+        # lookarounds below would treat the neighboring ideographs as word
+        # chars and never match
+        pat = re.compile(rf"({body})", re.IGNORECASE | re.UNICODE)
+    else:
+        # token boundaries: alnum-excluding-underscore on either side
+        pat = re.compile(
+            rf"(?<![^\W_])({body})(?![^\W_])", re.IGNORECASE | re.UNICODE
+        )
 
     @F.pandas_udf("string")
     def snip(texts: pd.Series) -> pd.Series:
@@ -767,6 +800,7 @@ def search(
     the pruning is sound); everything else uses the exhaustive plan.
     """
     ast = parse_query(request.query)
+    reader.release_scratch()  # previous query's WAND block-metadata cache
     searcher = Searcher(reader, quantize_norms=quantize_norms)
     splits = reader.manifest.list_published(
         request.start_timestamp,
@@ -837,7 +871,7 @@ def search(
         terms = searcher._collect_text_terms(ast)
         if not terms:
             raise ValueError("snippet fields require text terms in the query")
-        snip = make_snippet_udf(terms)
+        snip = make_snippet_udf(terms, tokenizer=searcher.tokenizer)
         for f_ in snippet_fields:
             top = top.withColumn(f"snippet_{f_}", snip(F.col(f_)))
     return top.orderBy(*order)

@@ -31,8 +31,12 @@ def test_resume_skips_and_preserves(spark, pages_small, tmp_path):
     m2 = build_index(spark, pages_small, index_dir, cfg)
     assert m2.skipped_partitions == 3 and m2.num_docs == 0
 
-    # simulate a crash that lost one partition's publish
+    # simulate a crash that lost one partition's publish: both the split row
+    # and its durable lineage entry vanish (they are written together; a
+    # crash before publish loses both, and only out-of-band intervention can
+    # lose one without the other)
     os.remove(os.path.join(index_dir, "manifest", "pages-00-p00001.json"))
+    reader.manifest.drop_lineage(0, 1)
     m3 = build_index(spark, pages_small, index_dir, cfg)
     assert m3.skipped_partitions == 2 and m3.num_splits == 1
 
@@ -44,6 +48,33 @@ def test_resume_skips_and_preserves(spark, pages_small, tmp_path):
         "split_id=pages-00-p00001",
         "split_id=pages-00-p00002",
     ]
+
+
+def test_lineage_survives_merge(spark, pages_small, tmp_path):
+    """Exactly-once replay must not depend on gen-0 splits staying alive: a
+    merge consuming a batch's splits used to erase its lineage rows, making a
+    replayed micro-batch re-publish duplicate docs (ADVICE r01)."""
+    from quickwit_spark.index.merge_policy import StableLogConfig, StableLogMergePolicy
+    from quickwit_spark.operators.merge import garbage_collect, run_merge_pipeline
+
+    index_dir = str(tmp_path / "idx")
+    cfg = IndexConfig(index_id="pages", num_splits=3)
+    build_index(spark, pages_small, index_dir, cfg)
+
+    reader = IndexReader(spark, index_dir)
+    fps_before = reader.manifest.published_fingerprints(0)
+    assert len(fps_before) == 3
+
+    policy = StableLogMergePolicy(StableLogConfig(merge_factor=2, max_merge_factor=3))
+    mm = run_merge_pipeline(spark, index_dir, policy)
+    assert mm.num_ops >= 1
+    garbage_collect(index_dir)
+
+    # original gen-0 splits are gone, but the lineage record survives …
+    assert reader.manifest.published_fingerprints(0) == fps_before
+    # … so a replay of the same input publishes nothing new
+    m = build_index(spark, pages_small, index_dir, cfg)
+    assert m.skipped_partitions == 3 and m.num_splits == 0
 
 
 def test_build_determinism(spark, pages_small, tmp_path):
