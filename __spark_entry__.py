@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from quickwit_spark.entry_helpers import (
     ORACLE_PRELUDE,
+    ORACLE_PRELUDE_STEM,
     TOKENIZE,
     _sql_list,
     bm25_and_sql,
@@ -30,6 +31,7 @@ from quickwit_spark.entry_helpers import (
     gate_index,
     minhash_lsh_sql,
     ngram_jaccard_sql,
+    phrase_sql,
     simhash_sql,
 )
 from quickwit_spark.operators import aggs as A
@@ -58,11 +60,22 @@ def _fts_topk(
     query: str,
     k: int,
     offset: int = 0,
+    tokenizer: str = "default",
+    start_timestamp: str | None = None,
+    end_timestamp: str | None = None,
 ) -> DataFrame:
-    reader = gate_index(spark, sf_dir)
+    # pin UTC: the synthetic timestamp gate casts ISO strings session-side
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = gate_index(spark, sf_dir, tokenizer=tokenizer)
     res = search(
         reader,
-        SearchRequest(query=query, max_hits=k, start_offset=offset),
+        SearchRequest(
+            query=query,
+            max_hits=k,
+            start_offset=offset,
+            start_timestamp=start_timestamp,
+            end_timestamp=end_timestamp,
+        ),
         quantize_norms=False,
         fetch_fields=("url",),
     )
@@ -114,12 +127,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_not_topk"] = lambda s, d: _fts_topk(s, d, "batch -scan", 10)
     q["fts_termset_topk"] = lambda s, d: _fts_topk(s, d, "text:IN [dup key]", 10)
     q["fts_phrase_topk"] = lambda s, d: _fts_topk(s, d, '"fast key"', 10)
+    q["fts_phrase_slop"] = lambda s, d: _fts_topk(s, d, '"fast key"~1', 10)
     q["fts_pagination"] = lambda s, d: _fts_topk(s, d, "merge", 10, offset=10)
 
     def match_all_count(s: SparkSession, d: str) -> DataFrame:
         return count_hits(gate_index(s, d), SearchRequest(query="*"))
 
     q["fts_match_all_count"] = match_all_count
+
+    # en_stem index: "merging tables" analyzes to (merg, tabl) and matches
+    # docs containing merge/table surface forms (SURVEY §1.4 registry)
+    q["fts_stem_topk"] = lambda s, d: _fts_topk(
+        s, d, "merging tables", 10, tokenizer="en_stem"
+    )
+    # range query on the url fast field (query_builder.rs:125-175 semantics)
+    q["fts_range_topk"] = lambda s, d: _fts_topk(
+        s, d, "spark url:[100 TO 300]", 10
+    )
+    # semi-open [start, end) timestamp filter (filters.rs:26-107): synth_ts =
+    # 2023-01-01 + doc_id minutes, so the window maps to doc_id in [120, 300)
+    q["fts_ts_filter"] = lambda s, d: _fts_topk(
+        s,
+        d,
+        "spark",
+        10,
+        start_timestamp="2023-01-01T02:00:00",
+        end_timestamp="2023-01-01T05:00:00",
+    )
+    # boost: dup^2 doubles the dup term's contribution (query_builder.rs:102-113)
+    q["fts_boost_topk"] = lambda s, d: _fts_topk(s, d, "dup^2 OR key", 10)
 
     def sort_fastfield(s: SparkSession, d: str) -> DataFrame:
         reader = gate_index(s, d)
@@ -134,6 +170,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_sort_fastfield"] = sort_fastfield
+
+    def sort_fastfield_asc(s: SparkSession, d: str) -> DataFrame:
+        # ascending fast-field sort (collector.rs:78-81 u64::MAX - v analog)
+        reader = gate_index(s, d)
+        res = search(
+            reader,
+            SearchRequest(
+                query="spark", max_hits=15, sort_by_field="url", sort_order="asc"
+            ),
+            quantize_norms=False,
+            fetch_fields=(),
+        )
+        return res.select(F.col("score").cast("long").alias("doc_id")).orderBy(
+            F.asc("doc_id")
+        )
+
+    q["fts_sort_fastfield_asc"] = sort_fastfield_asc
 
     def list_terms(s: SparkSession, d: str) -> DataFrame:
         reader = gate_index(s, d)
@@ -200,6 +253,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["agg_terms_event_type"] = lambda s, d: A.terms_agg(
         _events(s, d), "event_type", size=5
     )
+
+    def terms_sub_avg(s: SparkSession, d: str) -> DataFrame:
+        # terms bucket agg ORDERED BY a metric sub-agg (aggregation.md:430-451)
+        out = A.terms_agg(
+            _events(s, d),
+            "event_type",
+            size=5,
+            order_by="avg_value",
+            sub_aggs={"avg_value": ("avg", "value"), "max_value": ("max", "value")},
+        )
+        return out.select(
+            "key",
+            "doc_count",
+            F.round("avg_value", 4).alias("avg_value"),
+            F.round("max_value", 4).alias("max_value"),
+        )
+
+    q["agg_terms_sub_avg"] = terms_sub_avg
+
+    def date_histogram_stats(s: SparkSession, d: str) -> DataFrame:
+        # date_histogram buckets carrying metric sub-aggs
+        out = A.date_histogram(
+            _events(s, d),
+            "ts",
+            21600,
+            sub_aggs={
+                "avg_value": ("avg", "value"),
+                "sum_value": ("sum", "value"),
+                "n_values": ("value_count", "value"),
+            },
+        )
+        return out.select(
+            "key",
+            "doc_count",
+            F.round("avg_value", 4).alias("avg_value"),
+            F.round("sum_value", 2).alias("sum_value"),
+            "n_values",
+        )
+
+    q["agg_date_histogram_stats"] = date_histogram_stats
 
     def stats_by_type(s: SparkSession, d: str) -> DataFrame:
         return (
@@ -280,26 +373,40 @@ SELECT doc_id, round(score, 4) AS score FROM (
 ) ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     o["fts_termset_topk"] = bm25_or_sql(["dup", "key"], 10)
-    o["fts_phrase_topk"] = f"""{ORACLE_PRELUDE}
-SELECT doc_id, round(score, 4) AS score FROM (
-  SELECT s.doc_id, sum(s.score) AS score
-  FROM scores s
-  JOIN documents doc ON s.doc_id = doc.doc_id
-  WHERE s.term IN ('fast', 'key')
-    AND regexp_matches(lower(doc.text),
-        '(^|[^\\p{{L}}\\p{{N}}])fast[^\\p{{L}}\\p{{N}}]+key($|[^\\p{{L}}\\p{{N}}])')
-  GROUP BY s.split_id, s.doc_id
-  HAVING count(DISTINCT s.term) = 2
-) ORDER BY score DESC, doc_id ASC LIMIT 10
-"""
+    o["fts_phrase_topk"] = phrase_sql(["fast", "key"], 10, slop=0)
+    o["fts_phrase_slop"] = phrase_sql(["fast", "key"], 10, slop=1)
     o["fts_pagination"] = bm25_and_sql(["merge"], 10, offset=10)
     o["fts_match_all_count"] = "SELECT count(*) AS num_hits FROM documents"
+    o["fts_stem_topk"] = bm25_and_sql(
+        ["merg", "tabl"], 10, prelude=ORACLE_PRELUDE_STEM
+    )
+    o["fts_range_topk"] = bm25_and_sql(
+        ["spark"], 10, doc_filter="doc_id BETWEEN 100 AND 300"
+    )
+    o["fts_ts_filter"] = bm25_and_sql(
+        ["spark"], 10, doc_filter="doc_id >= 120 AND doc_id < 300"
+    )
+    o["fts_boost_topk"] = f"""{ORACLE_PRELUDE}
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT doc_id,
+         sum(score * CASE term WHEN 'dup' THEN 2.0 ELSE 1.0 END) AS score
+  FROM scores WHERE term IN ('dup', 'key')
+  GROUP BY split_id, doc_id
+) ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
     o["fts_sort_fastfield"] = f"""
 WITH d AS (
   SELECT doc_id, {TOKENIZE} AS toks FROM documents
 )
 SELECT doc_id FROM d WHERE list_contains(toks, 'spark')
 ORDER BY doc_id DESC LIMIT 15
+"""
+    o["fts_sort_fastfield_asc"] = f"""
+WITH d AS (
+  SELECT doc_id, {TOKENIZE} AS toks FROM documents
+)
+SELECT doc_id FROM d WHERE list_contains(toks, 'spark')
+ORDER BY doc_id ASC LIMIT 15
 """
     o["list_terms"] = f"""
 WITH d AS (SELECT doc_id, {TOKENIZE} AS toks FROM documents),
@@ -335,6 +442,18 @@ FROM events GROUP BY 1 ORDER BY range_key
     o["agg_terms_event_type"] = """
 SELECT event_type AS key, count(*) AS doc_count FROM events
 GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5
+"""
+    o["agg_terms_sub_avg"] = """
+SELECT event_type AS key, count(*) AS doc_count,
+  round(avg(value), 4) AS avg_value, round(max(value), 4) AS max_value
+FROM events GROUP BY 1 ORDER BY avg(value) DESC, key ASC LIMIT 5
+"""
+    o["agg_date_histogram_stats"] = """
+SELECT (floor(epoch(ts) / 21600) * 21600)::BIGINT AS key,
+  count(*) AS doc_count,
+  round(avg(value), 4) AS avg_value, round(sum(value), 2) AS sum_value,
+  count(value) AS n_values
+FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY key
 """
     o["agg_stats_by_type"] = """
 SELECT event_type AS key, count(value) AS count,

@@ -27,32 +27,47 @@ K1 = 1.2
 B = 0.75
 N_GATE_SPLITS = 4
 
-# v2: block sidecar gained last_docid (WAND) — old cached indexes unreadable
-_CACHE_ROOT = os.environ.get("QS_INDEX_CACHE", "/tmp/quickwit_spark_gate_index_v2")
+# v3: postings gained the pos_blocks positions column (record: position)
+_CACHE_ROOT = os.environ.get("QS_INDEX_CACHE", "/tmp/quickwit_spark_gate_index_v3")
 
 
 def docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def gate_index(spark: SparkSession, sf_dir: str) -> IndexReader:
-    """Build (once per sf_dir) the gate index over documents.parquet."""
+def gate_index(
+    spark: SparkSession, sf_dir: str, tokenizer: str = "default"
+) -> IndexReader:
+    """Build (once per sf_dir × tokenizer) the gate index over
+    documents.parquet. A deterministic synthetic timestamp column
+    (2023-01-01 + doc_id minutes — reproducible in oracle SQL) backs the
+    timestamp-filter and range gates."""
     tag = sf_dir.strip("/").replace("/", "_")
+    if tokenizer != "default":
+        tag = f"{tag}__{tokenizer}"
     index_dir = os.path.join(_CACHE_ROOT, tag)
     marker = os.path.join(index_dir, "_BUILT")
     if not os.path.exists(marker):
         shutil.rmtree(index_dir, ignore_errors=True)
-        docs = docs_df(spark, sf_dir).withColumn(
-            "gate_part", (F.col("doc_id") % N_GATE_SPLITS).cast("int")
+        docs = (
+            docs_df(spark, sf_dir)
+            .withColumn("gate_part", (F.col("doc_id") % N_GATE_SPLITS).cast("int"))
+            .withColumn(
+                "synth_ts",
+                F.timestamp_seconds(
+                    F.lit(1672531200) + F.col("doc_id") * F.lit(60)
+                ),
+            )
         )
         cfg = IndexConfig(
             index_id="docs",
             num_splits=N_GATE_SPLITS,
             text_field="text",
             tag_field="lang",
-            timestamp_field=None,
+            timestamp_field="synth_ts",
             doc_key="doc_id",
             routing_col="gate_part",
+            tokenizer=tokenizer,
         )
         build_index(spark, docs, index_dir, cfg)
         open(marker, "w").close()
@@ -69,10 +84,27 @@ TOKENIZE = (
     "t -> len(t) > 0 and len(t) <= 40)"
 )
 
-# shared CTE prelude: per-doc tokens, per-split stats, tf, df
-ORACLE_PRELUDE = f"""
+# ``en_stem`` oracle: DuckDB's stem() lives in the (offline-unavailable) fts
+# extension, so the oracle embeds the Snowball English mapping for the
+# synthetic corpus vocabulary as a golden CASE — hand-derived from the
+# published algorithm (snowballstem.org); only these five of the corpus's 31
+# tokens change, all others are fixed points. tests/test_stem.py pins the
+# python stemmer to this exact mapping AND to the published Snowball sample
+# vocabulary, so the two sides cannot drift.
+STEM_CASE = (
+    "CASE t WHEN 'merge' THEN 'merg' WHEN 'table' THEN 'tabl' "
+    "WHEN 'value' THEN 'valu' WHEN 'query' THEN 'queri' "
+    "WHEN 'customer' THEN 'custom' ELSE t END"
+)
+TOKENIZE_STEM = f"list_transform({TOKENIZE}, t -> {STEM_CASE})"
+
+
+def _prelude(tok_expr: str) -> str:
+    """Shared CTE prelude: per-doc tokens, per-split stats, tf, df — under
+    the given tokenizer expression."""
+    return f"""
 WITH d AS (
-  SELECT doc_id, doc_id % {N_GATE_SPLITS} AS split_id, {TOKENIZE} AS toks
+  SELECT doc_id, doc_id % {N_GATE_SPLITS} AS split_id, {tok_expr} AS toks
   FROM documents
 ),
 dl AS (SELECT doc_id, split_id, len(toks) AS dl FROM d),
@@ -97,6 +129,10 @@ scores AS (
   JOIN ss ON tf.split_id = ss.split_id
 )
 """
+
+
+ORACLE_PRELUDE = _prelude(TOKENIZE)
+ORACLE_PRELUDE_STEM = _prelude(TOKENIZE_STEM)
 
 
 # ---------------------------------------------------------------------------
@@ -190,12 +226,59 @@ COSINE_EMB = (
 )
 
 
-def bm25_and_sql(terms: list[str], k: int, offset: int = 0) -> str:
+def phrase_sql(terms: list[str], k: int, slop: int = 0) -> str:
+    """True phrase-frequency BM25 (mirrors Searcher._eval_phrase_positions):
+    pf = number of start positions matching the greedy ordered-within-slop
+    rule (functions/phrase.py contract; 2-term SQL form: toks[i] = t1 and
+    some j in (i, i+1+slop] has toks[j] = t2), score = (sum of term idfs) *
+    pf-BM25-tf-norm."""
+    assert len(terms) == 2, "SQL oracle implements the 2-term phrase form"
+    t1, t2 = terms
     tl = ", ".join(f"'{t}'" for t in terms)
-    return f"""{ORACLE_PRELUDE}
+    return f"""{ORACLE_PRELUDE},
+pfq AS (
+  SELECT doc_id, split_id,
+    len(list_filter(range(1, len(toks)),
+        i -> toks[i] = '{t1}'
+         AND len(list_filter(range(i + 1, i + 2 + {slop}),
+                 j -> toks[j] = '{t2}')) > 0)) AS pf
+  FROM d
+),
+idf AS (
+  SELECT dfreq.split_id,
+         sum(ln(1.0 + (ss.n_docs - df + 0.5) / (df + 0.5))) AS idf_sum
+  FROM dfreq JOIN ss USING (split_id)
+  WHERE dfreq.term IN ({tl})
+  GROUP BY dfreq.split_id
+)
+SELECT doc_id,
+  round(idf_sum * (pf * {K1 + 1.0})
+        / (pf + {K1} * ({1.0 - B} + {B} * dl.dl / ss.avgdl)), 4) AS score
+FROM pfq
+JOIN dl USING (doc_id, split_id)
+JOIN ss USING (split_id)
+JOIN idf USING (split_id)
+WHERE pf > 0
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def bm25_and_sql(
+    terms: list[str],
+    k: int,
+    offset: int = 0,
+    prelude: str | None = None,
+    doc_filter: str = "",
+) -> str:
+    """AND-of-terms BM25 top-k. ``doc_filter`` is an extra SQL predicate on
+    doc_id (used by the range / timestamp-filter gates, whose synthetic
+    timestamp is an affine function of doc_id)."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    flt = f"AND ({doc_filter})" if doc_filter else ""
+    return f"""{prelude or ORACLE_PRELUDE}
 SELECT doc_id, round(score, 4) AS score FROM (
   SELECT doc_id, sum(score) AS score
-  FROM scores WHERE term IN ({tl})
+  FROM scores WHERE term IN ({tl}) {flt}
   GROUP BY split_id, doc_id
   HAVING count(DISTINCT term) = {len(terms)}
 )

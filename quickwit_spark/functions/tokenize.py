@@ -22,8 +22,10 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Java regex (Spark side). \p{L}\p{N} == Unicode letters+digits, matching
 # tantivy SimpleTokenizer's char::is_alphanumeric split rule.
@@ -80,6 +82,37 @@ def chinese_compatible_expr(
     return tokenize_expr(spaced, max_token_len)
 
 
+def raw_expr(col: Column) -> Column:
+    """``raw`` tokenizer as a Spark expression: the whole value is one token,
+    dropped when empty or longer than 100 chars (tokenizers.rs:29). No
+    lowercasing — raw is for keyword/tag columns."""
+    return F.when(
+        col.isNotNull() & (F.length(col) > 0) & (F.length(col) <= F.lit(RAW_MAX_LEN)),
+        F.array(col),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _en_stem_udf(texts: pd.Series) -> pd.Series:
+    # default tokenize + Snowball English stem per token. Python is
+    # unavoidable here (Porter2 is not expressible in codegen); the stemmer
+    # is lru-cached so the Zipfian token stream costs ~one stem per
+    # vocabulary entry per task, and batches arrive Arrow-vectorized.
+    from quickwit_spark.functions.stem import stem
+
+    return texts.map(
+        lambda t: [stem(tok) for tok in tokenize_py(t)] if t is not None else []
+    )
+
+
+def en_stem_tokenize_py(text: str, max_token_len: int = MAX_TOKEN_LEN) -> list[str]:
+    """``en_stem``: default tokenizer + Snowball English stemmer
+    (field_mapping_entry.rs:138-150; tantivy registers Stemmer::English)."""
+    from quickwit_spark.functions.stem import stem
+
+    return [stem(t) for t in tokenize_py(text, max_token_len)]
+
+
 def analyzer_expr(
     col: Column, tokenizer: str = "default", max_token_len: int = MAX_TOKEN_LEN
 ) -> Column:
@@ -88,6 +121,10 @@ def analyzer_expr(
         return tokenize_expr(col, max_token_len)
     if tokenizer == "chinese_compatible":
         return chinese_compatible_expr(col, max_token_len)
+    if tokenizer == "en_stem":
+        return _en_stem_udf(col)
+    if tokenizer == "raw":
+        return raw_expr(col)
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
 
@@ -97,6 +134,10 @@ def analyzer_py(tokenizer: str = "default"):
         return tokenize_py
     if tokenizer == "chinese_compatible":
         return chinese_compatible_tokenize_py
+    if tokenizer == "en_stem":
+        return en_stem_tokenize_py
+    if tokenizer == "raw":
+        return raw_tokenize_py
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
 

@@ -22,6 +22,9 @@ __all__ = [
     "encode_postings",
     "decode_postings",
     "decode_block",
+    "encode_position_blocks",
+    "decode_position_block",
+    "decode_positions",
 ]
 
 
@@ -111,4 +114,81 @@ def decode_postings(blocks: list[dict]) -> tuple[np.ndarray, np.ndarray]:
     return (
         np.concatenate([p[0] for p in parts]),
         np.concatenate([p[1] for p in parts]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# positions payload (``record: position`` analog — tantivy stores positions in
+# a separate .pos file so docid/tf reads never touch them; we mirror that with
+# a separate ``pos_blocks`` parquet column, pruned away unless a phrase query
+# asks for it)
+# ---------------------------------------------------------------------------
+
+def encode_position_blocks(
+    tfs: np.ndarray, flat_positions: np.ndarray, block_size: int = BLOCK_SIZE
+) -> list[dict]:
+    """Token positions -> per-block payloads parallel to ``encode_postings``.
+
+    ``flat_positions`` holds every posting's ascending token positions
+    concatenated in posting (docid) order; posting i owns ``tfs[i]`` of them.
+    Per block (same 128-posting boundaries as the docid blocks) the positions
+    are delta-encoded with a +1 shift on each posting's first position (all
+    gaps >= 1 since positions are strictly ascending within a doc), then
+    bitpacked with one shared width.
+    """
+    tfs = np.asarray(tfs, dtype=np.int64)
+    flat_positions = np.asarray(flat_positions, dtype=np.int64)
+    assert int(tfs.sum()) == len(flat_positions)
+    cum = np.concatenate([[0], np.cumsum(tfs)])
+    out: list[dict] = []
+    for start in range(0, len(tfs), block_size):
+        end = min(start + block_size, len(tfs))
+        fp = flat_positions[cum[start] : cum[end]]
+        t = tfs[start:end]
+        if len(fp) == 0:
+            out.append({"pos_bits": 0, "n_pos": 0, "positions": b""})
+            continue
+        g = fp.copy()
+        g[1:] -= fp[:-1]
+        starts = np.concatenate([[0], np.cumsum(t)[:-1]])
+        g[starts] = fp[starts] + 1
+        w = _width(g)
+        out.append(
+            {"pos_bits": w, "n_pos": int(len(fp)), "positions": bitpack(g, w)}
+        )
+    return out
+
+
+def decode_position_block(pos_block: dict, tfs: np.ndarray) -> np.ndarray:
+    """One block's payload + its postings' tfs -> flat ascending positions."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = int(pos_block["n_pos"])
+    g = bitunpack(pos_block["positions"], n, int(pos_block["pos_bits"]))
+    if n == 0:
+        return g
+    cs = np.cumsum(g)
+    starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+    base = np.repeat(
+        np.concatenate([[0], cs[starts[1:] - 1]]), tfs
+    )
+    return cs - base - 1
+
+
+def decode_positions(
+    blocks: list[dict], pos_blocks: list[dict]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full posting list with positions -> (docids, tfs, flat_positions)."""
+    if not blocks:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    docid_parts, tf_parts, pos_parts = [], [], []
+    for b, pb in zip(blocks, pos_blocks):
+        d, t = decode_block(b)
+        docid_parts.append(d)
+        tf_parts.append(t)
+        pos_parts.append(decode_position_block(pb, t))
+    return (
+        np.concatenate(docid_parts),
+        np.concatenate(tf_parts),
+        np.concatenate(pos_parts),
     )

@@ -2,13 +2,17 @@
 aggregation collector (docs/reference/aggregation.md; leaf/root merge at
 quickwit-search/src/collector.rs:458-496, root.rs:293-314).
 
-Bucket aggs: histogram (incl. date histogram), range, terms.
+Bucket aggs: histogram (incl. date histogram), range, terms — each accepting
+**sub-aggregations** (metric children nested under every bucket, and terms
+ordered by a sub-agg — aggregation.md:110-111, order target :430-451).
 Metric aggs: avg, value_count, max, min, sum, stats (incl. stddev).
 
 All are plain Spark groupBy/agg — Catalyst's partial+final aggregation IS the
 reference's intermediate-merge-then-finalize protocol, so there is nothing to
-hand-roll. Each helper takes any DataFrame (typically the docs matching a
-query) and returns an aggregated DataFrame with stable column names.
+hand-roll; a bucket agg with metric children is ONE groupBy with extra
+aggregate expressions (no second shuffle). Each helper takes any DataFrame
+(typically the docs matching a query) and returns an aggregated DataFrame
+with stable column names.
 """
 
 from __future__ import annotations
@@ -19,6 +23,26 @@ from pyspark.sql import functions as F
 #: per-segment bucket cap in the reference (collector.rs:364)
 MAX_BUCKETS = 1_000_000
 
+#: metric sub-agg registry (aggregation.md metric set)
+_METRICS = {
+    "avg": F.avg,
+    "value_count": F.count,
+    "max": F.max,
+    "min": F.min,
+    "sum": F.sum,
+    "stddev": F.stddev_pop,
+}
+
+#: sub_aggs spec: {output_column: (metric_kind, source_column)}
+SubAggs = "dict[str, tuple[str, str]] | None"
+
+
+def _sub_agg_exprs(sub_aggs) -> list[Column]:
+    return [
+        _METRICS[kind](F.col(col)).alias(name)
+        for name, (kind, col) in (sub_aggs or {}).items()
+    ]
+
 
 def histogram(
     df: DataFrame,
@@ -26,9 +50,11 @@ def histogram(
     interval: float,
     offset: float = 0.0,
     min_doc_count: int = 0,
+    sub_aggs=None,
 ) -> DataFrame:
     """Histogram bucket agg: key = floor((val - offset) / interval) * interval
-    + offset (aggregation.md bucket-key rule). Returns (key, doc_count)."""
+    + offset (aggregation.md bucket-key rule). Returns (key, doc_count,
+    *sub_aggs)."""
     key = (
         F.floor((F.col(col) - F.lit(offset)) / F.lit(interval)) * F.lit(interval)
         + F.lit(offset)
@@ -36,7 +62,7 @@ def histogram(
     out = (
         df.filter(F.col(col).isNotNull())
         .groupBy(key.alias("key"))
-        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .agg(F.count(F.lit(1)).alias("doc_count"), *_sub_agg_exprs(sub_aggs))
     )
     if min_doc_count > 0:
         out = out.filter(F.col("doc_count") >= min_doc_count)
@@ -44,25 +70,29 @@ def histogram(
 
 
 def date_histogram(
-    df: DataFrame, col: str, interval_seconds: int
+    df: DataFrame, col: str, interval_seconds: int, sub_aggs=None
 ) -> DataFrame:
     """Datetime histogram (interval in seconds; reference uses microseconds
-    internally). Key returned as epoch seconds of the bucket start."""
+    internally). Key returned as epoch seconds of the bucket start; metric
+    sub-aggs ride the same groupBy."""
     epoch = F.unix_timestamp(F.col(col))
     key = (F.floor(epoch / F.lit(interval_seconds)) * F.lit(interval_seconds))
     return (
         df.filter(F.col(col).isNotNull())
         .groupBy(key.alias("key"))
-        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .agg(F.count(F.lit(1)).alias("doc_count"), *_sub_agg_exprs(sub_aggs))
         .orderBy("key")
     )
 
 
 def range_agg(
-    df: DataFrame, col: str, ranges: list[tuple[float | None, float | None]]
+    df: DataFrame,
+    col: str,
+    ranges: list[tuple[float | None, float | None]],
+    sub_aggs=None,
 ) -> DataFrame:
     """Range bucket agg with semi-open [from, to) buckets (ES semantics).
-    Returns (range_key, doc_count) for each requested bucket."""
+    Returns (range_key, doc_count, *sub_aggs) for each requested bucket."""
     c = F.col(col)
     whens: Column | None = None
     for lo, hi in ranges:
@@ -74,10 +104,10 @@ def range_agg(
             cond = cond & (c < F.lit(hi))
         whens = F.when(cond, F.lit(label)) if whens is None else whens.when(cond, F.lit(label))
     return (
-        df.select(whens.alias("range_key"))
+        df.select(whens.alias("range_key"), "*")
         .filter(F.col("range_key").isNotNull())
         .groupBy("range_key")
-        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .agg(F.count(F.lit(1)).alias("doc_count"), *_sub_agg_exprs(sub_aggs))
         .orderBy("range_key")
     )
 
@@ -86,18 +116,26 @@ def terms_agg(
     df: DataFrame,
     col: str,
     size: int = 10,
-    order_by: str = "count",  # "count" | "key"
+    order_by: str = "count",  # "count" | "key" | a sub-agg name
+    order_dir: str = "desc",
+    sub_aggs=None,
 ) -> DataFrame:
-    """Terms bucket agg: top ``size`` values by doc_count (desc, key asc
-    tie-break) or by key. sum_other_doc_count / error bounds omitted — Spark
+    """Terms bucket agg: top ``size`` values ordered by doc_count, key, or a
+    metric sub-agg (aggregation.md:430-451 "order by sub-aggregation"), key
+    asc as tie-break. sum_other_doc_count / error bounds omitted — Spark
     computes exact global counts (no per-shard truncation to approximate)."""
     grouped = df.groupBy(F.col(col).alias("key")).agg(
-        F.count(F.lit(1)).alias("doc_count")
+        F.count(F.lit(1)).alias("doc_count"), *_sub_agg_exprs(sub_aggs)
     )
+    direction = F.desc if order_dir == "desc" else F.asc
     if order_by == "count":
-        grouped = grouped.orderBy(F.desc("doc_count"), F.asc("key"))
+        grouped = grouped.orderBy(direction("doc_count"), F.asc("key"))
+    elif order_by == "key":
+        grouped = grouped.orderBy(direction("key"))
     else:
-        grouped = grouped.orderBy(F.asc("key"))
+        if not sub_aggs or order_by not in sub_aggs:
+            raise ValueError(f"order_by {order_by!r} is not a sub-agg name")
+        grouped = grouped.orderBy(direction(order_by), F.asc("key"))
     return grouped.limit(size)
 
 

@@ -57,7 +57,7 @@ from pyspark.sql import types as T
 from quickwit_spark import BLOCK_SIZE
 from quickwit_spark.functions.fieldnorm import quantize_len, fieldnorm_to_id
 from quickwit_spark.functions.tokenize import analyzer_expr, tokenize_expr
-from quickwit_spark.index.codec import encode_postings
+from quickwit_spark.index.codec import encode_position_blocks, encode_postings
 from quickwit_spark.index.manifest import Manifest, SplitMetadata
 
 BLOCK_STRUCT = T.StructType(
@@ -73,6 +73,18 @@ BLOCK_STRUCT = T.StructType(
     ]
 )
 
+# positions payload, parallel to BLOCK_STRUCT one-to-one, in its OWN parquet
+# column: term/WAND scans select only `blocks` and never pay for positions
+# (tantivy likewise keeps positions in a separate .pos file read only by
+# phrase queries — SURVEY §2.5)
+POS_BLOCK_STRUCT = T.StructType(
+    [
+        T.StructField("pos_bits", T.IntegerType()),
+        T.StructField("n_pos", T.IntegerType()),
+        T.StructField("positions", T.BinaryType()),
+    ]
+)
+
 POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("split_id", T.StringType()),
@@ -80,6 +92,7 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("doc_freq", T.LongType()),
         T.StructField("sum_tf", T.LongType()),
         T.StructField("blocks", T.ArrayType(BLOCK_STRUCT)),
+        T.StructField("pos_blocks", T.ArrayType(POS_BLOCK_STRUCT), True),
     ]
 )
 
@@ -96,9 +109,16 @@ class IndexConfig:
     # optional pre-computed routing column (overrides hash routing; used by
     # the correctness gate where the oracle must mirror the routing in SQL)
     routing_col: str | None = None
-    # text analyzer: "default" | "chinese_compatible" (tokenizers.rs:28-41);
-    # persisted in the manifest so searchers tokenize queries identically
+    # text analyzer: "default" | "en_stem" | "chinese_compatible" | "raw"
+    # (tokenizers.rs:28-41); persisted in the manifest so searchers tokenize
+    # queries identically
     tokenizer: str = "default"
+    # indexing record option (field_mapping_entry.rs:157-191): "position"
+    # stores token positions (separate pos_blocks column; enables true
+    # phrase-frequency scoring and slop), "freq" stores docids+tfs only.
+    # The reference default is `basic`; we default to position because phrase
+    # queries without positions degrade to a documented approximation.
+    record: str = "position"
     # generation tag for split ids — batch builds use 0; the streaming
     # indexer stamps each micro-batch with its batch_id so split ids and
     # checkpoint lineage stay disjoint across batches
@@ -132,6 +152,7 @@ TF_SCHEMA = T.StructType(
         T.StructField("docid", T.IntegerType()),
         T.StructField("term", T.StringType()),
         T.StructField("tf", T.IntegerType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType()), True),
     ]
 )
 
@@ -142,6 +163,7 @@ ENC_SCHEMA = T.StructType(
         T.StructField("doc_freq", T.LongType()),
         T.StructField("sum_tf", T.LongType()),
         T.StructField("blocks", T.ArrayType(BLOCK_STRUCT)),
+        T.StructField("pos_blocks", T.ArrayType(POS_BLOCK_STRUCT), True),
     ]
 )
 
@@ -150,41 +172,69 @@ ENC_SALTED_SCHEMA = T.StructType(
 )
 
 
-def _doc_tf_kernel(batches) -> "pd.DataFrame":
+def _make_doc_tf_kernel(with_positions: bool):
     """mapInPandas: (partition_id, docid, tokens) -> one row per distinct
-    (doc, term) with its term frequency.
+    (doc, term) with its term frequency (and, when recording positions, the
+    ascending token-position list).
 
-    Term frequencies are counted LOCALLY per document (one vectorized pandas
-    groupby per Arrow batch) — the per-token explode never hits a shuffle;
-    only the ~40%-smaller distinct (doc, term) pairs do. This is the map-side
-    combine of the indexing pipeline."""
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        lens = np.fromiter((len(t) for t in pdf["tokens"]), dtype=np.int64,
-                           count=len(pdf))
-        total = int(lens.sum())
-        if total == 0:
-            continue
-        flat = pd.DataFrame(
-            {
-                "partition_id": np.repeat(pdf["partition_id"].to_numpy(), lens),
-                "docid": np.repeat(pdf["docid"].to_numpy(), lens),
-                "term": np.concatenate(
-                    [np.asarray(t, dtype=object) for t in pdf["tokens"]]
-                ),
-            }
-        )
-        out = (
-            flat.groupby(["partition_id", "docid", "term"], sort=False)
-            .size()
-            .reset_index(name="tf")
-        )
-        out["tf"] = out["tf"].astype("int32")
-        yield out
+    Term frequencies are counted LOCALLY per document (vectorized per Arrow
+    batch) — the per-token explode never hits a shuffle; only the ~40%-smaller
+    distinct (doc, term) pairs do. This is the map-side combine of the
+    indexing pipeline."""
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = np.fromiter(
+                (len(t) for t in pdf["tokens"]), dtype=np.int64, count=len(pdf)
+            )
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            pid_rep = np.repeat(pdf["partition_id"].to_numpy(), lens)
+            docid_rep = np.repeat(pdf["docid"].to_numpy(), lens)
+            term_flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in pdf["tokens"]]
+            )
+            codes, uniques = pd.factorize(term_flat, sort=False)
+            cum = np.concatenate([[0], np.cumsum(lens)])
+            pos_flat = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], lens)
+            # stable lexsort: equal (pid, docid, term) runs keep original
+            # order = ascending positions
+            order = np.lexsort((codes, docid_rep, pid_rep))
+            pid_s, docid_s = pid_rep[order], docid_rep[order]
+            code_s, pos_s = codes[order], pos_flat[order]
+            new = np.ones(total, dtype=bool)
+            new[1:] = (
+                (pid_s[1:] != pid_s[:-1])
+                | (docid_s[1:] != docid_s[:-1])
+                | (code_s[1:] != code_s[:-1])
+            )
+            starts = np.flatnonzero(new)
+            tf = np.diff(np.append(starts, total))
+            out = pd.DataFrame(
+                {
+                    "partition_id": pid_s[starts].astype("int32"),
+                    "docid": docid_s[starts].astype("int32"),
+                    "term": uniques[code_s[starts]],
+                    "tf": tf.astype("int32"),
+                }
+            )
+            if with_positions:
+                out["positions"] = [
+                    p.astype("int32") for p in np.split(pos_s, starts[1:])
+                ]
+            else:
+                out["positions"] = None
+            yield out
+
+    return kernel
 
 
-def _encode_sorted_slice(pdf: pd.DataFrame, with_salt: bool) -> pd.DataFrame:
+def _encode_sorted_slice(
+    pdf: pd.DataFrame, with_salt: bool, with_positions: bool
+) -> pd.DataFrame:
     """Encode a slice of rows already sorted by (partition, term[, salt],
     docid): group boundaries found vectorized, one encode_postings call per
     group."""
@@ -199,15 +249,26 @@ def _encode_sorted_slice(pdf: pd.DataFrame, with_salt: bool) -> pd.DataFrame:
     )
     docid_all = pdf["docid"].to_numpy().astype(np.int64)
     tf_all = pdf["tf"].to_numpy().astype(np.int64)
+    pos_all = pdf["positions"].to_numpy() if with_positions else None
     rows = []
     for a, b in zip(bounds[:-1], bounds[1:]):
+        tfs = tf_all[a:b]
         row = {
             "partition_id": int(pid[a]),
             "term": term[a],
             "doc_freq": int(b - a),
-            "sum_tf": int(tf_all[a:b].sum()),
-            "blocks": encode_postings(docid_all[a:b], tf_all[a:b], BLOCK_SIZE),
+            "sum_tf": int(tfs.sum()),
+            "blocks": encode_postings(docid_all[a:b], tfs, BLOCK_SIZE),
         }
+        if with_positions:
+            flat = (
+                np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_all[a:b]])
+                if b > a
+                else np.zeros(0, dtype=np.int64)
+            )
+            row["pos_blocks"] = encode_position_blocks(tfs, flat, BLOCK_SIZE)
+        else:
+            row["pos_blocks"] = None
         if with_salt:
             row["salt"] = int(pdf["salt"].to_numpy()[a])
         rows.append(row)
@@ -227,6 +288,14 @@ PA_BLOCK = pa.struct(
     ]
 )
 
+PA_POS_BLOCK = pa.struct(
+    [
+        ("pos_bits", pa.int32()),
+        ("n_pos", pa.int32()),
+        ("positions", pa.binary()),
+    ]
+)
+
 PA_ENC_SCHEMA = pa.schema(
     [
         ("partition_id", pa.int32()),
@@ -234,11 +303,12 @@ PA_ENC_SCHEMA = pa.schema(
         ("doc_freq", pa.int64()),
         ("sum_tf", pa.int64()),
         ("blocks", pa.list_(PA_BLOCK)),
+        ("pos_blocks", pa.list_(PA_POS_BLOCK)),
     ]
 )
 
 
-def _encode_arrow_split(batches: list) -> "pa.RecordBatch":
+def _encode_arrow_split(batches: list, with_positions: bool = False) -> "pa.RecordBatch":
     """One split's (partition_id, docid, tokens) Arrow batches -> its full
     postings, keyed by real term strings but WITHOUT materializing per-token
     Python objects:
@@ -265,23 +335,41 @@ def _encode_arrow_split(batches: list) -> "pa.RecordBatch":
     codes = enc.indices.to_numpy().astype(np.int64)
     vocab = enc.dictionary.to_pylist()
     key = (codes << np.int64(32)) | np.repeat(docid, lens)
-    key.sort()
-    new = np.ones(len(key), dtype=bool)
+    total = len(key)
+    if with_positions:
+        # token position within its doc; a STABLE sort keeps equal
+        # (term, doc) runs in original order = ascending positions
+        cum = np.concatenate([[0], np.cumsum(lens)])
+        pos_flat = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], lens)
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        pos_sorted = pos_flat[order]
+    else:
+        key.sort()
+        pos_sorted = None
+    new = np.ones(total, dtype=bool)
     new[1:] = key[1:] != key[:-1]
     idx = np.flatnonzero(new)
-    tf = np.diff(np.append(idx, len(key)))
+    tf = np.diff(np.append(idx, total))
+    idx_ext = np.append(idx, total)
     ukey = key[idx]
     ucode = (ukey >> np.int64(32)).astype(np.int64)
     ud = ukey & np.int64(0xFFFFFFFF)
     bounds = np.concatenate(
         [[0], np.flatnonzero(ucode[1:] != ucode[:-1]) + 1, [len(ukey)]]
     )
-    terms, dfs, sums, blocks = [], [], [], []
+    terms, dfs, sums, blocks, pos_blocks = [], [], [], [], []
     for a, b in zip(bounds[:-1], bounds[1:]):
         terms.append(vocab[ucode[a]])
         dfs.append(int(b - a))
         sums.append(int(tf[a:b].sum()))
         blocks.append(encode_postings(ud[a:b], tf[a:b], BLOCK_SIZE))
+        if with_positions:
+            pos_blocks.append(
+                encode_position_blocks(
+                    tf[a:b], pos_sorted[idx_ext[a] : idx_ext[b]], BLOCK_SIZE
+                )
+            )
     return pa.RecordBatch.from_arrays(
         [
             pa.array([pid] * len(terms), type=pa.int32()),
@@ -289,42 +377,54 @@ def _encode_arrow_split(batches: list) -> "pa.RecordBatch":
             pa.array(dfs, type=pa.int64()),
             pa.array(sums, type=pa.int64()),
             pa.array(blocks, type=pa.list_(PA_BLOCK)),
+            pa.array(
+                pos_blocks if with_positions else [None] * len(terms),
+                type=pa.list_(PA_POS_BLOCK),
+            ),
         ],
         schema=PA_ENC_SCHEMA,
     )
 
 
-def _arrow_stream_kernel(batches):
+def _make_arrow_stream_kernel(with_positions: bool):
     """mapInArrow wrapper over _encode_arrow_split: buffer record batches per
     split (splits are contiguous within a partition), emit on boundary."""
-    # one Arrow compute thread per worker: N workers x default pool (= all
-    # cores each) oversubscribes the box N-fold and *inverts* core scaling
-    try:
-        pa.set_cpu_count(1)
-        pa.set_io_thread_count(1)
-    except Exception:  # noqa: BLE001 - best effort, harmless if unavailable
-        pass
-    buf: list = []
-    cur: int | None = None
-    for rb in batches:
-        if rb.num_rows == 0:
-            continue
-        pids = rb.column(rb.schema.get_field_index("partition_id")).to_numpy()
-        bounds = np.concatenate(
-            [[0], np.flatnonzero(pids[1:] != pids[:-1]) + 1, [rb.num_rows]]
-        )
-        for a, b in zip(bounds[:-1], bounds[1:]):
-            pid = int(pids[a])
-            if cur is not None and pid != cur:
-                yield _encode_arrow_split(buf)
-                buf = []
-            cur = pid
-            buf.append(rb.slice(a, b - a))
-    if buf:
-        yield _encode_arrow_split(buf)
+
+    def kernel(batches):
+        # one Arrow compute thread per worker: N workers x default pool (= all
+        # cores each) oversubscribes the box N-fold and *inverts* core scaling
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        except Exception:  # noqa: BLE001 - best effort, harmless if unavailable
+            pass
+        buf: list = []
+        cur: int | None = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            pids = rb.column(rb.schema.get_field_index("partition_id")).to_numpy()
+            bounds = np.concatenate(
+                [[0], np.flatnonzero(pids[1:] != pids[:-1]) + 1, [rb.num_rows]]
+            )
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                pid = int(pids[a])
+                if cur is not None and pid != cur:
+                    yield _encode_arrow_split(buf, with_positions)
+                    buf = []
+                cur = pid
+                buf.append(rb.slice(a, b - a))
+        if buf:
+            yield _encode_arrow_split(buf, with_positions)
+
+    return kernel
 
 
-def _make_encode_stream(with_salt: bool):
+# backward-compatible alias (positions off)
+_arrow_stream_kernel = _make_arrow_stream_kernel(False)
+
+
+def _make_encode_stream(with_salt: bool, with_positions: bool):
     """mapInPandas kernel over a partition hash-clustered by (partition, term
     [, salt]) and sorted by (key, docid). A group may straddle Arrow batch
     boundaries; the trailing group of each batch is carried into the next."""
@@ -344,9 +444,9 @@ def _make_encode_stream(with_salt: bool):
             carry = pdf.iloc[np.flatnonzero(mask)]
             body = pdf.iloc[np.flatnonzero(~mask)]
             if len(body):
-                yield _encode_sorted_slice(body, with_salt)
+                yield _encode_sorted_slice(body, with_salt, with_positions)
         if carry is not None and len(carry):
-            yield _encode_sorted_slice(carry, with_salt)
+            yield _encode_sorted_slice(carry, with_salt, with_positions)
 
     return kernel
 
@@ -357,6 +457,10 @@ def _concat_salted(pdf: pd.DataFrame) -> pd.DataFrame:
     stopword's full list is a few MB here, not millions of rows."""
     pdf = pdf.sort_values("salt", kind="stable")
     blocks = [b for row in pdf["blocks"] for b in row]
+    has_pos = pdf["pos_blocks"].iloc[0] is not None
+    pos_blocks = (
+        [b for row in pdf["pos_blocks"] for b in row] if has_pos else None
+    )
     return pd.DataFrame(
         {
             "partition_id": [int(pdf["partition_id"].iloc[0])],
@@ -364,6 +468,7 @@ def _concat_salted(pdf: pd.DataFrame) -> pd.DataFrame:
             "doc_freq": [int(pdf["doc_freq"].sum())],
             "sum_tf": [int(pdf["sum_tf"].sum())],
             "blocks": [blocks],
+            "pos_blocks": [pos_blocks],
         }
     )
 
@@ -433,6 +538,7 @@ def build_index(
             "timestamp_field": cfg.timestamp_field,
             "doc_key": cfg.doc_key,
             "tokenizer": cfg.tokenizer,
+            "record": cfg.record,
         }
     )
 
@@ -499,13 +605,14 @@ def build_index(
     )
 
     # --- postings
+    with_pos = cfg.record == "position"
     if cfg.salt_range:
         # shuffled path: per-(doc,term) tf rows, salted by docid range so hot
         # terms spread across tasks — for splits too big for one task's RAM
         tf = docs.withColumn(
             "tokens", analyzer_expr(F.col(cfg.text_field), cfg.tokenizer)
         ).select("partition_id", "docid", "tokens").mapInPandas(
-            _doc_tf_kernel, TF_SCHEMA
+            _make_doc_tf_kernel(with_pos), TF_SCHEMA
         )
         salted = tf.withColumn(
             "salt", (F.col("docid") / F.lit(cfg.salt_range)).cast("int")
@@ -514,7 +621,7 @@ def build_index(
             "partition_id", "term", "salt"
         ).sortWithinPartitions(
             "partition_id", "term", "salt", "docid"
-        ).mapInPandas(_make_encode_stream(True), ENC_SALTED_SCHEMA)
+        ).mapInPandas(_make_encode_stream(True, with_pos), ENC_SALTED_SCHEMA)
         encoded = partial.groupBy("partition_id", "term").applyInPandas(
             _concat_salted, ENC_SCHEMA
         )
@@ -527,7 +634,7 @@ def build_index(
             "docid",
             analyzer_expr(F.col(cfg.text_field), cfg.tokenizer).alias("tokens"),
         )
-        encoded = ex.mapInArrow(_arrow_stream_kernel, ENC_SCHEMA)
+        encoded = ex.mapInArrow(_make_arrow_stream_kernel(with_pos), ENC_SCHEMA)
     postings = encoded.withColumn(
         "split_id",
         F.concat(

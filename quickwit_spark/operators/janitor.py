@@ -9,12 +9,17 @@ Reference semantics:
   (quickwit-janitor/src/actors/delete_task_planner.rs; applied in
   quickwit-indexing/src/actors/merge_executor.rs:320-425).
 
-A rewrite keeps the surviving docs' docids (sorted, possibly with gaps —
-the codec only needs ascending ids) and rebuilds that split's postings with
-the same per-split Arrow kernel as the batch build. Split-local stats
-(num_docs, avgdl, doc_freq) shrink accordingly, exactly as a tantivy segment
-rewrite would. Work is bounded per split (<= split_num_docs_target docs),
-and only splits with matches are touched.
+A rewrite keeps the surviving docs' docids (sorted, possibly with gaps — the
+codec needs ascending ids, and SplitMetadata.max_docid records the ceiling so
+merges re-base correctly). Postings are rebuilt with the same per-split Arrow
+kernel as the batch build, using the TOKENIZER AND RECORD OPTION persisted in
+the index config — a chinese_compatible or en_stem index must not be
+re-tokenized with the default analyzer.
+
+Scale shape: ALL affected splits are rewritten by THREE cluster jobs total
+(docstore rewrite, postings rebuild, stats), regardless of how many splits
+matched — not a driver loop of per-split jobs. Each rewrite task is bounded
+by one split's docs, the same memory bound as the build.
 """
 
 from __future__ import annotations
@@ -26,9 +31,9 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from quickwit_spark.functions.tokenize import tokenize_expr
+from quickwit_spark.functions.tokenize import analyzer_expr
 from quickwit_spark.index.manifest import Manifest, SplitMetadata
-from quickwit_spark.operators.build import ENC_SCHEMA, _arrow_stream_kernel
+from quickwit_spark.operators.build import ENC_SCHEMA, _make_arrow_stream_kernel
 from quickwit_spark.operators.search import IndexReader, Searcher
 from quickwit_spark.plans.query import parse_query
 
@@ -62,7 +67,7 @@ def delete_by_query(
     spark: SparkSession,
     index_dir: str,
     query: str,
-    text_field: str = "text",
+    text_field: str = "text",  # kept for API compat; docstore text is "text"
 ) -> DeleteMetrics:
     """Apply a delete query: rewrite every split containing matches without
     those docs; drop splits left empty. Publish is atomic per split."""
@@ -70,6 +75,9 @@ def delete_by_query(
     reader = IndexReader(spark, index_dir)
     manifest = reader.manifest
     searcher = Searcher(reader)
+    icfg = manifest.load_index_config()
+    tokenizer = icfg.get("tokenizer", "default")
+    with_pos = icfg.get("record", "freq") == "position"
     ast = parse_query(query)
     published = {m.split_id: m for m in manifest.list_published()}
     matches = (
@@ -84,51 +92,98 @@ def delete_by_query(
     metrics = DeleteMetrics(matched_docs=sum(per_split.values()))
     qh = hashlib.sha256(query.encode()).hexdigest()[:12]
 
+    rewrite: dict[str, str] = {}
     for split_id, n_del in per_split.items():
         meta = published[split_id]
         if n_del >= meta.num_docs:
             # split emptied: drop it (merge_executor.rs:371-379 analog)
             manifest.publish([], replaced=[split_id])
             metrics.dropped_splits.append(split_id)
-            continue
-        new_id = f"{meta.index_id}-del-{qh}-{split_id[-8:]}"
-        store = spark.read.option(
-            "basePath", f"{index_dir}/docstore"
-        ).parquet(f"{index_dir}/docstore/split_id={split_id}")
-        dels = F.broadcast(
-            matches.filter(F.col("split_id") == split_id).select("docid")
-        )
-        remaining = store.drop("split_id").join(dels, "docid", "left_anti")
-        remaining.write.mode("overwrite").parquet(
-            f"{index_dir}/docstore/split_id={new_id}"
-        )
+        else:
+            rewrite[split_id] = f"{meta.index_id}-del-{qh}-{split_id[-8:]}"
+    if not rewrite:
+        matches.unpersist()
+        metrics.elapsed_sec = time.time() - t0
+        return metrics
 
-        rem = spark.read.parquet(f"{index_dir}/docstore/split_id={new_id}")
-        ex = rem.select(
-            F.lit(meta.partition_id).cast("int").alias("partition_id"),
+    # (old split_id, new split_id, dense task key) mapping — broadcastable
+    map_df = F.broadcast(
+        spark.createDataFrame(
+            [(sid, nid, i) for i, (sid, nid) in enumerate(sorted(rewrite.items()))],
+            "split_id string, new_split_id string, tmp_pid int",
+        )
+    )
+    store_base = f"{index_dir}/docstore"
+    post_base = f"{index_dir}/postings"
+    remaining = (
+        spark.read.option("basePath", store_base)
+        .parquet(*[f"{store_base}/split_id={sid}" for sid in rewrite])
+        .join(matches, ["split_id", "docid"], "left_anti")
+        .join(map_df, "split_id")
+        .cache()
+    )
+
+    # --- job 1: all rewritten docstores in one dynamic-partition overwrite
+    (
+        remaining.drop("split_id", "tmp_pid")
+        .withColumnRenamed("new_split_id", "split_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("split_id")
+        .parquet(store_base)
+    )
+
+    # --- job 2: all rewritten postings in one pass of the build kernel
+    # (one task holds >= one split's survivors — the build's memory bound)
+    ex = (
+        remaining.select(
+            F.col("tmp_pid").alias("partition_id"),
             "docid",
-            tokenize_expr(F.col(text_field)).alias("tokens"),
-        ).repartition(1)  # one task = one split, same bound as the build
-        enc = ex.mapInArrow(_arrow_stream_kernel, ENC_SCHEMA)
-        (
-            enc.drop("partition_id")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(f"{index_dir}/postings/split_id={new_id}")
+            analyzer_expr(F.col("text"), tokenizer).alias("tokens"),
         )
+        .repartition(len(rewrite), "partition_id")
+        .sortWithinPartitions("partition_id", "docid")
+    )
+    enc = ex.mapInArrow(_make_arrow_stream_kernel(with_pos), ENC_SCHEMA)
+    (
+        enc.join(map_df, enc["partition_id"] == map_df["tmp_pid"])
+        .select(
+            F.col("new_split_id").alias("split_id"),
+            "term",
+            "doc_freq",
+            "sum_tf",
+            "blocks",
+            "pos_blocks",
+        )
+        .repartition("split_id")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("split_id")
+        .parquet(post_base)
+    )
 
-        aggs = [
-            F.count(F.lit(1)).alias("num_docs"),
-            F.sum("doc_len").alias("total_tokens"),
-            F.sum(F.length(text_field)).alias("bytes"),
-        ]
-        has_ts = "ts" in rem.columns
-        has_tag = "tag" in rem.columns
-        if has_ts:
-            aggs += [F.min("ts").alias("ts_min"), F.max("ts").alias("ts_max")]
-        if has_tag:
-            aggs.append(F.collect_set("tag").alias("tags"))
-        row = rem.agg(*aggs).collect()[0]
+    # --- job 3: per-split stats for the new manifest rows
+    has_ts = "ts" in remaining.columns
+    has_tag = "tag" in remaining.columns
+    aggs = [
+        F.count(F.lit(1)).alias("num_docs"),
+        F.sum("doc_len").alias("total_tokens"),
+        F.sum(F.length("text")).alias("bytes"),
+        F.max("docid").alias("max_docid"),
+    ]
+    if has_ts:
+        aggs += [F.min("ts").alias("ts_min"), F.max("ts").alias("ts_max")]
+    if has_tag:
+        aggs.append(F.collect_set("tag").alias("tags"))
+    stats = {
+        r["new_split_id"]: r
+        for r in remaining.groupBy("new_split_id").agg(*aggs).collect()
+    }
+
+    for split_id, new_id in sorted(rewrite.items()):
+        meta = published[split_id]
+        row = stats[new_id]
         new_meta = SplitMetadata(
             split_id=new_id,
             index_id=meta.index_id,
@@ -142,11 +197,13 @@ def delete_by_query(
             num_merge_ops=meta.num_merge_ops,
             generation=meta.generation,
             source_fingerprint=meta.source_fingerprint,
+            max_docid=row["max_docid"],
         )
         manifest.stage(new_meta)
         manifest.publish([new_meta], replaced=[split_id])
         metrics.rewritten_splits.append(new_id)
 
+    remaining.unpersist()
     matches.unpersist()
     metrics.elapsed_sec = time.time() - t0
     return metrics

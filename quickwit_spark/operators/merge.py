@@ -37,7 +37,12 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from quickwit_spark import BLOCK_SIZE
-from quickwit_spark.index.codec import decode_postings, encode_postings
+from quickwit_spark.index.codec import (
+    decode_positions,
+    decode_postings,
+    encode_position_blocks,
+    encode_postings,
+)
 from quickwit_spark.index.manifest import Manifest, SplitMetadata
 from quickwit_spark.index.merge_policy import (
     MergeOperation,
@@ -124,17 +129,32 @@ def execute_merge(
     # --- postings: per-term k-way concat in split order (docid ranges are
     # disjoint after re-basing, so concat in offset order stays sorted)
     post = (
+        # mergeSchema: sources built before positions existed lack the
+        # pos_blocks column; the merged term then degrades to positions-less
         spark.read.option("basePath", post_base)
+        .option("mergeSchema", "true")
         .parquet(*[f"{post_base}/split_id={sid}" for sid in src_ids])
         .join(off_df, "split_id")
     )
     def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_off", kind="stable")
+        has_pos = (
+            "pos_blocks" in pdf.columns
+            and all(p is not None for p in pdf["pos_blocks"])
+        )
         docid_parts: list[np.ndarray] = []
         tf_parts: list[np.ndarray] = []
-        for blocks, off in zip(pdf["blocks"], pdf["_off"]):
-            d, t = decode_postings(list(blocks))
-            docid_parts.append(d + int(off))
+        pos_parts: list[np.ndarray] = []
+        for _, row in pdf.iterrows():
+            blocks = list(row["blocks"])
+            if has_pos:
+                # positions are doc-local token indices — unchanged by the
+                # docid re-base
+                d, t, flat = decode_positions(blocks, list(row["pos_blocks"]))
+                pos_parts.append(flat)
+            else:
+                d, t = decode_postings(blocks)
+            docid_parts.append(d + int(row["_off"]))
             tf_parts.append(t)
         docids = np.concatenate(docid_parts)
         tfs = np.concatenate(tf_parts)
@@ -145,6 +165,13 @@ def execute_merge(
                 "doc_freq": [len(docids)],
                 "sum_tf": [int(tfs.sum())],
                 "blocks": [encode_postings(docids, tfs, BLOCK_SIZE)],
+                "pos_blocks": [
+                    encode_position_blocks(
+                        tfs, np.concatenate(pos_parts), BLOCK_SIZE
+                    )
+                    if has_pos
+                    else None
+                ],
             }
         )
 

@@ -35,8 +35,9 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from quickwit_spark import BM25_B, BM25_K1
+from quickwit_spark.functions.phrase import phrase_freq
 from quickwit_spark.functions.tokenize import analyzer_py, tokenize_py, SPLIT_PATTERN_JAVA
-from quickwit_spark.index.codec import decode_block
+from quickwit_spark.index.codec import decode_block, decode_positions
 from quickwit_spark.index.manifest import Manifest
 from quickwit_spark.plans.query import (
     Bool,
@@ -73,12 +74,18 @@ class SearchRequest:
     max_hits: int = 20
     start_offset: int = 0
     sort_by_field: str | None = None  # None => _score
+    # "asc" | "desc" — the reference encodes Asc as ``u64::MAX - v`` on the
+    # sorting key (collector.rs:78-81); relationally that is just F.asc on
+    # the sort value with the (split_id, docid) tie-break unchanged
+    sort_order: str = "desc"
     start_timestamp: str | None = None  # semi-open [start, end)
     end_timestamp: str | None = None
 
     def __post_init__(self) -> None:
         if self.max_hits > 10_000 or self.start_offset > 10_000:
             raise ValueError("max_hits/start_offset capped at 10_000")
+        if self.sort_order not in ("asc", "desc"):
+            raise ValueError("sort_order must be asc or desc")
 
 
 class IndexReader:
@@ -202,6 +209,48 @@ BLOCK_ROW_SCHEMA = T.StructType(
     ]
 )
 
+POS_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("split_id", T.StringType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("docid", T.LongType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def _decode_positions_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: postings rows with blocks + pos_blocks ->
+    (split_id, term, docid, positions) exploded rows — the phrase path's
+    decode (reads the positions column ONLY here; term/WAND scans never
+    touch it)."""
+    for pdf in batches:
+        sids: list = []
+        terms: list = []
+        docids: list = []
+        poss: list = []
+        for sid, term, blocks, pos_blocks in zip(
+            pdf["split_id"], pdf["term"], pdf["blocks"], pdf["pos_blocks"]
+        ):
+            d, t, flat = decode_positions(list(blocks), list(pos_blocks))
+            cuts = np.cumsum(t)[:-1]
+            sids.append(np.full(len(d), sid, dtype=object))
+            terms.append(np.full(len(d), term, dtype=object))
+            docids.append(d)
+            poss.extend(
+                p.astype(np.int32) for p in np.split(flat, cuts)
+            )
+        if not docids:
+            continue
+        yield pd.DataFrame(
+            {
+                "split_id": np.concatenate(sids),
+                "term": np.concatenate(terms),
+                "docid": np.concatenate(docids),
+                "positions": poss,
+            }
+        )
+
 
 def _decode_block_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel over (split_id, term, doc_freq, block) rows — each
@@ -250,7 +299,11 @@ class Searcher:
         self.tag_field = tag_field or icfg.get("tag_field") or "lang"
         self.ts_field = ts_field or icfg.get("timestamp_field") or "warc_ts"
         self.tokenizer = icfg.get("tokenizer", "default")
+        # indexes built before positions existed have no pos_blocks column:
+        # phrase queries then fall back to the AND+verify approximation
+        self.record = icfg.get("record", "freq")
         self.quantize_norms = quantize_norms
+        self._split_ids: list[str] = []  # set by matching(); scopes phrase scans
         # docstore column names are normalized at build time
         self.fast_fields = {
             self.ts_field: "ts",
@@ -259,14 +312,22 @@ class Searcher:
         }
 
     # ---- term universe --------------------------------------------------
-    def _collect_text_terms(self, node: Node) -> list[str]:
+    def _collect_text_terms(
+        self, node: Node, include_phrases: bool = True
+    ) -> list[str]:
+        """Tokens feeding the scored-terms table. Multi-token phrases are
+        excluded when the positions path will handle them (their postings
+        would be decoded twice otherwise); single-token phrases degrade to
+        term queries and always stay in."""
         out: list[str] = []
 
         def walk(n: Node) -> None:
             if isinstance(n, Term) and self._is_text(n.field):
                 out.extend(self._tok(n.value))
             elif isinstance(n, Phrase) and self._is_text(n.field):
-                out.extend(self._tok(n.text))
+                toks = self._tok(n.text)
+                if include_phrases or len(toks) <= 1:
+                    out.extend(toks)
             elif isinstance(n, TermSet) and self._is_text(n.field):
                 for v in n.values:
                     out.extend(self._tok(v))
@@ -335,7 +396,9 @@ class Searcher:
             )
         post = self.reader.postings().filter(
             F.col("term").isin(terms) & F.col("split_id").isin(split_ids)
-        )
+        ).select("split_id", "term", "doc_freq", "blocks")
+        # ^ explicit projection: the positions column must stay pruned out of
+        # the parquet scan on the term/WAND hot path
         decoded = post.mapInPandas(_decode_postings_rows, DECODED_SCHEMA)
         return self._score_decoded(decoded, split_ids)
 
@@ -525,7 +588,10 @@ class Searcher:
         end_ts: str | None = None,
     ) -> DataFrame:
         """AST -> DataFrame(split_id, docid, score)."""
-        terms = self._collect_text_terms(node)
+        self._split_ids = split_ids  # phrase path scopes its postings scan
+        terms = self._collect_text_terms(
+            node, include_phrases=(self.record != "position")
+        )
         scored = self.scored_terms(terms, split_ids)
         docs = self.reader.docstore().filter(F.col("split_id").isin(split_ids))
         if start_ts is not None:
@@ -605,19 +671,120 @@ class Searcher:
     def _eval_phrase(
         self, node: Phrase, scored: DataFrame, docs: DataFrame
     ) -> DataFrame:
-        """Positions are not stored (record=basic default, SURVEY §1.2):
-        candidates = AND of the phrase's tokens, then an exact ordered-window
-        verification regex over the stored text (fetch-phase check). Scoring
-        = sum of constituent term BM25 (documented deviation from tantivy's
-        phrase-freq scoring)."""
         toks = self._tok(node.text)
         if not toks:
             return self._zero(docs).limit(0)
+        if len(toks) == 1:
+            return self._eval_term(Term(node.field, toks[0]), scored, docs)
+        if self.record == "position":
+            return self._eval_phrase_positions(node, toks)
+        return self._eval_phrase_fallback(node, toks, scored, docs)
+
+    def _eval_phrase_positions(self, node: Phrase, toks: list[str]) -> DataFrame:
+        """True phrase scoring from stored positions (``record: position``).
+
+        tantivy scores a phrase like a single term whose tf is the phrase
+        frequency, with idf summed over the phrase's terms
+        (tantivy Bm25Weight::for_terms; PhraseQuery's fieldnorm-normalized
+        phrase_count). Plan: decode ONLY the phrase terms' postings (with the
+        pos_blocks column — no docstore involvement at all), group positions
+        per doc, count matches with the shared ``phrase_freq`` kernel, then
+        one norms join + broadcast stats join for the BM25 arithmetic. The
+        shuffle is keyed on (split, doc) over the phrase terms' postings —
+        the same slice a term query touches, so the plan survives scale
+        (unlike the old full-docstore regex verify)."""
+        split_ids = self._split_ids
+        uniq = sorted(set(toks))
+        post = self.reader.postings().filter(
+            F.col("term").isin(uniq) & F.col("split_id").isin(split_ids)
+        )
+        dec = post.select(
+            "split_id", "term", "blocks", "pos_blocks"
+        ).mapInPandas(_decode_positions_rows, POS_DECODED_SCHEMA)
+
+        slop = node.slop
+        ordered = list(toks)
+
+        @F.pandas_udf("long")
+        def pf_udf(plists: pd.Series) -> pd.Series:
+            out = np.zeros(len(plists), dtype=np.int64)
+            for i, entries in enumerate(plists):
+                by_term = {
+                    e["term"]: np.asarray(e["positions"], dtype=np.int64)
+                    for e in entries
+                }
+                out[i] = phrase_freq(ordered, by_term, slop)
+            return pd.Series(out)
+
+        grouped = (
+            dec.groupBy("split_id", "docid")
+            .agg(
+                F.collect_list(F.struct("term", "positions")).alias("plists"),
+                F.count_distinct("term").alias("nt"),
+            )
+            .filter(F.col("nt") == len(uniq))
+            .select(
+                "split_id", "docid", pf_udf(F.col("plists")).alias("pf")
+            )
+            .filter(F.col("pf") > 0)
+        )
+
+        # idf summed over the phrase's token sequence (duplicates count, as
+        # in Bm25Weight::for_terms); per-split stats, metadata columns only
+        stats = F.broadcast(self.reader.split_stats())
+        weights = {}
+        for t in toks:
+            weights[t] = weights.get(t, 0.0) + 1.0
+        w_expr = F.coalesce(
+            F.create_map(
+                *[x for t, c in weights.items() for x in (F.lit(t), F.lit(c))]
+            )[F.col("term")],
+            F.lit(0.0),
+        )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+            / (F.col("doc_freq") + F.lit(0.5))
+        )
+        idf_df = (
+            post.select("split_id", "term", "doc_freq")
+            .join(stats, "split_id")
+            .groupBy("split_id")
+            .agg(F.sum(w_expr * idf).alias("idf_sum"))
+        )
+
+        norm_col = "norm_len" if self.quantize_norms else "doc_len"
+        norms = self.reader.docstore().select(
+            "split_id", "docid", F.col(norm_col).cast("double").alias("dl")
+        ).filter(F.col("split_id").isin(split_ids))
+        pf = F.col("pf").cast("double")
+        tf_norm = pf * F.lit(BM25_K1 + 1.0) / (
+            pf
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+        return (
+            grouped.join(F.broadcast(idf_df), "split_id")
+            .join(stats, "split_id")
+            .join(norms, ["split_id", "docid"])
+            .select(
+                "split_id",
+                "docid",
+                (F.col("idf_sum") * tf_norm).alias("score"),
+            )
+        )
+
+    def _eval_phrase_fallback(
+        self, node: Phrase, toks: list[str], scored: DataFrame, docs: DataFrame
+    ) -> DataFrame:
+        """No positions stored (record=freq): candidates = AND of the
+        phrase's tokens, then an exact ordered-window regex verification over
+        the stored text of ONLY the candidate rows (semi-join first — the
+        regex must never scan the whole docstore). Scoring = sum of
+        constituent term BM25 (documented deviation)."""
         cand = self._eval_bool(
             Bool(must=[Term(node.field, t) for t in toks]), scored, docs
         )
-        if len(toks) == 1:
-            return cand
         sep = r"[^\p{L}\p{N}]+"
         gap = sep if node.slop == 0 else sep + rf"(?:[\p{{L}}\p{{N}}]+{sep}){{0,{node.slop}}}"
         pattern = (
@@ -625,8 +792,14 @@ class Searcher:
             + gap.join(re_escape(t) for t in toks)
             + r"(?:$|[^\p{L}\p{N}])"
         )
-        verify = docs.filter(F.lower(F.col("text")).rlike(pattern)).select(
-            "split_id", "docid"
+        verify = (
+            docs.join(
+                cand.select("split_id", "docid"),
+                ["split_id", "docid"],
+                "left_semi",
+            )
+            .filter(F.lower(F.col("text")).rlike(pattern))
+            .select("split_id", "docid")
         )
         return cand.join(verify, ["split_id", "docid"], "inner")
 
@@ -823,6 +996,7 @@ def search(
         searcher.disjunctive_tokens(ast)
         if use_wand
         and request.sort_by_field in (None, "_score")
+        and request.sort_order == "desc"  # WAND prunes for BEST-score top-k
         and request.start_timestamp is None
         and request.end_timestamp is None
         else None
@@ -846,7 +1020,8 @@ def search(
             "score", F.col("_sort").cast("double")
         ).drop("_sort")
 
-    order = [F.desc("score"), F.asc("split_id"), F.asc("docid")]
+    key = F.asc("score") if request.sort_order == "asc" else F.desc("score")
+    order = [key, F.asc("split_id"), F.asc("docid")]
     top = m.orderBy(*order).limit(k_total)
     if request.start_offset:
         w = Window.orderBy(*order)
