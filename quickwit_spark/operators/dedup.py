@@ -183,9 +183,20 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    # Restrict the exact-Jaccard verification to the docs LSH proposed —
+    # computing all-pairs Jaccard over the whole corpus and then filtering
+    # by candidates would execute exactly the work LSH exists to avoid. The
+    # semi-join keeps every shingle of each candidate doc (per-doc sizes
+    # stay exact), so pair Jaccard values are identical to the unrestricted
+    # computation; only non-candidate docs drop out of the inverted index.
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
     sh = df.select(
         F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("shingle")
-    )
+    ).join(cand_ids, id_col, "left_semi")
     verified = _pair_jaccard(sh, id_col, max_bucket)
     return cand.join(verified, ["id_a", "id_b"]).filter(
         F.col("jaccard") >= F.lit(threshold)

@@ -53,6 +53,10 @@ from quickwit_spark.plans.query import (
 
 # corpus size above which the WAND pruning plan beats exhaustive decode
 WAND_MIN_DOCS = 1_000_000
+# WAND phase-4 candidate sets above this bound use a shuffle join instead of
+# a broadcast (a hot-term disjunction with a weak theta can leave candidate
+# sets far beyond driver/executor broadcast limits at scale)
+WAND_BROADCAST_MAX_CANDIDATES = 200_000
 
 DECODED_SCHEMA = T.StructType(
     [
@@ -520,6 +524,7 @@ class Searcher:
                 "bi",
                 F.col("block.first_docid").alias("first_docid"),
                 F.col("block.last_docid").alias("last_docid"),
+                F.col("block.count").alias("n_postings"),
                 (idf * ub_tf).alias("ub"),
             )
             .cache()
@@ -559,21 +564,34 @@ class Searcher:
             .filter(F.col("ub") + F.col("slack") - F.col("tmax") >= F.lit(theta))
         )
 
-        # -- phase 4: exact scores for candidate docs
+        # -- phase 4: exact scores for candidate docs. The candidate set is
+        # bounded above by the surviving blocks' posting counts (block
+        # metadata only — no decode): broadcast it only when that bound is
+        # small; a hot-term disjunction with a weak theta falls back to a
+        # shuffle join (SMJ on split_id + range condition) instead of
+        # shipping an unbounded set through the driver.
+        cand_bound = (
+            surv.agg(F.sum("n_postings").alias("n")).collect()[0]["n"] or 0
+        )
         cand = (
             decode_sel(surv)
             .select("split_id", "docid")
             .distinct()
         )
+        hint = (
+            F.broadcast
+            if cand_bound <= WAND_BROADCAST_MAX_CANDIDATES
+            else (lambda df: df)
+        )
         needed = meta.alias("m").join(
-            F.broadcast(cand).alias("c"),
+            hint(cand).alias("c"),
             (F.col("m.split_id") == F.col("c.split_id"))
             & (F.col("c.docid") >= F.col("m.first_docid"))
             & (F.col("c.docid") <= F.col("m.last_docid")),
             "left_semi",
         )
         exact = self._score_decoded(decode_sel(needed), split_ids).join(
-            F.broadcast(cand), ["split_id", "docid"], "left_semi"
+            hint(cand), ["split_id", "docid"], "left_semi"
         )
         return exact.groupBy("split_id", "docid").agg(
             F.sum("score").alias("score")

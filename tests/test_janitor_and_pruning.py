@@ -133,3 +133,67 @@ def test_delete_by_query(spark, pages_small, tmp_path):
     # replaced split data reclaimed by GC
     garbage_collect(d)
     assert hits2("needletwo") > 0
+
+
+def test_delete_job_count_constant(spark, pages_small, tmp_path):
+    """The rewrite phase is a fixed number of cluster actions (match count,
+    docstore, postings, stats), NOT a per-split driver loop. AQE fans each
+    action into per-stage jobs, so the invariant is job count NOT GROWING
+    with the number of affected splits (the old loop issued ~3 jobs per
+    split)."""
+    sc = spark.sparkContext
+
+    def delete_jobs(n_splits: int, name: str) -> tuple[int, int]:
+        d = str(tmp_path / name)
+        build_index(
+            spark, pages_small, d, IndexConfig(index_id="pages", num_splits=n_splits)
+        )
+        group = f"delete-batch-{name}"
+        sc.setJobGroup(group, "delete_by_query job count")
+        try:
+            # matches in every split, empties none
+            m = delete_by_query(spark, d, "w20")
+        finally:
+            sc.setJobGroup(None, None)
+        assert len(m.rewritten_splits) == n_splits
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    jobs2 = delete_jobs(2, "deljobs2")
+    jobs5 = delete_jobs(5, "deljobs5")
+    # identical plan shape => identical-ish job count; a driver loop would
+    # add ~3 jobs per extra split (9+ here)
+    assert jobs5 <= jobs2 + 3, (jobs2, jobs5)
+
+
+def test_delete_then_merge_docids_stay_sound(spark, pages_small, tmp_path):
+    """ADVICE r01 regression: merging delete-rewritten splits (docid gaps)
+    must re-base by docid ceiling — results stay correct and the codec
+    accepts the merged (strictly ascending) docids."""
+    from quickwit_spark.index.merge_policy import (
+        StableLogConfig,
+        StableLogMergePolicy,
+    )
+    from quickwit_spark.operators.merge import run_merge_pipeline
+
+    d = str(tmp_path / "delmerge")
+    build_index(spark, pages_small, d, IndexConfig(index_id="pages", num_splits=3))
+    reader = IndexReader(spark, d)
+    total = search(reader, SearchRequest(query="*", max_hits=1000), fetch_fields=()).count()
+    m = delete_by_query(spark, d, "needleone")
+    assert m.rewritten_splits
+    mm = run_merge_pipeline(
+        spark, d,
+        StableLogMergePolicy(StableLogConfig(merge_factor=2, max_merge_factor=3)),
+    )
+    assert mm.num_ops >= 1
+    reader.refresh()
+    merged = {x.split_id: x for x in reader.manifest.list_published()}
+    # merged split exists and docids are unique (no collision from gaps)
+    store = reader.docstore()
+    dup = (
+        store.groupBy("split_id", "docid").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    assert search(reader, SearchRequest(query="*", max_hits=1000), fetch_fields=()).count() == total - m.matched_docs
+    assert search(reader, SearchRequest(query="needleone", max_hits=10), fetch_fields=()).count() == 0
+    assert search(reader, SearchRequest(query="needletwo", max_hits=10), fetch_fields=()).count() > 0

@@ -63,3 +63,16 @@ def test_wand_eligibility():
     assert s.disjunctive_tokens(parse_query('"w1 w2"')) is None
     # duplicate tokens would double-count in the union path
     assert s.disjunctive_tokens(parse_query("w1 OR w1")) is None
+
+
+def test_wand_large_candidate_shuffle_join(small_index, monkeypatch):
+    """Force the phase-4 size guard down to 0 so every candidate set takes
+    the shuffle-join path — results must stay identical to exhaustive
+    (the broadcast is an optimization, never a semantics change)."""
+    import quickwit_spark.operators.search as S
+
+    monkeypatch.setattr(S, "WAND_BROADCAST_MAX_CANDIDATES", 0)
+    for q in ("w0 OR w1 OR w2", "w47 OR needletwo"):
+        assert _top(small_index, q, k=10, wand=True) == _top(
+            small_index, q, k=10, wand=False
+        )
