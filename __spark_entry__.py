@@ -294,6 +294,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_date_histogram_stats"] = date_histogram_stats
 
+    def trace_top_ids(s: SparkSession, d: str) -> DataFrame:
+        # FindTraceIds collector analog (find_trace_ids_collector.rs:122-142)
+        s.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ -> epoch pin
+        out = A.find_trace_ids(_events(s, d), "user_id", "ts", n=10)
+        return out.select(
+            "trace_id",
+            F.unix_micros(F.col("max_ts").cast("timestamp")).alias("max_ts_us"),
+        )
+
+    q["trace_top_ids"] = trace_top_ids
+
+    def json_path_count(s: SparkSession, d: str) -> DataFrame:
+        # JSON-field path term over the events props column
+        from quickwit_spark.schema import dynamic_path_filter
+
+        ev = _events(s, d)
+        return ev.filter(dynamic_path_filter(F.col("props"), "k", "69")).select(
+            "event_id"
+        )
+
+    q["json_path_count"] = json_path_count
+
+    def dynamic_field_query(s: SparkSession, d: str) -> DataFrame:
+        # dynamic mode: unmapped columns funnel into _dynamic and stay
+        # path-queryable (default_mapper.rs:220-224; doc_mapper.rs:262-291)
+        from quickwit_spark.schema import (
+            DocMapper,
+            DocMapping,
+            FieldMapping,
+            dynamic_path_filter,
+        )
+
+        mapping = DocMapping(
+            field_mappings=[
+                FieldMapping("event_id", "i64"),
+                FieldMapping("event_type", "text"),
+            ],
+            mode="dynamic",
+        )
+        mapped = DocMapper(mapping).map(_events(s, d)).docs
+        return mapped.filter(
+            dynamic_path_filter(F.col("_dynamic"), "user_id", "7")
+        ).select("event_id")
+
+    q["dynamic_field_query"] = dynamic_field_query
+
     def stats_by_type(s: SparkSession, d: str) -> DataFrame:
         return (
             _events(s, d)
@@ -454,6 +500,16 @@ SELECT (floor(epoch(ts) / 21600) * 21600)::BIGINT AS key,
   round(avg(value), 4) AS avg_value, round(sum(value), 2) AS sum_value,
   count(value) AS n_values
 FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY key
+"""
+    o["trace_top_ids"] = """
+SELECT user_id AS trace_id, epoch_us(max(ts))::BIGINT AS max_ts_us
+FROM events GROUP BY 1 ORDER BY max_ts_us DESC, trace_id ASC LIMIT 10
+"""
+    o["json_path_count"] = """
+SELECT event_id FROM events WHERE props->>'k' = '69'
+"""
+    o["dynamic_field_query"] = """
+SELECT event_id FROM events WHERE user_id = 7
 """
     o["agg_stats_by_type"] = """
 SELECT event_type AS key, count(value) AS count,

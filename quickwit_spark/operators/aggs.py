@@ -153,6 +153,22 @@ def stats_agg(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def find_trace_ids(
+    df: DataFrame, trace_col: str, ts_col: str, n: int = 10
+) -> DataFrame:
+    """FindTraceIds collector (quickwit-search/src/find_trace_ids_collector.rs
+    :122-142): top-``n`` distinct trace ids, each keyed by the max span
+    timestamp seen for that trace, newest first. Relationally this is one
+    partial+final aggregation + TakeOrdered — no custom collector needed.
+    Returns (trace_id, max_ts) with trace_id asc as tie-break."""
+    return (
+        df.groupBy(F.col(trace_col).alias("trace_id"))
+        .agg(F.max(ts_col).alias("max_ts"))
+        .orderBy(F.desc("max_ts"), F.asc("trace_id"))
+        .limit(n)
+    )
+
+
 def metric(df: DataFrame, col: str, kind: str) -> DataFrame:
     """Single metric agg: avg | value_count | max | min | sum."""
     c = F.col(col)

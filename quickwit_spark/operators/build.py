@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from quickwit_spark import BLOCK_SIZE
-from quickwit_spark.functions.fieldnorm import quantize_len, fieldnorm_to_id
+from quickwit_spark.functions.fieldnorm import quantize_len_expr
 from quickwit_spark.functions.tokenize import analyzer_expr, tokenize_expr
 from quickwit_spark.index.codec import encode_position_blocks, encode_postings
 from quickwit_spark.index.manifest import Manifest, SplitMetadata
@@ -119,6 +119,12 @@ class IndexConfig:
     # The reference default is `basic`; we default to position because phrase
     # queries without positions degrade to a documented approximation.
     record: str = "position"
+    # additional stored/fast columns carried into the docstore verbatim
+    # (typed per the input schema): the docstore IS the fast-field storage
+    # (SURVEY §1.1), so any listed column becomes range-filterable,
+    # sortable, aggregatable and — for JSON string columns — path-queryable
+    # (`field.a.b:v`)
+    store_fields: tuple[str, ...] = ()
     # generation tag for split ids — batch builds use 0; the streaming
     # indexer stamps each micro-batch with its batch_id so split ids and
     # checkpoint lineage stay disjoint across batches
@@ -504,6 +510,7 @@ def prepare_docs(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
         keep.add(cfg.timestamp_field)
     if cfg.routing_col:
         keep.add(cfg.routing_col)
+    keep.update(cfg.store_fields)
     df = (
         pages.select(*sorted(keep))
         .withColumn("partition_id", route)
@@ -539,6 +546,7 @@ def build_index(
             "doc_key": cfg.doc_key,
             "tokenizer": cfg.tokenizer,
             "record": cfg.record,
+            "store_fields": list(cfg.store_fields),
         }
     )
 
@@ -573,24 +581,24 @@ def build_index(
     docs.cache()  # reused by docstore write + postings build + stats
 
     # --- docstore (row store + fast fields + norms)
-    @F.pandas_udf("int")
-    def norm_len_udf(dl: pd.Series) -> pd.Series:
-        # tantivy-fidelity: |d| used by BM25 is the SmallFloat-dequantized
-        # length (SURVEY §7.4) — precomputed at build like a fieldnorm column
-        return pd.Series(quantize_len(dl.to_numpy()))
-
     store_cols = [
         "split_id",
         "docid",
         F.col(cfg.doc_key).alias("url") if cfg.doc_key != "url" else F.col("url"),
         F.col(cfg.text_field).alias("text") if cfg.text_field != "text" else F.col("text"),
         "doc_len",
-        norm_len_udf(F.col("doc_len")).alias("norm_len"),
+        # tantivy-fidelity: |d| used by BM25 is the SmallFloat-dequantized
+        # length (SURVEY §7.4) — precomputed at build like a fieldnorm
+        # column, as a pure codegen expression (no Python in this job)
+        quantize_len_expr(F.col("doc_len")).alias("norm_len"),
     ]
     if cfg.tag_field:
         store_cols.append(F.col(cfg.tag_field).alias("tag"))
     if cfg.timestamp_field:
         store_cols.append(F.col(cfg.timestamp_field).alias("ts"))
+    for extra in cfg.store_fields:
+        if extra not in {cfg.doc_key, cfg.text_field, cfg.tag_field, cfg.timestamp_field}:
+            store_cols.append(F.col(extra))
     docstore = docs.select(*store_cols)
     (
         # no repartition: the docid-assignment window already clustered rows

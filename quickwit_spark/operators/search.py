@@ -35,7 +35,6 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from quickwit_spark import BM25_B, BM25_K1
-from quickwit_spark.functions.phrase import phrase_freq
 from quickwit_spark.functions.tokenize import analyzer_py, tokenize_py, SPLIT_PATTERN_JAVA
 from quickwit_spark.index.codec import decode_block, decode_positions
 from quickwit_spark.index.manifest import Manifest
@@ -65,8 +64,57 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("doc_freq", T.LongType()),
         T.StructField("docid", T.LongType()),
         T.StructField("tf", T.LongType()),
+        T.StructField("dl", T.DoubleType()),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# executor-side fieldnorm cache: the analog of tantivy's per-segment
+# fieldnorm file + the searcher's fast-field cache (leaf.rs:330-346 warmup,
+# 1 GB cache default). Splits are immutable, so (index_dir, split_id) is a
+# sound cache key; entries are the docid->doc-length arrays read from the
+# split's docstore parquet with column pruning (2 int columns — never the
+# text). Scoring then needs NO per-query norms join: the decode kernels
+# attach |d| map-side, and no docstore shuffle happens at all.
+# ---------------------------------------------------------------------------
+
+_NORMS_CACHE: dict = {}
+_NORMS_CACHE_MAX = 64
+
+
+def _load_norms(index_dir: str, split_id: str, quantize: bool):
+    """-> (sorted docid array | None, doc-length array). ``None`` docids
+    mean the split is docid-dense (docid == row index, the build layout);
+    delete-rewritten splits with gaps keep the explicit docid array."""
+    key = (index_dir, split_id, quantize)
+    hit = _NORMS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+
+    col = "norm_len" if quantize else "doc_len"
+    tbl = pq.read_table(
+        f"{index_dir}/docstore/split_id={split_id}", columns=["docid", col]
+    )
+    docids = tbl.column("docid").to_numpy().astype(np.int64)
+    dls = tbl.column(col).to_numpy().astype(np.float64)
+    order = np.argsort(docids, kind="stable")
+    docids = docids[order]
+    dls = dls[order]
+    dense = len(docids) > 0 and docids[0] == 0 and docids[-1] == len(docids) - 1
+    entry = (None if dense else docids, dls)
+    if len(_NORMS_CACHE) >= _NORMS_CACHE_MAX:
+        _NORMS_CACHE.pop(next(iter(_NORMS_CACHE)))
+    _NORMS_CACHE[key] = entry
+    return entry
+
+
+def _norms_for(index_dir: str, split_id: str, quantize: bool, docids: np.ndarray):
+    idx, dls = _load_norms(index_dir, split_id, quantize)
+    if idx is None:
+        return dls[docids]
+    return dls[np.searchsorted(idx, docids)]
 
 
 @dataclass
@@ -108,6 +156,7 @@ class IndexReader:
         self._docstore: DataFrame | None = None
         self._warmed: list[DataFrame] = []
         self._scratch: list[DataFrame] = []
+        self._split_stats: DataFrame | None = None
 
     def refresh(self) -> None:
         # unpersist before dropping the references — executor storage memory
@@ -118,6 +167,7 @@ class IndexReader:
         self._warmed = []
         self._postings = None
         self._docstore = None
+        self._split_stats = None
 
     def hold_scratch(self, df: DataFrame) -> DataFrame:
         """Register a per-query cached DataFrame (e.g. WAND block metadata)
@@ -161,46 +211,60 @@ class IndexReader:
         return self._docstore
 
     def split_stats(self) -> DataFrame:
-        """Tiny per-split stats DF (broadcast into the scorer)."""
-        rows = [
-            (sid, s["num_docs"], float(s["avgdl"]))
-            for sid, s in self.manifest.stats().items()
-        ]
-        return self.spark.createDataFrame(
-            rows, "split_id string, n_docs long, avgdl double"
-        )
+        """Tiny per-split stats DF (broadcast into the scorer); memoized per
+        reader — stats only change with publishes, which require refresh()."""
+        if self._split_stats is None:
+            rows = [
+                (sid, s["num_docs"], float(s["avgdl"]))
+                for sid, s in self.manifest.stats().items()
+            ]
+            self._split_stats = self.spark.createDataFrame(
+                rows, "split_id string, n_docs long, avgdl double"
+            )
+        return self._split_stats
 
 
-def _decode_postings_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: postings rows (with compressed blocks) ->
-    (split_id, term, doc_freq, docid, tf) exploded rows. numpy inside."""
-    for pdf in batches:
-        sids: list = []
-        terms: list = []
-        dfs: list = []
-        docids: list = []
-        tfs: list = []
-        for sid, term, dfreq, blocks in zip(
-            pdf["split_id"], pdf["term"], pdf["doc_freq"], pdf["blocks"]
-        ):
-            for b in blocks:
-                d, t = decode_block(b)
+def _make_decode_postings_rows(index_dir: str, quantize: bool):
+    """mapInPandas kernel factory: postings rows (with compressed blocks) ->
+    (split_id, term, doc_freq, docid, tf, dl) exploded rows. numpy inside;
+    |d| attached from the executor-side fieldnorm cache (no norms join)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sids: list = []
+            terms: list = []
+            dfs: list = []
+            docids: list = []
+            tfs: list = []
+            dls: list = []
+            for sid, term, dfreq, blocks in zip(
+                pdf["split_id"], pdf["term"], pdf["doc_freq"], pdf["blocks"]
+            ):
+                row_d = [decode_block(b) for b in blocks]
+                if not row_d:
+                    continue
+                d = np.concatenate([x[0] for x in row_d])
+                t = np.concatenate([x[1] for x in row_d])
                 sids.append(np.full(len(d), sid, dtype=object))
                 terms.append(np.full(len(d), term, dtype=object))
                 dfs.append(np.full(len(d), dfreq, dtype=np.int64))
                 docids.append(d)
                 tfs.append(t)
-        if not docids:
-            continue
-        yield pd.DataFrame(
-            {
-                "split_id": np.concatenate(sids),
-                "term": np.concatenate(terms),
-                "doc_freq": np.concatenate(dfs),
-                "docid": np.concatenate(docids),
-                "tf": np.concatenate(tfs),
-            }
-        )
+                dls.append(_norms_for(index_dir, sid, quantize, d))
+            if not docids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "split_id": np.concatenate(sids),
+                    "term": np.concatenate(terms),
+                    "doc_freq": np.concatenate(dfs),
+                    "docid": np.concatenate(docids),
+                    "tf": np.concatenate(tfs),
+                    "dl": np.concatenate(dls),
+                }
+            )
+
+    return kernel
 
 
 BLOCK_ROW_SCHEMA = T.StructType(
@@ -210,78 +274,140 @@ BLOCK_ROW_SCHEMA = T.StructType(
         T.StructField("doc_freq", T.LongType()),
         T.StructField("docid", T.LongType()),
         T.StructField("tf", T.LongType()),
+        T.StructField("dl", T.DoubleType()),
     ]
 )
 
-POS_DECODED_SCHEMA = T.StructType(
+PHRASE_PF_SCHEMA = T.StructType(
     [
         T.StructField("split_id", T.StringType()),
-        T.StructField("term", T.StringType()),
         T.StructField("docid", T.LongType()),
-        T.StructField("positions", T.ArrayType(T.IntegerType())),
+        T.StructField("pf", T.LongType()),
+        T.StructField("idf_sum", T.DoubleType()),
+        T.StructField("dl", T.DoubleType()),
     ]
 )
 
+# global phrase coordinate: g = docid * SHIFT + position. Positions are
+# doc-local token indices < 2^32; docids < 2^30 (merged ceiling 120M), so g
+# fits int64 and cross-doc gaps always exceed any practical slop.
+_PHRASE_SHIFT = np.int64(1) << np.int64(32)
 
-def _decode_positions_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: postings rows with blocks + pos_blocks ->
-    (split_id, term, docid, positions) exploded rows — the phrase path's
-    decode (reads the positions column ONLY here; term/WAND scans never
-    touch it)."""
-    for pdf in batches:
-        sids: list = []
-        terms: list = []
-        docids: list = []
-        poss: list = []
-        for sid, term, blocks, pos_blocks in zip(
-            pdf["split_id"], pdf["term"], pdf["blocks"], pdf["pos_blocks"]
-        ):
-            d, t, flat = decode_positions(list(blocks), list(pos_blocks))
-            cuts = np.cumsum(t)[:-1]
-            sids.append(np.full(len(d), sid, dtype=object))
-            terms.append(np.full(len(d), term, dtype=object))
-            docids.append(d)
-            poss.extend(
-                p.astype(np.int32) for p in np.split(flat, cuts)
+
+def _make_phrase_kernel(
+    ordered: list[str],
+    uniq: list[str],
+    slop: int,
+    n_docs_by_split: dict[str, int],
+    index_dir: str,
+    quantize: bool,
+):
+    """mapInPandas kernel over a split's phrase-term postings rows ->
+    (split_id, docid, pf, idf_sum) for docs with phrase_freq > 0.
+
+    The whole split's matching is ONE vectorized pass: each term's
+    (docid, position) pairs become sorted global coordinates
+    ``docid * 2^32 + pos``; the greedy ordered-within-slop rule
+    (functions/phrase.py contract) runs simultaneously for every candidate
+    start via searchsorted, and a cross-doc jump can never pass the stretch
+    check because doc boundaries are 2^32 apart. Equivalent to running
+    phrase_freq per doc, without per-doc Python."""
+
+    n_terms = len(ordered)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[str, dict[str, tuple]] = {}
+        dfs: dict[str, dict[str, int]] = {}
+        for pdf in batches:
+            for sid, term, dfreq, blocks, pos_blocks in zip(
+                pdf["split_id"],
+                pdf["term"],
+                pdf["doc_freq"],
+                pdf["blocks"],
+                pdf["pos_blocks"],
+            ):
+                d, t, flat = decode_positions(list(blocks), list(pos_blocks))
+                g = np.repeat(d, t) * _PHRASE_SHIFT + flat
+                acc.setdefault(sid, {})[term] = g
+                dfs.setdefault(sid, {})[term] = int(dfreq)
+        out = []
+        for sid, by_term in acc.items():
+            if any(u not in by_term for u in uniq):
+                continue
+            n = n_docs_by_split.get(sid)
+            if n is None:
+                continue
+            idf_sum = float(
+                sum(
+                    np.log(1.0 + (n - dfs[sid][t] + 0.5) / (dfs[sid][t] + 0.5))
+                    for t in ordered
+                )
             )
-        if not docids:
-            continue
-        yield pd.DataFrame(
-            {
-                "split_id": np.concatenate(sids),
-                "term": np.concatenate(terms),
-                "docid": np.concatenate(docids),
-                "positions": poss,
-            }
-        )
+            starts = by_term[ordered[0]]
+            prev = starts
+            valid = np.ones(len(starts), dtype=bool)
+            for tok in ordered[1:]:
+                g = by_term[tok]
+                js = np.searchsorted(g, prev + 1)
+                inb = js < len(g)
+                nxt = np.where(inb, g[np.minimum(js, len(g) - 1)], np.int64(2**62))
+                valid &= inb
+                prev = nxt
+            match = valid & (prev - starts - (n_terms - 1) <= slop)
+            if not match.any():
+                continue
+            mdoc = (starts[match] // _PHRASE_SHIFT).astype(np.int64)
+            udoc, pf = np.unique(mdoc, return_counts=True)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "split_id": np.full(len(udoc), sid, dtype=object),
+                        "docid": udoc,
+                        "pf": pf.astype(np.int64),
+                        "idf_sum": np.full(len(udoc), idf_sum),
+                        "dl": _norms_for(index_dir, sid, quantize, udoc),
+                    }
+                )
+            )
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return kernel
 
 
-def _decode_block_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel over (split_id, term, doc_freq, block) rows — each
-    row is ONE compressed block (the WAND path decodes selected blocks only,
-    unlike _decode_postings_rows which decodes whole posting lists)."""
-    for pdf in batches:
-        sids, terms, dfs, docids, tfs = [], [], [], [], []
-        for sid, term, dfreq, block in zip(
-            pdf["split_id"], pdf["term"], pdf["doc_freq"], pdf["block"]
-        ):
-            d, t = decode_block(block)
-            sids.append(np.full(len(d), sid, dtype=object))
-            terms.append(np.full(len(d), term, dtype=object))
-            dfs.append(np.full(len(d), dfreq, dtype=np.int64))
-            docids.append(d)
-            tfs.append(t)
-        if not docids:
-            continue
-        yield pd.DataFrame(
-            {
-                "split_id": np.concatenate(sids),
-                "term": np.concatenate(terms),
-                "doc_freq": np.concatenate(dfs),
-                "docid": np.concatenate(docids),
-                "tf": np.concatenate(tfs),
-            }
-        )
+def _make_decode_block_rows(index_dir: str, quantize: bool):
+    """mapInPandas kernel factory over (split_id, term, doc_freq, block)
+    rows — each row is ONE compressed block (the WAND path decodes selected
+    blocks only, unlike the whole-posting-list kernel). |d| attached from
+    the executor-side fieldnorm cache."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sids, terms, dfs, docids, tfs, dls = [], [], [], [], [], []
+            for sid, term, dfreq, block in zip(
+                pdf["split_id"], pdf["term"], pdf["doc_freq"], pdf["block"]
+            ):
+                d, t = decode_block(block)
+                sids.append(np.full(len(d), sid, dtype=object))
+                terms.append(np.full(len(d), term, dtype=object))
+                dfs.append(np.full(len(d), dfreq, dtype=np.int64))
+                docids.append(d)
+                tfs.append(t)
+                dls.append(_norms_for(index_dir, sid, quantize, d))
+            if not docids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "split_id": np.concatenate(sids),
+                    "term": np.concatenate(terms),
+                    "doc_freq": np.concatenate(dfs),
+                    "docid": np.concatenate(docids),
+                    "tf": np.concatenate(tfs),
+                    "dl": np.concatenate(dls),
+                }
+            )
+
+    return kernel
 
 
 class Searcher:
@@ -314,6 +440,10 @@ class Searcher:
             "doc_len": "doc_len",
             "url": "url",
         }
+        # extra stored/fast columns keep their own names (IndexConfig
+        # store_fields); JSON string columns among them are path-queryable
+        for extra in icfg.get("store_fields", []) or []:
+            self.fast_fields.setdefault(extra, extra)
 
     # ---- term universe --------------------------------------------------
     def _collect_text_terms(
@@ -354,19 +484,13 @@ class Searcher:
     def _score_decoded(
         self, decoded: DataFrame, split_ids: list[str] | None = None
     ) -> DataFrame:
-        """(split_id, term, doc_freq, docid, tf) rows -> per-posting BM25
-        contributions: one norms join + one broadcast stats join, then pure
-        column arithmetic (whole-stage codegen). ``split_ids`` statically
-        prunes the norms scan to published splits (dead split directories may
-        be garbage-collected at any time)."""
-        norm_col = "norm_len" if self.quantize_norms else "doc_len"
-        norms = self.reader.docstore().select(
-            "split_id", "docid", F.col(norm_col).cast("double").alias("dl")
-        )
-        if split_ids is not None:
-            norms = norms.filter(F.col("split_id").isin(split_ids))
+        """(split_id, term, doc_freq, docid, tf, dl) rows -> per-posting BM25
+        contributions: the decode kernel already attached |d| from the
+        executor fieldnorm cache, so this is ONE broadcast stats join plus
+        pure column arithmetic (whole-stage codegen) — no docstore scan, no
+        shuffle."""
         stats = F.broadcast(self.reader.split_stats())
-        j = decoded.join(stats, "split_id").join(norms, ["split_id", "docid"])
+        j = decoded.join(stats, "split_id")
         idf = F.log(
             F.lit(1.0)
             + (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
@@ -403,7 +527,10 @@ class Searcher:
         ).select("split_id", "term", "doc_freq", "blocks")
         # ^ explicit projection: the positions column must stay pruned out of
         # the parquet scan on the term/WAND hot path
-        decoded = post.mapInPandas(_decode_postings_rows, DECODED_SCHEMA)
+        decoded = post.mapInPandas(
+            _make_decode_postings_rows(self.reader.index_dir, self.quantize_norms),
+            DECODED_SCHEMA,
+        )
         return self._score_decoded(decoded, split_ids)
 
     # ---- tag pruning (quickwit-doc-mapper/src/tag_pruning.rs analog) -----
@@ -534,13 +661,17 @@ class Searcher:
         # unpersist eagerly)
         self.reader.hold_scratch(meta)
 
+        block_kernel = _make_decode_block_rows(
+            self.reader.index_dir, self.quantize_norms
+        )
+
         def decode_sel(sel_keys: DataFrame) -> DataFrame:
             rows = exploded.join(
                 F.broadcast(sel_keys.select("split_id", "term", "bi")),
                 ["split_id", "term", "bi"],
                 "left_semi",
             ).select("split_id", "term", "doc_freq", "block")
-            return rows.mapInPandas(_decode_block_rows, BLOCK_ROW_SCHEMA)
+            return rows.mapInPandas(block_kernel, BLOCK_ROW_SCHEMA)
 
         # -- phase 2: threshold from the best seed blocks
         seed_n = max(8, 2 * ((k + 127) // 128 + 1))
@@ -666,6 +797,17 @@ class Searcher:
             return docs.filter(F.col("tag") == node.value).select(
                 "split_id", "docid", F.lit(0.0).alias("score")
             )
+        if "." in node.field:
+            # JSON-path term `field.a.b:v` (doc_mapper.rs:262-291): the root
+            # must be a stored JSON column; string comparison on the
+            # extracted scalar also matches numbers by canonical rendering
+            root, path = node.field.split(".", 1)
+            col = self.fast_fields.get(root, root)
+            if col in docs.columns:
+                return docs.filter(
+                    F.get_json_object(F.col(col), f"$.{path}") == F.lit(node.value)
+                ).select("split_id", "docid", F.lit(0.0).alias("score"))
+            raise ValueError(f"unknown json field {root!r}")
         col = self.fast_fields.get(node.field, node.field)
         return docs.filter(F.col(col) == node.value).select(
             "split_id", "docid", F.lit(0.0).alias("score")
@@ -704,92 +846,45 @@ class Searcher:
         tantivy scores a phrase like a single term whose tf is the phrase
         frequency, with idf summed over the phrase's terms
         (tantivy Bm25Weight::for_terms; PhraseQuery's fieldnorm-normalized
-        phrase_count). Plan: decode ONLY the phrase terms' postings (with the
-        pos_blocks column — no docstore involvement at all), group positions
-        per doc, count matches with the shared ``phrase_freq`` kernel, then
-        one norms join + broadcast stats join for the BM25 arithmetic. The
-        shuffle is keyed on (split, doc) over the phrase terms' postings —
-        the same slice a term query touches, so the plan survives scale
-        (unlike the old full-docstore regex verify)."""
+        phrase_count). Plan: shuffle ONLY the phrase terms' still-compressed
+        postings rows to one task per split (a handful of rows, ~2 bytes per
+        posting), run the vectorized split-local matcher, then one norms
+        join + broadcast stats join for the BM25 arithmetic. Work per task
+        is bounded by one split's phrase-term postings — the same slice a
+        term query touches — so the plan survives scale (unlike the old
+        full-docstore regex verify)."""
         split_ids = self._split_ids
         uniq = sorted(set(toks))
+        stats_map = self.reader.manifest.stats()
+        n_docs_by_split = {
+            sid: s["num_docs"] for sid, s in stats_map.items() if sid in set(split_ids)
+        }
         post = self.reader.postings().filter(
             F.col("term").isin(uniq) & F.col("split_id").isin(split_ids)
-        )
-        dec = post.select(
-            "split_id", "term", "blocks", "pos_blocks"
-        ).mapInPandas(_decode_positions_rows, POS_DECODED_SCHEMA)
-
-        slop = node.slop
-        ordered = list(toks)
-
-        @F.pandas_udf("long")
-        def pf_udf(plists: pd.Series) -> pd.Series:
-            out = np.zeros(len(plists), dtype=np.int64)
-            for i, entries in enumerate(plists):
-                by_term = {
-                    e["term"]: np.asarray(e["positions"], dtype=np.int64)
-                    for e in entries
-                }
-                out[i] = phrase_freq(ordered, by_term, slop)
-            return pd.Series(out)
-
-        grouped = (
-            dec.groupBy("split_id", "docid")
-            .agg(
-                F.collect_list(F.struct("term", "positions")).alias("plists"),
-                F.count_distinct("term").alias("nt"),
-            )
-            .filter(F.col("nt") == len(uniq))
-            .select(
-                "split_id", "docid", pf_udf(F.col("plists")).alias("pf")
-            )
-            .filter(F.col("pf") > 0)
+        ).select("split_id", "term", "doc_freq", "blocks", "pos_blocks")
+        pf_df = post.repartition("split_id").mapInPandas(
+            _make_phrase_kernel(
+                list(toks),
+                uniq,
+                node.slop,
+                n_docs_by_split,
+                self.reader.index_dir,
+                self.quantize_norms,
+            ),
+            PHRASE_PF_SCHEMA,
         )
 
-        # idf summed over the phrase's token sequence (duplicates count, as
-        # in Bm25Weight::for_terms); per-split stats, metadata columns only
         stats = F.broadcast(self.reader.split_stats())
-        weights = {}
-        for t in toks:
-            weights[t] = weights.get(t, 0.0) + 1.0
-        w_expr = F.coalesce(
-            F.create_map(
-                *[x for t, c in weights.items() for x in (F.lit(t), F.lit(c))]
-            )[F.col("term")],
-            F.lit(0.0),
-        )
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
-            / (F.col("doc_freq") + F.lit(0.5))
-        )
-        idf_df = (
-            post.select("split_id", "term", "doc_freq")
-            .join(stats, "split_id")
-            .groupBy("split_id")
-            .agg(F.sum(w_expr * idf).alias("idf_sum"))
-        )
-
-        norm_col = "norm_len" if self.quantize_norms else "doc_len"
-        norms = self.reader.docstore().select(
-            "split_id", "docid", F.col(norm_col).cast("double").alias("dl")
-        ).filter(F.col("split_id").isin(split_ids))
         pf = F.col("pf").cast("double")
         tf_norm = pf * F.lit(BM25_K1 + 1.0) / (
             pf
             + F.lit(BM25_K1)
             * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
         )
-        return (
-            grouped.join(F.broadcast(idf_df), "split_id")
-            .join(stats, "split_id")
-            .join(norms, ["split_id", "docid"])
-            .select(
-                "split_id",
-                "docid",
-                (F.col("idf_sum") * tf_norm).alias("score"),
-            )
+        return pf_df.join(stats, "split_id").select(
+            "split_id",
+            "docid",
+            (F.col("idf_sum") * tf_norm).alias("score"),
         )
 
     def _eval_phrase_fallback(

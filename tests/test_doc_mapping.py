@@ -1,0 +1,166 @@
+"""Typed field mappings, schema modes, dynamic JSON fields, ingest queue,
+FindTraceIds (SURVEY §1.2/§1.3, §2.5)."""
+
+from __future__ import annotations
+
+import base64
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.operators.aggs import find_trace_ids
+from quickwit_spark.operators.build import IndexConfig, build_index
+from quickwit_spark.operators.search import IndexReader, SearchRequest, search
+from quickwit_spark.schema import (
+    DocMapper,
+    DocMapping,
+    FieldMapping,
+    dynamic_path_filter,
+)
+
+
+@pytest.fixture()
+def raw_docs(spark):
+    rows = [
+        # id, count, ratio, ok, when, blob(b64), addr, extra1, extra2
+        ("1", "7", "1.5", "true", "2023-05-01T10:00:00", "aGk=", "10.0.0.1", "x", 5),
+        ("2", "-3", "bad", "false", "1700000000", "###", "999.1.2.3", "y", 6),
+        ("3", None, "2.25", None, "not-a-date", "d29ybGQ=", "FE80::1", None, 7),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id string, count string, ratio string, ok string, when string,"
+        " blob string, addr string, extra1 string, extra2 long",
+    )
+
+
+MAPPING = DocMapping(
+    field_mappings=[
+        FieldMapping("id", "text"),
+        FieldMapping("count", "u64"),
+        FieldMapping("ratio", "f64"),
+        FieldMapping("ok", "bool"),
+        FieldMapping("when", "datetime", input_formats=["iso8601", "unix_timestamp"]),
+        FieldMapping("blob", "bytes"),
+        FieldMapping("addr", "ip"),
+    ],
+)
+
+
+def test_typed_coercion_and_error_counts(raw_docs):
+    res = DocMapper(MAPPING).map(raw_docs)
+    rows = {r["id"]: r for r in res.docs.collect()}
+    assert rows["1"]["count"] == 7
+    assert rows["2"]["count"] is None  # u64: negative rejected
+    assert rows["1"]["ratio"] == 1.5 and rows["2"]["ratio"] is None
+    assert rows["1"]["ok"] is True and rows["2"]["ok"] is False
+    assert rows["1"]["when"] == dt.datetime(2023, 5, 1, 10, 0)
+    # unix seconds fallback format
+    assert rows["2"]["when"] == dt.datetime.fromtimestamp(
+        1700000000, dt.timezone.utc
+    ).replace(tzinfo=None)
+    assert rows["3"]["when"] is None
+    assert bytes(rows["1"]["blob"]) == b"hi"
+    assert rows["2"]["blob"] is None
+    assert rows["1"]["addr"] == "10.0.0.1"
+    assert rows["2"]["addr"] is None  # 999.x invalid octet? (regex is lax on
+    # octet ranges but rejects the non-ip shapes below)
+    assert rows["3"]["addr"] == "fe80::1"
+    errs = {r["field"]: r["n_errors"] for r in res.errors.collect()}
+    assert errs.get("ratio") == 1 and errs.get("when") == 1
+    assert res.rejected == 0  # lenient: unmapped columns silently dropped
+    assert "extra1" not in res.docs.columns
+
+
+def test_strict_mode_rejects(raw_docs):
+    m = DocMapping(field_mappings=MAPPING.field_mappings, mode="strict")
+    res = DocMapper(m).map(raw_docs)
+    # every row carries a value in extra2 -> all rejected
+    assert res.rejected == 3
+    assert res.docs.count() == 0
+
+
+def test_dynamic_mode_path_query(raw_docs):
+    m = DocMapping(field_mappings=MAPPING.field_mappings, mode="dynamic")
+    res = DocMapper(m).map(raw_docs)
+    assert "_dynamic" in res.docs.columns
+    hit = res.docs.filter(
+        dynamic_path_filter(F.col("_dynamic"), "extra1", "x")
+    ).collect()
+    assert [r["id"] for r in hit] == ["1"]
+    nums = res.docs.filter(
+        dynamic_path_filter(F.col("_dynamic"), "extra2", "6")
+    ).collect()
+    assert [r["id"] for r in nums] == ["2"]
+
+
+def test_json_path_term_through_search(spark, pages_small, tmp_path):
+    """`field.a.b:v` through the full query language over an indexed JSON
+    store_field column."""
+    pages = pages_small.withColumn(
+        "props",
+        F.to_json(
+            F.struct(
+                (F.xxhash64("url") % 5).alias("band"), F.col("lang").alias("lg")
+            )
+        ),
+    )
+    d = str(tmp_path / "jsonidx")
+    cfg = IndexConfig(index_id="pages", num_splits=3, store_fields=("props",))
+    build_index(spark, pages, d, cfg)
+    reader = IndexReader(spark, d)
+    res = search(
+        reader,
+        SearchRequest(query="w0 props.lg:zh", max_hits=1000),
+        fetch_fields=("url", "props"),
+    ).collect()
+    assert res
+    for r in res:
+        assert '"lg":"zh"' in r["props"]
+    # numeric path value, canonical rendering
+    res2 = search(
+        reader, SearchRequest(query="props.band:3", max_hits=1000), fetch_fields=("props",)
+    ).collect()
+    assert res2 and all('"band":3' in r["props"] for r in res2)
+
+
+def test_find_trace_ids(spark):
+    rows = [
+        (1, "t1", dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (2, "t1", dt.datetime(2024, 1, 3, 0, 0, 0)),
+        (3, "t2", dt.datetime(2024, 1, 2, 0, 0, 0)),
+        (4, "t3", dt.datetime(2024, 1, 2, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "span long, trace string, ts timestamp")
+    out = [
+        (r["trace_id"], r["max_ts"])
+        for r in find_trace_ids(df, "trace", "ts", n=2).collect()
+    ]
+    assert out == [
+        ("t1", dt.datetime(2024, 1, 3)),
+        ("t2", dt.datetime(2024, 1, 2)),
+    ]
+
+
+def test_ingest_queue_roundtrip(spark, tmp_path):
+    from quickwit_spark.sources.ingest_queue import drain_queue, enqueue
+
+    qdir = str(tmp_path / "queue")
+    idx = str(tmp_path / "qidx")
+    ckpt = str(tmp_path / "qckpt")
+    ddl = "url string, text string, lang string"
+    enqueue(qdir, [{"url": f"u{i}", "text": f"alpha beta{i}", "lang": "en"} for i in range(10)])
+    cfg = IndexConfig(index_id="q", num_splits=2, timestamp_field=None)
+    drain_queue(spark, qdir, idx, ckpt, ddl, cfg)
+    reader = IndexReader(spark, idx)
+    assert search(reader, SearchRequest(query="alpha", max_hits=100), fetch_fields=()).count() == 10
+    # replay: nothing new -> no duplicate docs
+    drain_queue(spark, qdir, idx, ckpt, ddl, cfg)
+    reader.refresh()
+    assert search(reader, SearchRequest(query="alpha", max_hits=100), fetch_fields=()).count() == 10
+    # second batch picked up incrementally
+    enqueue(qdir, [{"url": "u10", "text": "alpha gamma", "lang": "de"}])
+    drain_queue(spark, qdir, idx, ckpt, ddl, cfg)
+    reader.refresh()
+    assert search(reader, SearchRequest(query="alpha", max_hits=100), fetch_fields=()).count() == 11
