@@ -21,6 +21,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quickwit_spark.entry_helpers import (
+    B,
+    K1,
+    N_GATE_SPLITS,
     ORACLE_PRELUDE,
     ORACLE_PRELUDE_STEM,
     TOKENIZE,
@@ -156,6 +159,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # boost: dup^2 doubles the dup term's contribution (query_builder.rs:102-113)
     q["fts_boost_topk"] = lambda s, d: _fts_topk(s, d, "dup^2 OR key", 10)
+
+    def multifield_topk(s: SparkSession, d: str) -> DataFrame:
+        # field-qualified term over a second indexed text field: per-field
+        # postings (namespaced terms), fieldnorms and avgdl (SURVEY §2.4)
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        reader = gate_index(s, d, with_title=True)
+        res = search(
+            reader,
+            SearchRequest(query="dup title:de", max_hits=10),
+            quantize_norms=False,
+            fetch_fields=("url",),
+        )
+        return res.select(
+            F.col("url").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+    q["fts_multifield_topk"] = multifield_topk
 
     def sort_fastfield(s: SparkSession, d: str) -> DataFrame:
         reader = gate_index(s, d)
@@ -439,6 +460,24 @@ SELECT doc_id, round(score, 4) AS score FROM (
   FROM scores WHERE term IN ('dup', 'key')
   GROUP BY split_id, doc_id
 ) ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    # title = 'common ' || lang => title doc length 2, avgdl_title 2, title:de
+    # tf 1 => tf_norm = 2.2/(1 + 1.2) = 1.0; idf from per-split df of lang=de
+    o["fts_multifield_topk"] = f"""{ORACLE_PRELUDE},
+td AS (SELECT doc_id, doc_id % {N_GATE_SPLITS} AS split_id, lang FROM documents),
+tdf AS (SELECT split_id, count(*) AS df FROM td WHERE lang = 'de' GROUP BY split_id),
+tscore AS (
+  SELECT td.doc_id, td.split_id,
+         ln(1.0 + (ss.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+         * (1.0 * {K1 + 1.0}) / (1.0 + {K1} * ({1.0 - B} + {B} * 2.0 / 2.0)) AS score
+  FROM td JOIN tdf USING (split_id) JOIN ss USING (split_id)
+  WHERE td.lang = 'de'
+)
+SELECT doc_id, round(s.score + t.score, 4) AS score FROM
+  (SELECT doc_id, split_id, sum(score) AS score FROM scores
+   WHERE term = 'dup' GROUP BY 1, 2) s
+JOIN tscore t USING (doc_id, split_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     o["fts_sort_fastfield"] = f"""
 WITH d AS (

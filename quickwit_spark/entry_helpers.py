@@ -36,7 +36,10 @@ def docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def gate_index(
-    spark: SparkSession, sf_dir: str, tokenizer: str = "default"
+    spark: SparkSession,
+    sf_dir: str,
+    tokenizer: str = "default",
+    with_title: bool = False,
 ) -> IndexReader:
     """Build (once per sf_dir × tokenizer) the gate index over
     documents.parquet. A deterministic synthetic timestamp column
@@ -45,6 +48,8 @@ def gate_index(
     tag = sf_dir.strip("/").replace("/", "_")
     if tokenizer != "default":
         tag = f"{tag}__{tokenizer}"
+    if with_title:
+        tag = f"{tag}__mf"
     index_dir = os.path.join(_CACHE_ROOT, tag)
     marker = os.path.join(index_dir, "_BUILT")
     if not os.path.exists(marker):
@@ -59,6 +64,11 @@ def gate_index(
                 ),
             )
         )
+        if with_title:
+            # deterministic second text field the oracle can reproduce
+            docs = docs.withColumn(
+                "title", F.concat(F.lit("common "), F.col("lang"))
+            )
         cfg = IndexConfig(
             index_id="docs",
             num_splits=N_GATE_SPLITS,
@@ -68,6 +78,7 @@ def gate_index(
             doc_key="doc_id",
             routing_col="gate_part",
             tokenizer=tokenizer,
+            extra_text_fields=("title",) if with_title else (),
         )
         build_index(spark, docs, index_dir, cfg)
         open(marker, "w").close()

@@ -46,6 +46,84 @@ def bitpack(vals: np.ndarray, width: int) -> bytes:
     return np.packbits(bits.ravel()).tobytes()
 
 
+def _pack_ragged(rows: list[np.ndarray], widths: list[int]) -> list[bytes]:
+    """Batched bitpack: rows grouped by width, one shift+packbits matrix op
+    per distinct width instead of one per row. Identical bytes to
+    ``bitpack(row, width)`` per row (zero padding to the byte boundary).
+
+    The per-block python-allocation storm was the build kernel's hot spot —
+    a split has tens of thousands of 128-entry blocks but only a handful of
+    distinct bit widths, so batching turns ~3 numpy allocations per block
+    into ~3 per width."""
+    k = len(rows)
+    out: list[bytes] = [b""] * k
+    if k == 0:
+        return out
+    if k <= 3:
+        # short posting lists (the Zipf tail: most terms) — the grouping
+        # machinery costs more than it saves below a few blocks
+        return [bitpack(r, w) for r, w in zip(rows, widths)]
+    warr = np.asarray(widths, dtype=np.int64)
+    lens_all = np.fromiter((len(r) for r in rows), dtype=np.int64, count=k)
+    for w in np.unique(warr):
+        if w == 0:
+            continue
+        idx = np.flatnonzero(warr == w)
+        # sort by length and chunk so rows*max_len stays bounded — one
+        # outlier-length row must not inflate the whole group's pad matrix
+        idx = idx[np.argsort(lens_all[idx], kind="stable")]
+        shifts = np.arange(w - 1, -1, -1, dtype=np.uint64)
+        start = 0
+        budget = 4_000_000  # padded elements per chunk
+        while start < len(idx):
+            end = start + 1
+            while (
+                end < len(idx)
+                and (end - start + 1) * int(lens_all[idx[end]]) <= budget
+            ):
+                end += 1
+            sub = idx[start:end]
+            lmax = int(lens_all[sub[-1]])
+            if lmax == 0:
+                start = end
+                continue
+            lens = lens_all[sub]
+            # narrowest dtype that holds values < 2^w: the bit expansion
+            # below allocates (rows x lmax x w) — doing it in uint64 was an
+            # 8x memory-traffic storm
+            if w <= 8:
+                dt = np.uint8
+            elif w <= 16:
+                dt = np.uint16
+            elif w <= 32:
+                dt = np.uint32
+            else:
+                dt = np.uint64
+            # scatter-fill the padded matrix in one vectorized assignment
+            flat = np.concatenate([rows[i] for i in sub]).astype(dt)
+            tot = int(lens.sum())
+            cum = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            dest = (
+                np.repeat(np.arange(len(sub), dtype=np.int64) * lmax - cum, lens)
+                + np.arange(tot, dtype=np.int64)
+            )
+            mat = np.zeros(len(sub) * lmax, dtype=dt)
+            mat[dest] = flat
+            mat = mat.reshape(len(sub), lmax)
+            sh = shifts.astype(dt)
+            bits = (
+                ((mat[:, :, None] >> sh[None, None, :]) & dt(1)).astype(
+                    np.uint8, copy=False
+                )
+            ).reshape(len(sub), -1)
+            packed = np.packbits(bits, axis=1)
+            nbytes = (lens * int(w) + 7) // 8
+            for j, i in enumerate(sub):
+                out[i] = packed[j, : nbytes[j]].tobytes()
+            start = end
+    return out
+
+
 def bitunpack(data: bytes, n: int, width: int) -> np.ndarray:
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.int64)
@@ -67,30 +145,35 @@ def encode_postings(
     docids = np.asarray(docids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     assert len(docids) == len(tfs)
-    if len(docids) > 1 and not (np.diff(docids) > 0).all():
+    n = len(docids)
+    gaps_all = np.diff(docids)
+    if n > 1 and not (gaps_all > 0).all():
         # gaps are bitpacked as unsigned — a non-ascending input (e.g. a
         # docid-rebase bug upstream) would silently corrupt the list
         raise ValueError("encode_postings requires strictly ascending docids")
+    tfm1_all = tfs - 1
+    bounds = [(s, min(s + block_size, n)) for s in range(0, n, block_size)]
+    gap_rows = [gaps_all[s : e - 1] for s, e in bounds]
+    tf_rows = [tfm1_all[s:e] for s, e in bounds]
+    gws = [_width(g) for g in gap_rows]
+    tws = [_width(t) for t in tf_rows]
+    gap_bytes = _pack_ragged(gap_rows, gws)
+    tf_bytes = _pack_ragged(tf_rows, tws)
     blocks: list[dict] = []
-    for start in range(0, len(docids), block_size):
-        d = docids[start : start + block_size]
-        t = tfs[start : start + block_size]
-        gaps = np.diff(d)
-        gw = _width(gaps)
-        tw = _width(t - 1)
+    for i, (s, e) in enumerate(bounds):
         blocks.append(
             {
-                "first_docid": int(d[0]),
+                "first_docid": int(docids[s]),
                 # last_docid makes the block's docid range [first, last]
                 # visible relationally (WAND candidate-overlap joins and
                 # skip-data pruning read it without decoding the payload)
-                "last_docid": int(d[-1]),
-                "count": int(len(d)),
-                "max_tf": int(t.max()),
-                "gap_bits": gw,
-                "tf_bits": tw,
-                "docid_gaps": bitpack(gaps, gw),
-                "tfs": bitpack(t - 1, tw),
+                "last_docid": int(docids[e - 1]),
+                "count": int(e - s),
+                "max_tf": int(tfs[s:e].max()),
+                "gap_bits": gws[i],
+                "tf_bits": tws[i],
+                "docid_gaps": gap_bytes[i],
+                "tfs": tf_bytes[i],
             }
         )
     return blocks
@@ -140,23 +223,25 @@ def encode_position_blocks(
     flat_positions = np.asarray(flat_positions, dtype=np.int64)
     assert int(tfs.sum()) == len(flat_positions)
     cum = np.concatenate([[0], np.cumsum(tfs)])
-    out: list[dict] = []
+    # delta-encode ONCE for the whole list (posting starts get the +1 shift),
+    # then slice per block — the block boundaries fall on posting starts, so
+    # each block's first gap is already in start form
+    g_all = flat_positions.copy()
+    g_all[1:] -= flat_positions[:-1]
+    post_starts = cum[:-1][tfs > 0]
+    g_all[post_starts] = flat_positions[post_starts] + 1
+    rows: list[np.ndarray] = []
+    metas: list[tuple[int, int]] = []  # (n_pos, width)
     for start in range(0, len(tfs), block_size):
         end = min(start + block_size, len(tfs))
-        fp = flat_positions[cum[start] : cum[end]]
-        t = tfs[start:end]
-        if len(fp) == 0:
-            out.append({"pos_bits": 0, "n_pos": 0, "positions": b""})
-            continue
-        g = fp.copy()
-        g[1:] -= fp[:-1]
-        starts = np.concatenate([[0], np.cumsum(t)[:-1]])
-        g[starts] = fp[starts] + 1
-        w = _width(g)
-        out.append(
-            {"pos_bits": w, "n_pos": int(len(fp)), "positions": bitpack(g, w)}
-        )
-    return out
+        g = g_all[cum[start] : cum[end]]
+        rows.append(g)
+        metas.append((int(cum[end] - cum[start]), _width(g)))
+    packed = _pack_ragged(rows, [w for _, w in metas])
+    return [
+        {"pos_bits": w, "n_pos": n_pos, "positions": b}
+        for (n_pos, w), b in zip(metas, packed)
+    ]
 
 
 def decode_position_block(pos_block: dict, tfs: np.ndarray) -> np.ndarray:

@@ -47,6 +47,18 @@ class SplitMetadata:
     # keep survivors' ORIGINAL docids (with gaps), so max_docid can exceed
     # num_docs - 1 — merges must re-base by (max_docid + 1), never num_docs.
     max_docid: int | None = None
+    # per-extra-text-field token totals (avgdl per field = v / num_docs);
+    # the default field's total lives in total_tokens
+    field_total_tokens: dict | None = None
+
+    def field_avgdl(self, field_name: str | None) -> float:
+        if field_name and self.field_total_tokens and field_name in self.field_total_tokens:
+            return (
+                self.field_total_tokens[field_name] / self.num_docs
+                if self.num_docs
+                else 0.0
+            )
+        return self.avgdl
 
     @property
     def docid_ceiling(self) -> int:
@@ -219,6 +231,7 @@ class Manifest:
                 "num_docs": m.num_docs,
                 "avgdl": m.avgdl,
                 "num_merge_ops": m.num_merge_ops,
+                "field_total_tokens": m.field_total_tokens,
             }
             for m in self.list_all()
             if m.state == "Published"

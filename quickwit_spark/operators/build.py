@@ -57,7 +57,12 @@ from pyspark.sql import types as T
 from quickwit_spark import BLOCK_SIZE
 from quickwit_spark.functions.fieldnorm import quantize_len_expr
 from quickwit_spark.functions.tokenize import analyzer_expr, tokenize_expr
-from quickwit_spark.index.codec import encode_position_blocks, encode_postings
+from quickwit_spark.index.codec import (
+    _pack_ragged,
+    _width,
+    encode_position_blocks,
+    encode_postings,
+)
 from quickwit_spark.index.manifest import Manifest, SplitMetadata
 
 BLOCK_STRUCT = T.StructType(
@@ -97,11 +102,26 @@ POSTINGS_SCHEMA = T.StructType(
 )
 
 
+# terms of non-default text fields are namespaced ``<field>\x00<token>`` in
+# the shared term dictionary — exactly how tantivy's Term encodes the field
+# (and how quickwit encodes json paths into terms), so postings layout,
+# merges and WAND stay field-agnostic
+FIELD_SEP = "\x00"
+
+
+def namespaced_term(field_name: str, token_col):
+    return F.concat(F.lit(field_name + FIELD_SEP), token_col)
+
+
 @dataclass
 class IndexConfig:
     index_id: str = "pages"
     num_splits: int = 8  # analog of max_num_partitions (default 200)
     text_field: str = "text"
+    # additional indexed text fields (default search field stays text_field;
+    # query them as `field:token`). Each gets its own postings (namespaced
+    # terms), fieldnorms and per-split avgdl — BM25 is per (split, field)
+    extra_text_fields: tuple[str, ...] = ()
     tag_field: str | None = "lang"  # tag-pruning column (<=1000 distinct)
     timestamp_field: str | None = "warc_ts"
     doc_key: str = "url"  # stable docid sort key
@@ -364,17 +384,91 @@ def _encode_arrow_split(batches: list, with_positions: bool = False) -> "pa.Reco
     bounds = np.concatenate(
         [[0], np.flatnonzero(ucode[1:] != ucode[:-1]) + 1, [len(ukey)]]
     )
-    terms, dfs, sums, blocks, pos_blocks = [], [], [], [], []
-    for a, b in zip(bounds[:-1], bounds[1:]):
-        terms.append(vocab[ucode[a]])
-        dfs.append(int(b - a))
-        sums.append(int(tf[a:b].sum()))
-        blocks.append(encode_postings(ud[a:b], tf[a:b], BLOCK_SIZE))
+
+    # split-level batched encode: gather every block's payload rows across
+    # ALL terms, bitpack each payload kind in ONE _pack_ragged call (grouped
+    # by width inside), then assemble per-term dicts. The per-term
+    # encode_postings loop used to dominate the kernel on realistic vocab
+    # (tens of thousands of short posting lists per split).
+    n_post = len(ukey)
+    gaps_global = np.empty(n_post, dtype=np.int64)
+    if n_post:
+        gaps_global[0] = 0
+        gaps_global[1:] = ud[1:] - ud[:-1]
+    tfm1 = tf - 1
+    tf_cum = np.concatenate([[0], np.cumsum(tf)])
+    if with_positions:
+        # per-posting position gaps, resets (+1 shift) at posting starts —
+        # computed once for the whole split
+        g_all = pos_sorted.copy()
+        if total:
+            g_all[1:] -= pos_sorted[:-1]
+            g_all[idx] = pos_sorted[idx] + 1
+    gap_rows: list = []
+    tf_rows: list = []
+    pos_rows: list = []
+    blk_meta: list = []  # (term_index, s, e) over unique postings
+    blk_starts: list = []
+    for ti, (a, b) in enumerate(zip(bounds[:-1], bounds[1:])):
+        for s in range(a, b, BLOCK_SIZE):
+            e = min(s + BLOCK_SIZE, b)
+            gap_rows.append(gaps_global[s + 1 : e])
+            tf_rows.append(tfm1[s:e])
+            if with_positions:
+                pos_rows.append(g_all[tf_cum[s] : tf_cum[e]])
+            blk_meta.append((ti, s, e))
+            blk_starts.append(s)
+
+    # vectorized per-block maxima/widths (reduceat + frexp); the excluded
+    # cross-block gap at each block start is zeroed so it never raises a max
+    def _widths_of(maxima: np.ndarray) -> np.ndarray:
+        w = np.frexp(maxima.astype(np.float64))[1]  # = bit_length for m>0
+        return np.maximum(w, 1).astype(np.int64)
+
+    sarr = np.asarray(blk_starts, dtype=np.int64)
+    g2 = gaps_global.copy()
+    g2[sarr] = 0
+    gmax = np.maximum.reduceat(g2, sarr) if len(sarr) else np.zeros(0, np.int64)
+    tmax = np.maximum.reduceat(tfm1, sarr) if len(sarr) else np.zeros(0, np.int64)
+    maxtf = np.maximum.reduceat(tf, sarr) if len(sarr) else np.zeros(0, np.int64)
+    gws = _widths_of(gmax).tolist()
+    tws = _widths_of(tmax).tolist()
+    gap_bytes = _pack_ragged(gap_rows, gws)
+    tf_bytes = _pack_ragged(tf_rows, tws)
+    if with_positions:
+        pstarts = tf_cum[sarr]
+        pmax = (
+            np.maximum.reduceat(g_all, pstarts) if len(sarr) else np.zeros(0, np.int64)
+        )
+        pws = _widths_of(pmax).tolist()
+        pos_bytes = _pack_ragged(pos_rows, pws)
+
+    n_terms = len(bounds) - 1
+    terms = [vocab[ucode[a]] for a in bounds[:-1]]
+    dfs = np.diff(bounds).astype(np.int64).tolist()
+    sums = np.add.reduceat(tf, bounds[:-1]).astype(np.int64).tolist()
+    blocks = [[] for _ in range(n_terms)]
+    pos_blocks = [[] for _ in range(n_terms)] if with_positions else []
+    for bi, (ti, s, e) in enumerate(blk_meta):
+        blocks[ti].append(
+            {
+                "first_docid": int(ud[s]),
+                "last_docid": int(ud[e - 1]),
+                "count": int(e - s),
+                "max_tf": int(maxtf[bi]),
+                "gap_bits": gws[bi],
+                "tf_bits": tws[bi],
+                "docid_gaps": gap_bytes[bi],
+                "tfs": tf_bytes[bi],
+            }
+        )
         if with_positions:
-            pos_blocks.append(
-                encode_position_blocks(
-                    tf[a:b], pos_sorted[idx_ext[a] : idx_ext[b]], BLOCK_SIZE
-                )
+            pos_blocks[ti].append(
+                {
+                    "pos_bits": pws[bi],
+                    "n_pos": int(tf_cum[e] - tf_cum[s]),
+                    "positions": pos_bytes[bi],
+                }
             )
     return pa.RecordBatch.from_arrays(
         [
@@ -511,12 +605,17 @@ def prepare_docs(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
     if cfg.routing_col:
         keep.add(cfg.routing_col)
     keep.update(cfg.store_fields)
+    keep.update(cfg.extra_text_fields)
     df = (
         pages.select(*sorted(keep))
         .withColumn("partition_id", route)
         .withColumn("tokens", toks)
         .withColumn("doc_len", F.size("tokens"))
     )
+    for f_ in cfg.extra_text_fields:
+        df = df.withColumn(
+            f"doc_len__{f_}", F.size(analyzer_expr(F.col(f_), cfg.tokenizer))
+        )
     w = Window.partitionBy("partition_id").orderBy(cfg.doc_key)
     return df.withColumn("docid", F.row_number().over(w) - F.lit(1))
 
@@ -547,6 +646,7 @@ def build_index(
             "tokenizer": cfg.tokenizer,
             "record": cfg.record,
             "store_fields": list(cfg.store_fields),
+            "extra_text_fields": list(cfg.extra_text_fields),
         }
     )
 
@@ -596,8 +696,20 @@ def build_index(
         store_cols.append(F.col(cfg.tag_field).alias("tag"))
     if cfg.timestamp_field:
         store_cols.append(F.col(cfg.timestamp_field).alias("ts"))
+    for f_ in cfg.extra_text_fields:
+        store_cols += [
+            F.col(f_),
+            F.col(f"doc_len__{f_}"),
+            quantize_len_expr(F.col(f"doc_len__{f_}")).alias(f"norm_len__{f_}"),
+        ]
     for extra in cfg.store_fields:
-        if extra not in {cfg.doc_key, cfg.text_field, cfg.tag_field, cfg.timestamp_field}:
+        if extra not in {
+            cfg.doc_key,
+            cfg.text_field,
+            cfg.tag_field,
+            cfg.timestamp_field,
+            *cfg.extra_text_fields,
+        }:
             store_cols.append(F.col(extra))
     docstore = docs.select(*store_cols)
     (
@@ -643,6 +755,18 @@ def build_index(
             analyzer_expr(F.col(cfg.text_field), cfg.tokenizer).alias("tokens"),
         )
         encoded = ex.mapInArrow(_make_arrow_stream_kernel(with_pos), ENC_SCHEMA)
+        # extra text fields: one kernel pass per field; terms namespaced so
+        # every downstream consumer (merge, WAND, pruning) stays field-blind
+        for f_ in cfg.extra_text_fields:
+            exf = docs.select(
+                "partition_id",
+                "docid",
+                analyzer_expr(F.col(f_), cfg.tokenizer).alias("tokens"),
+            )
+            encf = exf.mapInArrow(
+                _make_arrow_stream_kernel(with_pos), ENC_SCHEMA
+            ).withColumn("term", namespaced_term(f_, F.col("term")))
+            encoded = encoded.unionByName(encf)
     postings = encoded.withColumn(
         "split_id",
         F.concat(
@@ -664,6 +788,10 @@ def build_index(
         F.count(F.lit(1)).alias("num_docs"),
         F.sum("doc_len").alias("total_tokens"),
         F.sum(F.length(cfg.text_field)).alias("bytes"),
+    ]
+    agg_exprs += [
+        F.sum(f"doc_len__{f_}").alias(f"_ftt__{f_}")
+        for f_ in cfg.extra_text_fields
     ]
     if cfg.timestamp_field:
         agg_exprs += [
@@ -696,6 +824,11 @@ def build_index(
             generation=cfg.generation,
             # docids are dense row_number()-1 per split at build time
             max_docid=row["num_docs"] - 1,
+            field_total_tokens=(
+                {f_: row[f"_ftt__{f_}"] for f_ in cfg.extra_text_fields}
+                if cfg.extra_text_fields
+                else None
+            ),
         )
         manifest.stage(meta)
         new_metas.append(meta)

@@ -78,6 +78,7 @@ def delete_by_query(
     icfg = manifest.load_index_config()
     tokenizer = icfg.get("tokenizer", "default")
     with_pos = icfg.get("record", "freq") == "position"
+    extra_text_fields = tuple(icfg.get("extra_text_fields", []) or [])
     ast = parse_query(query)
     published = {m.split_id: m for m in manifest.list_published()}
     matches = (
@@ -135,16 +136,24 @@ def delete_by_query(
 
     # --- job 2: all rewritten postings in one pass of the build kernel
     # (one task holds >= one split's survivors — the build's memory bound)
-    ex = (
-        remaining.select(
-            F.col("tmp_pid").alias("partition_id"),
-            "docid",
-            analyzer_expr(F.col("text"), tokenizer).alias("tokens"),
+    def _field_enc(source_col: str, ns_prefix: str | None):
+        ex = (
+            remaining.select(
+                F.col("tmp_pid").alias("partition_id"),
+                "docid",
+                analyzer_expr(F.col(source_col), tokenizer).alias("tokens"),
+            )
+            .repartition(len(rewrite), "partition_id")
+            .sortWithinPartitions("partition_id", "docid")
         )
-        .repartition(len(rewrite), "partition_id")
-        .sortWithinPartitions("partition_id", "docid")
-    )
-    enc = ex.mapInArrow(_make_arrow_stream_kernel(with_pos), ENC_SCHEMA)
+        e = ex.mapInArrow(_make_arrow_stream_kernel(with_pos), ENC_SCHEMA)
+        if ns_prefix:
+            e = e.withColumn("term", F.concat(F.lit(ns_prefix), F.col("term")))
+        return e
+
+    enc = _field_enc("text", None)
+    for f_ in extra_text_fields:
+        enc = enc.unionByName(_field_enc(f_, f_ + "\x00"))
     (
         enc.join(map_df, enc["partition_id"] == map_df["tmp_pid"])
         .select(
@@ -172,6 +181,9 @@ def delete_by_query(
         F.sum(F.length("text")).alias("bytes"),
         F.max("docid").alias("max_docid"),
     ]
+    aggs += [
+        F.sum(f"doc_len__{f_}").alias(f"_ftt__{f_}") for f_ in extra_text_fields
+    ]
     if has_ts:
         aggs += [F.min("ts").alias("ts_min"), F.max("ts").alias("ts_max")]
     if has_tag:
@@ -198,6 +210,11 @@ def delete_by_query(
             generation=meta.generation,
             source_fingerprint=meta.source_fingerprint,
             max_docid=row["max_docid"],
+            field_total_tokens=(
+                {f_: row[f"_ftt__{f_}"] for f_ in extra_text_fields}
+                if extra_text_fields
+                else None
+            ),
         )
         manifest.stage(new_meta)
         manifest.publish([new_meta], replaced=[split_id])

@@ -188,6 +188,12 @@ def execute_merge(
     )
 
     # --- merged metadata + atomic publish-and-replace
+    field_tt: dict[str, int] | None = None
+    if any(m.field_total_tokens for m in metas):
+        field_tt = {}
+        for m in metas:
+            for f_, v in (m.field_total_tokens or {}).items():
+                field_tt[f_] = field_tt.get(f_, 0) + v
     tags = sorted({t for m in metas for t in m.tags})
     starts = [m.time_range_start for m in metas if m.time_range_start]
     ends = [m.time_range_end for m in metas if m.time_range_end]
@@ -207,6 +213,7 @@ def execute_merge(
         generation=max(m.generation for m in metas) + 1,
         # last source's offset + its ceiling = exclusive bound of merged ids
         max_docid=sum(m.docid_ceiling for m in metas) - 1,
+        field_total_tokens=field_tt,
     )
     manifest.stage(meta)
     manifest.publish([meta], replaced=op.split_ids)

@@ -65,8 +65,12 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("docid", T.LongType()),
         T.StructField("tf", T.LongType()),
         T.StructField("dl", T.DoubleType()),
+        T.StructField("avgdl", T.DoubleType()),
     ]
 )
+
+#: namespaced-term separator for non-default text fields (build.FIELD_SEP)
+FIELD_SEP = "\x00"
 
 
 # ---------------------------------------------------------------------------
@@ -83,17 +87,20 @@ _NORMS_CACHE: dict = {}
 _NORMS_CACHE_MAX = 64
 
 
-def _load_norms(index_dir: str, split_id: str, quantize: bool):
+def _load_norms(index_dir: str, split_id: str, quantize: bool, field: str = ""):
     """-> (sorted docid array | None, doc-length array). ``None`` docids
     mean the split is docid-dense (docid == row index, the build layout);
-    delete-rewritten splits with gaps keep the explicit docid array."""
-    key = (index_dir, split_id, quantize)
+    delete-rewritten splits with gaps keep the explicit docid array.
+    ``field`` selects an extra text field's fieldnorm column ('' = default)."""
+    key = (index_dir, split_id, quantize, field)
     hit = _NORMS_CACHE.get(key)
     if hit is not None:
         return hit
     import pyarrow.parquet as pq
 
     col = "norm_len" if quantize else "doc_len"
+    if field:
+        col = f"{col}__{field}"
     tbl = pq.read_table(
         f"{index_dir}/docstore/split_id={split_id}", columns=["docid", col]
     )
@@ -110,11 +117,23 @@ def _load_norms(index_dir: str, split_id: str, quantize: bool):
     return entry
 
 
-def _norms_for(index_dir: str, split_id: str, quantize: bool, docids: np.ndarray):
-    idx, dls = _load_norms(index_dir, split_id, quantize)
+def _norms_for(
+    index_dir: str,
+    split_id: str,
+    quantize: bool,
+    docids: np.ndarray,
+    field: str = "",
+):
+    idx, dls = _load_norms(index_dir, split_id, quantize, field)
     if idx is None:
         return dls[docids]
     return dls[np.searchsorted(idx, docids)]
+
+
+def _term_field(term: str) -> str:
+    """'' for the default field; the field name for namespaced terms."""
+    i = term.find(FIELD_SEP)
+    return term[:i] if i >= 0 else ""
 
 
 @dataclass
@@ -224,10 +243,14 @@ class IndexReader:
         return self._split_stats
 
 
-def _make_decode_postings_rows(index_dir: str, quantize: bool):
+def _make_decode_postings_rows(
+    index_dir: str, quantize: bool, avgdl_map: dict[tuple[str, str], float]
+):
     """mapInPandas kernel factory: postings rows (with compressed blocks) ->
-    (split_id, term, doc_freq, docid, tf, dl) exploded rows. numpy inside;
-    |d| attached from the executor-side fieldnorm cache (no norms join)."""
+    (split_id, term, doc_freq, docid, tf, dl, avgdl) exploded rows. numpy
+    inside; |d| attached from the executor-side fieldnorm cache (no norms
+    join); the term's field (namespaced-term prefix) selects the fieldnorm
+    column and the per-(split, field) avgdl."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -237,12 +260,14 @@ def _make_decode_postings_rows(index_dir: str, quantize: bool):
             docids: list = []
             tfs: list = []
             dls: list = []
+            avgs: list = []
             for sid, term, dfreq, blocks in zip(
                 pdf["split_id"], pdf["term"], pdf["doc_freq"], pdf["blocks"]
             ):
                 row_d = [decode_block(b) for b in blocks]
                 if not row_d:
                     continue
+                fld = _term_field(term)
                 d = np.concatenate([x[0] for x in row_d])
                 t = np.concatenate([x[1] for x in row_d])
                 sids.append(np.full(len(d), sid, dtype=object))
@@ -250,7 +275,10 @@ def _make_decode_postings_rows(index_dir: str, quantize: bool):
                 dfs.append(np.full(len(d), dfreq, dtype=np.int64))
                 docids.append(d)
                 tfs.append(t)
-                dls.append(_norms_for(index_dir, sid, quantize, d))
+                dls.append(_norms_for(index_dir, sid, quantize, d, fld))
+                avgs.append(
+                    np.full(len(d), avgdl_map.get((sid, fld), 1.0))
+                )
             if not docids:
                 continue
             yield pd.DataFrame(
@@ -261,6 +289,7 @@ def _make_decode_postings_rows(index_dir: str, quantize: bool):
                     "docid": np.concatenate(docids),
                     "tf": np.concatenate(tfs),
                     "dl": np.concatenate(dls),
+                    "avgdl": np.concatenate(avgs),
                 }
             )
 
@@ -275,6 +304,7 @@ BLOCK_ROW_SCHEMA = T.StructType(
         T.StructField("docid", T.LongType()),
         T.StructField("tf", T.LongType()),
         T.StructField("dl", T.DoubleType()),
+        T.StructField("avgdl", T.DoubleType()),
     ]
 )
 
@@ -314,6 +344,7 @@ def _make_phrase_kernel(
     phrase_freq per doc, without per-doc Python."""
 
     n_terms = len(ordered)
+    field = _term_field(ordered[0]) if ordered else ""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[str, dict[str, tuple]] = {}
@@ -365,7 +396,7 @@ def _make_phrase_kernel(
                         "docid": udoc,
                         "pf": pf.astype(np.int64),
                         "idf_sum": np.full(len(udoc), idf_sum),
-                        "dl": _norms_for(index_dir, sid, quantize, udoc),
+                        "dl": _norms_for(index_dir, sid, quantize, udoc, field),
                     }
                 )
             )
@@ -375,25 +406,29 @@ def _make_phrase_kernel(
     return kernel
 
 
-def _make_decode_block_rows(index_dir: str, quantize: bool):
+def _make_decode_block_rows(
+    index_dir: str, quantize: bool, avgdl_map: dict
+):
     """mapInPandas kernel factory over (split_id, term, doc_freq, block)
     rows — each row is ONE compressed block (the WAND path decodes selected
-    blocks only, unlike the whole-posting-list kernel). |d| attached from
-    the executor-side fieldnorm cache."""
+    blocks only, unlike the whole-posting-list kernel). |d| and the
+    per-(split, field) avgdl attached from executor-side caches."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sids, terms, dfs, docids, tfs, dls = [], [], [], [], [], []
+            sids, terms, dfs, docids, tfs, dls, avgs = [], [], [], [], [], [], []
             for sid, term, dfreq, block in zip(
                 pdf["split_id"], pdf["term"], pdf["doc_freq"], pdf["block"]
             ):
                 d, t = decode_block(block)
+                fld = _term_field(term)
                 sids.append(np.full(len(d), sid, dtype=object))
                 terms.append(np.full(len(d), term, dtype=object))
                 dfs.append(np.full(len(d), dfreq, dtype=np.int64))
                 docids.append(d)
                 tfs.append(t)
-                dls.append(_norms_for(index_dir, sid, quantize, d))
+                dls.append(_norms_for(index_dir, sid, quantize, d, fld))
+                avgs.append(np.full(len(d), avgdl_map.get((sid, fld), 1.0)))
             if not docids:
                 continue
             yield pd.DataFrame(
@@ -404,6 +439,7 @@ def _make_decode_block_rows(index_dir: str, quantize: bool):
                     "docid": np.concatenate(docids),
                     "tf": np.concatenate(tfs),
                     "dl": np.concatenate(dls),
+                    "avgdl": np.concatenate(avgs),
                 }
             )
 
@@ -426,6 +462,7 @@ class Searcher:
         # builds its query against the split's own DocMapper/schema)
         icfg = reader.manifest.load_index_config()
         self.default_field = default_field or icfg.get("text_field") or "text"
+        self.extra_text_fields = tuple(icfg.get("extra_text_fields", []) or [])
         self.tag_field = tag_field or icfg.get("tag_field") or "lang"
         self.ts_field = ts_field or icfg.get("timestamp_field") or "warc_ts"
         self.tokenizer = icfg.get("tokenizer", "default")
@@ -449,22 +486,29 @@ class Searcher:
     def _collect_text_terms(
         self, node: Node, include_phrases: bool = True
     ) -> list[str]:
-        """Tokens feeding the scored-terms table. Multi-token phrases are
-        excluded when the positions path will handle them (their postings
-        would be decoded twice otherwise); single-token phrases degrade to
-        term queries and always stay in."""
+        """STORAGE terms (namespaced for extra text fields) feeding the
+        scored-terms table. Multi-token phrases are excluded when the
+        positions path will handle them (their postings would be decoded
+        twice otherwise); single-token phrases degrade to term queries and
+        always stay in."""
         out: list[str] = []
 
         def walk(n: Node) -> None:
-            if isinstance(n, Term) and self._is_text(n.field):
-                out.extend(self._tok(n.value))
-            elif isinstance(n, Phrase) and self._is_text(n.field):
-                toks = self._tok(n.text)
-                if include_phrases or len(toks) <= 1:
-                    out.extend(toks)
-            elif isinstance(n, TermSet) and self._is_text(n.field):
-                for v in n.values:
-                    out.extend(self._tok(v))
+            if isinstance(n, Term):
+                pre = self._ns_prefix(n.field)
+                if pre is not None:
+                    out.extend(pre + t for t in self._tok(n.value))
+            elif isinstance(n, Phrase):
+                pre = self._ns_prefix(n.field)
+                if pre is not None:
+                    toks = self._tok(n.text)
+                    if include_phrases or len(toks) <= 1:
+                        out.extend(pre + t for t in toks)
+            elif isinstance(n, TermSet):
+                pre = self._ns_prefix(n.field)
+                if pre is not None:
+                    for v in n.values:
+                        out.extend(pre + t for t in self._tok(v))
             elif isinstance(n, Boost):
                 walk(n.child)
             elif isinstance(n, Bool):
@@ -478,18 +522,42 @@ class Searcher:
         return analyzer_py(getattr(self, "tokenizer", "default"))(text)
 
     def _is_text(self, fieldname: str | None) -> bool:
+        """True only for the DEFAULT search field (WAND eligibility etc.)."""
         return fieldname is None or fieldname == self.default_field
+
+    def _ns_prefix(self, fieldname: str | None) -> str | None:
+        """Storage-term prefix for a text field: '' for the default field,
+        '<field>\\x00' for extra text fields, None for non-text fields."""
+        if fieldname is None or fieldname == self.default_field:
+            return ""
+        if fieldname in getattr(self, "extra_text_fields", ()):
+            return fieldname + FIELD_SEP
+        return None
+
+    def _avgdl_map(self, split_ids: list[str]) -> dict[tuple[str, str], float]:
+        """(split_id, field) -> avgdl for the scorer kernels ('' = default)."""
+        out: dict[tuple[str, str], float] = {}
+        sset = set(split_ids)
+        for sid, s in self.reader.manifest.stats().items():
+            if sid not in sset:
+                continue
+            out[(sid, "")] = float(s["avgdl"])
+            ftt = s.get("field_total_tokens") or {}
+            n = s["num_docs"] or 1
+            for f_, tot in ftt.items():
+                out[(sid, f_)] = tot / n
+        return out
 
     # ---- scored term table ----------------------------------------------
     def _score_decoded(
         self, decoded: DataFrame, split_ids: list[str] | None = None
     ) -> DataFrame:
-        """(split_id, term, doc_freq, docid, tf, dl) rows -> per-posting BM25
-        contributions: the decode kernel already attached |d| from the
-        executor fieldnorm cache, so this is ONE broadcast stats join plus
-        pure column arithmetic (whole-stage codegen) — no docstore scan, no
-        shuffle."""
-        stats = F.broadcast(self.reader.split_stats())
+        """(split_id, term, doc_freq, docid, tf, dl, avgdl) rows ->
+        per-posting BM25 contributions: the decode kernel already attached
+        |d| and the per-(split, field) avgdl from executor-side caches, so
+        this is ONE broadcast stats join (n_docs for idf) plus pure column
+        arithmetic (whole-stage codegen) — no docstore scan, no shuffle."""
+        stats = F.broadcast(self.reader.split_stats().select("split_id", "n_docs"))
         j = decoded.join(stats, "split_id")
         idf = F.log(
             F.lit(1.0)
@@ -528,7 +596,11 @@ class Searcher:
         # ^ explicit projection: the positions column must stay pruned out of
         # the parquet scan on the term/WAND hot path
         decoded = post.mapInPandas(
-            _make_decode_postings_rows(self.reader.index_dir, self.quantize_norms),
+            _make_decode_postings_rows(
+                self.reader.index_dir,
+                self.quantize_norms,
+                self._avgdl_map(split_ids),
+            ),
             DECODED_SCHEMA,
         )
         return self._score_decoded(decoded, split_ids)
@@ -662,7 +734,7 @@ class Searcher:
         self.reader.hold_scratch(meta)
 
         block_kernel = _make_decode_block_rows(
-            self.reader.index_dir, self.quantize_norms
+            self.reader.index_dir, self.quantize_norms, self._avgdl_map(split_ids)
         )
 
         def decode_sel(sel_keys: DataFrame) -> DataFrame:
@@ -780,8 +852,9 @@ class Searcher:
         raise ValueError(f"unsupported node {node!r}")
 
     def _eval_term(self, node: Term, scored: DataFrame, docs: DataFrame) -> DataFrame:
-        if self._is_text(node.field):
-            toks = self._tok(node.value)
+        pre = self._ns_prefix(node.field)
+        if pre is not None:
+            toks = [pre + t for t in self._tok(node.value)]
             if not toks:
                 return self._zero(docs).limit(0)
             if len(toks) == 1:
@@ -790,7 +863,9 @@ class Searcher:
                 )
             # multi-token value => implicit AND of its tokens
             return self._eval_bool(
-                Bool(must=[Term(node.field, t) for t in toks]), scored, docs
+                Bool(must=[Term(node.field, t) for t in self._tok(node.value)]),
+                scored,
+                docs,
             )
         if node.field == self.tag_field:
             # raw-tokenizer keyword column: exact match on the docstore
@@ -816,8 +891,9 @@ class Searcher:
     def _eval_termset(
         self, node: TermSet, scored: DataFrame, docs: DataFrame
     ) -> DataFrame:
-        if self._is_text(node.field):
-            toks = sorted({t for v in node.values for t in self._tok(v)})
+        pre = self._ns_prefix(node.field)
+        if pre is not None:
+            toks = sorted({pre + t for v in node.values for t in self._tok(v)})
             return (
                 scored.filter(F.col("term").isin(toks))
                 .groupBy("split_id", "docid")
@@ -831,16 +907,21 @@ class Searcher:
     def _eval_phrase(
         self, node: Phrase, scored: DataFrame, docs: DataFrame
     ) -> DataFrame:
+        pre = self._ns_prefix(node.field)
+        if pre is None:
+            raise ValueError(f"phrase queries require a text field, got {node.field!r}")
         toks = self._tok(node.text)
         if not toks:
             return self._zero(docs).limit(0)
         if len(toks) == 1:
             return self._eval_term(Term(node.field, toks[0]), scored, docs)
         if self.record == "position":
-            return self._eval_phrase_positions(node, toks)
+            return self._eval_phrase_positions(node, toks, pre)
         return self._eval_phrase_fallback(node, toks, scored, docs)
 
-    def _eval_phrase_positions(self, node: Phrase, toks: list[str]) -> DataFrame:
+    def _eval_phrase_positions(
+        self, node: Phrase, toks: list[str], pre: str = ""
+    ) -> DataFrame:
         """True phrase scoring from stored positions (``record: position``).
 
         tantivy scores a phrase like a single term whose tf is the phrase
@@ -854,7 +935,8 @@ class Searcher:
         term query touches — so the plan survives scale (unlike the old
         full-docstore regex verify)."""
         split_ids = self._split_ids
-        uniq = sorted(set(toks))
+        ns_toks = [pre + t for t in toks]
+        uniq = sorted(set(ns_toks))
         stats_map = self.reader.manifest.stats()
         n_docs_by_split = {
             sid: s["num_docs"] for sid, s in stats_map.items() if sid in set(split_ids)
@@ -864,7 +946,7 @@ class Searcher:
         ).select("split_id", "term", "doc_freq", "blocks", "pos_blocks")
         pf_df = post.repartition("split_id").mapInPandas(
             _make_phrase_kernel(
-                list(toks),
+                ns_toks,
                 uniq,
                 node.slop,
                 n_docs_by_split,
@@ -874,14 +956,22 @@ class Searcher:
             PHRASE_PF_SCHEMA,
         )
 
-        stats = F.broadcast(self.reader.split_stats())
+        # per-(split, field) avgdl as a tiny broadcast relation
+        amap = self._avgdl_map(split_ids)
+        fld = pre[:-1] if pre else ""
+        avg_rows = [(sid, amap.get((sid, fld), 1.0)) for sid in split_ids]
+        avg_df = F.broadcast(
+            self.reader.spark.createDataFrame(
+                avg_rows, "split_id string, avgdl double"
+            )
+        )
         pf = F.col("pf").cast("double")
         tf_norm = pf * F.lit(BM25_K1 + 1.0) / (
             pf
             + F.lit(BM25_K1)
             * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
         )
-        return pf_df.join(stats, "split_id").select(
+        return pf_df.join(avg_df, "split_id").select(
             "split_id",
             "docid",
             (F.col("idf_sum") * tf_norm).alias("score"),
@@ -905,13 +995,18 @@ class Searcher:
             + gap.join(re_escape(t) for t in toks)
             + r"(?:$|[^\p{L}\p{N}])"
         )
+        text_col = (
+            node.field
+            if node.field and node.field in self.extra_text_fields
+            else "text"
+        )
         verify = (
             docs.join(
                 cand.select("split_id", "docid"),
                 ["split_id", "docid"],
                 "left_semi",
             )
-            .filter(F.lower(F.col("text")).rlike(pattern))
+            .filter(F.lower(F.col(text_col)).rlike(pattern))
             .select("split_id", "docid")
         )
         return cand.join(verify, ["split_id", "docid"], "inner")
@@ -935,11 +1030,14 @@ class Searcher:
         )
 
     def _simple_token(self, node: Node) -> str | None:
-        """Single-token text Term — eligible for the collapsed AND pass."""
-        if isinstance(node, Term) and self._is_text(node.field):
-            toks = self._tok(node.value)
-            if len(toks) == 1:
-                return toks[0]
+        """Single-token text Term (any text field, namespaced) — eligible
+        for the collapsed AND pass."""
+        if isinstance(node, Term):
+            pre = self._ns_prefix(node.field)
+            if pre is not None:
+                toks = self._tok(node.value)
+                if len(toks) == 1:
+                    return pre + toks[0]
         return None
 
     def _eval_bool(self, node: Bool, scored: DataFrame, docs: DataFrame) -> DataFrame:
@@ -1155,8 +1253,11 @@ def search(
         top = F.broadcast(top).join(store, ["split_id", "docid"], "inner")
     if snippet_fields:
         # snippet fields must be stored text reachable from the query's
-        # terms (query_builder.rs:212-253 validation)
-        terms = searcher._collect_text_terms(ast)
+        # terms (query_builder.rs:212-253 validation); namespaced storage
+        # terms highlight by their bare token
+        terms = sorted(
+            {t.split(FIELD_SEP)[-1] for t in searcher._collect_text_terms(ast)}
+        )
         if not terms:
             raise ValueError("snippet fields require text terms in the query")
         snip = make_snippet_udf(terms, tokenizer=searcher.tokenizer)

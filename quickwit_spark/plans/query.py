@@ -77,7 +77,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<lparen>\()
   | (?P<rparen>\))
-  | (?P<quoted>"[^"]*"(~\d+)?)
+  | (?P<quoted>(?:[\w.]+:)?"[^"]*"(~\d+)?)   # incl. field-qualified phrases
   | (?P<space>\s+)
   | (?P<atom>[^\s()]+)
     """,
@@ -168,10 +168,20 @@ class _Parser:
                 raise ValueError("missing )")
             self.next()
             return self._maybe_boost(node)
+        # phrase boost `"a b"^2` lexes as two tokens (quoted + ^2): the
+        # trailing-boost check applies to any atom
         return self._maybe_boost(self.atom())
 
     def _maybe_boost(self, node: Node) -> Node:
-        # boost already split inside atom handling for terms; groups: ^N token
+        """Group boost ``(a b)^2`` — the ^N arrives as its own token after
+        the closing paren (UserInputAst::Boost, query_builder.rs:102-113)."""
+        t = self.peek()
+        if t and t.startswith("^"):
+            m = re.match(r"^\^([\d.]+)$", t)
+            if not m:
+                raise ValueError(f"bad boost {t!r}")
+            self.next()
+            return Boost(node, float(m.group(1)))
         return node
 
     def atom(self) -> Node:
