@@ -119,24 +119,43 @@ def terms_agg(
     order_by: str = "count",  # "count" | "key" | a sub-agg name
     order_dir: str = "desc",
     sub_aggs=None,
+    include_sum_other: bool = False,
 ) -> DataFrame:
     """Terms bucket agg: top ``size`` values ordered by doc_count, key, or a
     metric sub-agg (aggregation.md:430-451 "order by sub-aggregation"), key
-    asc as tie-break. sum_other_doc_count / error bounds omitted — Spark
-    computes exact global counts (no per-shard truncation to approximate)."""
+    asc as tie-break. ``include_sum_other`` adds ES's ``sum_other_doc_count``
+    (docs in buckets beyond the returned ``size``) — exact here, since Spark
+    computes global counts with no per-shard truncation (the reference's
+    doc_count_error_upper_bound is therefore always 0 and omitted)."""
+    from pyspark.sql.window import Window
+
     grouped = df.groupBy(F.col(col).alias("key")).agg(
         F.count(F.lit(1)).alias("doc_count"), *_sub_agg_exprs(sub_aggs)
     )
+    if include_sum_other:
+        grouped = grouped.withColumn(
+            "_total", F.sum("doc_count").over(Window.partitionBy())
+        )
     direction = F.desc if order_dir == "desc" else F.asc
     if order_by == "count":
-        grouped = grouped.orderBy(direction("doc_count"), F.asc("key"))
+        order = [direction("doc_count"), F.asc("key")]
     elif order_by == "key":
-        grouped = grouped.orderBy(direction("key"))
+        order = [direction("key")]
     else:
         if not sub_aggs or order_by not in sub_aggs:
             raise ValueError(f"order_by {order_by!r} is not a sub-agg name")
-        grouped = grouped.orderBy(direction(order_by), F.asc("key"))
-    return grouped.limit(size)
+        order = [direction(order_by), F.asc("key")]
+    out = grouped.orderBy(*order).limit(size)
+    if include_sum_other:
+        out = (
+            out.withColumn(
+                "sum_other_doc_count",
+                F.col("_total") - F.sum("doc_count").over(Window.partitionBy()),
+            )
+            .drop("_total")
+            .orderBy(*order)
+        )
+    return out
 
 
 def stats_agg(df: DataFrame, col: str) -> DataFrame:

@@ -44,7 +44,7 @@ from __future__ import annotations
 import hashlib
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import numpy as np
 import pandas as pd
@@ -139,6 +139,11 @@ class IndexConfig:
     # The reference default is `basic`; we default to position because phrase
     # queries without positions degrade to a documented approximation.
     record: str = "position"
+    # store the whole original document under ``_source`` (default_mapper.rs
+    # :214-218 `_source` field): one JSON column in the docstore, fetchable
+    # like any stored field. Costs a full-row copy through the routing
+    # shuffle — off by default, exactly like the reference.
+    store_source: bool = False
     # additional stored/fast columns carried into the docstore verbatim
     # (typed per the input schema): the docstore IS the fast-field storage
     # (SURVEY §1.1), so any listed column becomes range-filterable,
@@ -634,6 +639,12 @@ def build_index(
     required when the input plan string is not stable across retries (e.g. a
     streaming micro-batch, fingerprinted by its batch_id instead)."""
     cfg = cfg or IndexConfig()
+    if cfg.store_source:
+        pages = pages.withColumn(
+            "_source", F.to_json(F.struct(*[F.col(c) for c in pages.columns]))
+        )
+        if "_source" not in cfg.store_fields:
+            cfg = replace(cfg, store_fields=cfg.store_fields + ("_source",))
     t0 = time.time()
     manifest = Manifest(index_dir)
     manifest.save_index_config(

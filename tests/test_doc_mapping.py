@@ -164,3 +164,41 @@ def test_ingest_queue_roundtrip(spark, tmp_path):
     drain_queue(spark, qdir, idx, ckpt, ddl, cfg)
     reader.refresh()
     assert search(reader, SearchRequest(query="alpha", max_hits=100), fetch_fields=()).count() == 11
+
+
+def test_source_storing(spark, pages_small, tmp_path):
+    """store_source keeps the whole original doc as a _source JSON column
+    fetchable from search results (default_mapper.rs:214-218)."""
+    import json
+
+    d = str(tmp_path / "src_idx")
+    build_index(
+        spark,
+        pages_small,
+        d,
+        IndexConfig(index_id="pages", num_splits=2, store_source=True),
+    )
+    reader = IndexReader(spark, d)
+    rows = search(
+        reader,
+        SearchRequest(query="needleone", max_hits=5),
+        fetch_fields=("url", "_source"),
+    ).collect()
+    assert rows
+    for r in rows:
+        src = json.loads(r["_source"])
+        assert src["url"] == r["url"]
+        assert "needleone" in src["text"]
+
+
+def test_terms_agg_sum_other(spark):
+    from quickwit_spark.operators.aggs import terms_agg
+
+    rows = [(f"k{i % 7}",) for i in range(70)] + [("k0",)] * 30
+    df = spark.createDataFrame(rows, "c string")
+    out = terms_agg(df, "c", size=3, include_sum_other=True).collect()
+    assert len(out) == 3
+    total = 100
+    sel = sum(r["doc_count"] for r in out)
+    assert all(r["sum_other_doc_count"] == total - sel for r in out)
+    assert out[0]["key"] == "k0" and out[0]["doc_count"] == 40

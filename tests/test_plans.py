@@ -1,0 +1,36 @@
+"""Physical-plan regression guards: pushdown/pruning/broadcast properties
+the engine's scale story depends on (see tools/explain_audit.py, EXPLAIN.md)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from quickwit_spark.operators.search import SearchRequest, search
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_term_query_plan_shape(small_index):
+    p = _plan(
+        search(small_index, SearchRequest(query="w0 w3", max_hits=10), fetch_fields=("url",))
+    )
+    # term filter reaches the parquet scan (row-group pruning)
+    assert "PushedFilters" in p and "term" in p.split("PushedFilters", 1)[1][:400]
+    # positions never read on the term path
+    assert "pos_blocks" not in p
+    # per-split stats joined via broadcast
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p
+
+
+def test_phrase_query_plan_shape(small_index):
+    p = _plan(
+        search(small_index, SearchRequest(query='"w0 w1"', max_hits=10), fetch_fields=())
+    )
+    assert "pos_blocks" in p          # positions ARE read here
+    assert "text" not in p            # ... but the docstore text never is
