@@ -50,8 +50,15 @@ from quickwit_spark.plans.query import (
     parse_query,
 )
 
-# corpus size above which the WAND pruning plan beats exhaustive decode
-WAND_MIN_DOCS = 1_000_000
+# corpus size (docs in the pruned splits) above which the WAND pruning plan
+# beats exhaustive decode. Measured on this sandbox at 1M docs: WAND's 4-6
+# jobs cost 12-17 s vs a 4 s single-pass exhaustive decode — the optimized
+# decode kernel (~10M postings/s/core) makes per-query compute tiny, so the
+# crossover is where decode time reaches seconds per job: ~100M+ postings
+# touched per query. On a cluster reading splits from object storage the
+# block-level IO pruning moves the crossover earlier; this constant is the
+# conservative local-mode setting and callers can force use_wand=True.
+WAND_MIN_DOCS = 20_000_000
 # WAND phase-4 candidate sets above this bound use a shuffle join instead of
 # a broadcast (a hot-term disjunction with a weak theta can leave candidate
 # sets far beyond driver/executor broadcast limits at scale)

@@ -34,3 +34,16 @@ def test_phrase_query_plan_shape(small_index):
     )
     assert "pos_blocks" in p          # positions ARE read here
     assert "text" not in p            # ... but the docstore text never is
+
+
+def test_minhash_lsh_verify_is_candidate_restricted(spark):
+    """VERDICT r01 'Done' criterion: the exact-Jaccard verification join must
+    be keyed on LSH candidates, not the full corpus — the plan shows the
+    shingle table semi-joined to candidate ids before the pair self-join."""
+    from quickwit_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta " + ("x" if i % 2 else "y"))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = _plan(minhash_lsh_pairs(df, threshold=0.5))
+    assert "LeftSemi" in p

@@ -55,3 +55,34 @@ def test_salted_blocks_bounded(spark, pages_small, tmp_path):
         for b in r["blocks"]:
             lo, hi = b["first_docid"], b["last_docid"]
             assert lo // 64 == hi // 64, "block crosses a salt boundary"
+
+
+def test_salted_positions_content_identical(spark, pages_small, tmp_path):
+    """The salted two-stage encode must reproduce the direct path's POSITIONS
+    too (record: position is the default), so phrase queries answer
+    identically over skew-salted splits."""
+    from quickwit_spark.index.codec import decode_positions
+
+    cfg_plain = IndexConfig(index_id="pages", num_splits=2)
+    cfg_salted = IndexConfig(index_id="pages", num_splits=2, salt_range=64)
+    d1, d2 = str(tmp_path / "pp"), str(tmp_path / "ps")
+    build_index(spark, pages_small, d1, cfg_plain)
+    build_index(spark, pages_small, d2, cfg_salted)
+    r1, r2 = IndexReader(spark, d1), IndexReader(spark, d2)
+
+    def pos_content(reader):
+        out = {}
+        for r in reader.postings().collect():
+            d, t, p = decode_positions(
+                [b.asDict() for b in r["blocks"]],
+                [b.asDict() for b in r["pos_blocks"]],
+            )
+            out[(r["split_id"], r["term"])] = (d.tolist(), t.tolist(), p.tolist())
+        return out
+
+    assert pos_content(r1) == pos_content(r2)
+
+    for q in ['"w0 w1"', '"w0 w2"~1']:
+        a = search(r1, SearchRequest(query=q, max_hits=15), fetch_fields=()).collect()
+        b = search(r2, SearchRequest(query=q, max_hits=15), fetch_fields=()).collect()
+        assert [tuple(x) for x in a] == [tuple(x) for x in b], q
