@@ -223,6 +223,58 @@ class Manifest:
                 out[m.partition_id] = m.source_fingerprint
         return out
 
+    def to_dataframe(self, spark):
+        """The ``index_splits`` metastore relation as a DataFrame — for
+        cluster-side planning joins (e.g. pruning a huge split list with a
+        distributed filter instead of a driver loop) and for snapshotting.
+
+        Production-scale note (north_star "Iceberg tables"): this sandbox
+        backend is one JSON file per split with write-then-rename, which is
+        atomic for the single-driver sandbox. On object storage with many
+        writers, back this class with an Iceberg/Delta table instead: stage =
+        append with state=Staged; publish = ONE transactional commit that
+        flips new rows to Published and replaced rows to MarkedForDeletion
+        (or a conditional-put on a manifest pointer object). Every consumer
+        in this repo goes through Manifest's methods, so the backend swap is
+        localized here."""
+        import json as _json
+
+        rows = [
+            (
+                m.split_id,
+                m.index_id,
+                m.partition_id,
+                m.num_docs,
+                m.uncompressed_docs_size_in_bytes,
+                m.total_tokens,
+                m.time_range_start,
+                m.time_range_end,
+                m.create_timestamp,
+                m.tags,
+                m.num_merge_ops,
+                m.state,
+                m.source_fingerprint,
+                m.generation,
+                m.max_docid,
+                _json.dumps(m.field_total_tokens) if m.field_total_tokens else None,
+            )
+            for m in self.list_all()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "split_id string, index_id string, partition_id long, num_docs long,"
+            " uncompressed_docs_size_in_bytes long, total_tokens long,"
+            " time_range_start string, time_range_end string,"
+            " create_timestamp double, tags array<string>, num_merge_ops long,"
+            " state string, source_fingerprint string, generation long,"
+            " max_docid long, field_total_tokens string",
+        )
+
+    def export_snapshot(self, spark, path: str) -> None:
+        """Write an index_splits parquet snapshot (read-only mirror for
+        downstream planners / audits)."""
+        self.to_dataframe(spark).write.mode("overwrite").parquet(path)
+
     def stats(self) -> dict[str, dict]:
         """split_id -> {num_docs, avgdl} for Published splits (broadcast to
         the scorer: per-split BM25 stats, see SURVEY §7.4)."""

@@ -197,3 +197,23 @@ def test_delete_then_merge_docids_stay_sound(spark, pages_small, tmp_path):
     assert search(reader, SearchRequest(query="*", max_hits=1000), fetch_fields=()).count() == total - m.matched_docs
     assert search(reader, SearchRequest(query="needleone", max_hits=10), fetch_fields=()).count() == 0
     assert search(reader, SearchRequest(query="needletwo", max_hits=10), fetch_fields=()).count() > 0
+
+
+def test_manifest_dataframe_and_snapshot(spark, small_index, tmp_path):
+    """index_splits as a cluster-visible relation: row-per-split with the
+    pruning columns, and a parquet snapshot mirror."""
+    df = small_index.manifest.to_dataframe(spark)
+    rows = {r["split_id"]: r for r in df.collect()}
+    metas = {m.split_id: m for m in small_index.manifest.list_all()}
+    assert rows.keys() == metas.keys()
+    for sid, m in metas.items():
+        assert rows[sid]["num_docs"] == m.num_docs
+        assert rows[sid]["state"] == m.state
+    # distributed pruning join works over it
+    pruned = df.filter(
+        (F.col("state") == "Published") & (F.col("num_docs") > 0)
+    ).count()
+    assert pruned == len(small_index.manifest.list_published())
+    snap = str(tmp_path / "splits_snapshot")
+    small_index.manifest.export_snapshot(spark, snap)
+    assert spark.read.parquet(snap).count() == len(metas)
