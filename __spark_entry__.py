@@ -595,11 +595,11 @@ WITH t AS (SELECT doc_id, {TOKENIZE} AS toks FROM documents),
 m AS (SELECT doc_id, len(toks)::DOUBLE AS n,
   len(list_filter(toks, x -> list_contains({all_stop}, x)))::DOUBLE AS nstop,
   list_sum(list_transform(toks, x -> len(x)))::DOUBLE AS chars FROM t)
-SELECT doc_id, round(CASE WHEN n > 0 THEN
+SELECT doc_id, round((CASE WHEN n > 0 THEN
     0.4 * least(1.0, n / 100.0)
   + 0.3 * least(1.0, (nstop / n) * 5.0)
   + 0.3 * least(1.0, (chars / n) / 8.0)
-  ELSE 0.0 END, 4) AS quality
+  ELSE 0.0 END) + 1e-9, 4) AS quality
 FROM m
 """
     o["ts_fingerprint"] = f"""

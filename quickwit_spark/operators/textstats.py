@@ -108,7 +108,10 @@ def quality_score(df: DataFrame, text_col: str = "text",
     )
     return df.select(
         F.col(id_col),
-        F.round(q, 4).alias("quality"),
+        # +1e-9 before rounding: the score can land within 1 ulp of a
+        # .00005 boundary where Spark and an independent engine (the DuckDB
+        # oracle applies the same bias) would round apart
+        F.round(q + F.lit(1e-9), 4).alias("quality"),
     )
 
 
