@@ -85,7 +85,7 @@ def _fts_topk(
     return (
         res.select(
             F.col("url").cast("long").alias("doc_id"),
-            F.round("score", 4).alias("score"),
+            F.round(F.col("score") + F.lit(1e-9), 4).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
@@ -173,7 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return res.select(
             F.col("url").cast("long").alias("doc_id"),
-            F.round("score", 4).alias("score"),
+            F.round(F.col("score") + F.lit(1e-9), 4).alias("score"),
         ).orderBy(F.desc("score"), F.asc("doc_id"))
 
     q["fts_multifield_topk"] = multifield_topk
@@ -287,8 +287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(
             "key",
             "doc_count",
-            F.round("avg_value", 4).alias("avg_value"),
-            F.round("max_value", 4).alias("max_value"),
+            F.round(F.col("avg_value") + F.lit(1e-9), 4).alias("avg_value"),
+            F.round(F.col("max_value") + F.lit(1e-9), 4).alias("max_value"),
         )
 
     q["agg_terms_sub_avg"] = terms_sub_avg
@@ -308,8 +308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(
             "key",
             "doc_count",
-            F.round("avg_value", 4).alias("avg_value"),
-            F.round("sum_value", 2).alias("sum_value"),
+            F.round(F.col("avg_value") + F.lit(1e-9), 4).alias("avg_value"),
+            F.round(F.col("sum_value") + F.lit(1e-9), 2).alias("sum_value"),
             "n_values",
         )
 
@@ -367,11 +367,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy(F.col("event_type").alias("key"))
             .agg(
                 F.count("value").alias("count"),
-                F.round(F.min("value"), 4).alias("min"),
-                F.round(F.max("value"), 4).alias("max"),
-                F.round(F.sum("value"), 2).alias("sum"),
-                F.round(F.avg("value"), 4).alias("avg"),
-                F.round(F.stddev_pop("value"), 4).alias("stddev"),
+                F.round(F.min("value") + F.lit(1e-9), 4).alias("min"),
+                F.round(F.max("value") + F.lit(1e-9), 4).alias("max"),
+                F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum"),
+                F.round(F.avg("value") + F.lit(1e-9), 4).alias("avg"),
+                F.round(F.stddev_pop("value") + F.lit(1e-9), 4).alias("stddev"),
             )
             .orderBy("key")
         )
@@ -432,7 +432,7 @@ def oracle_sql() -> dict[str, str]:
     o["fts_and_topk"] = bm25_and_sql(["spark", "merge"], 10)
     o["fts_or_topk"] = bm25_or_sql(["vector", "window"], 10)
     o["fts_not_topk"] = f"""{ORACLE_PRELUDE}
-SELECT doc_id, round(score, 4) AS score FROM (
+SELECT doc_id, round(score + 1e-9, 4) AS score FROM (
   SELECT doc_id, sum(score) AS score FROM scores
   WHERE term = 'batch'
     AND doc_id NOT IN (SELECT doc_id FROM scores WHERE term = 'scan')
@@ -454,7 +454,7 @@ SELECT doc_id, round(score, 4) AS score FROM (
         ["spark"], 10, doc_filter="doc_id >= 120 AND doc_id < 300"
     )
     o["fts_boost_topk"] = f"""{ORACLE_PRELUDE}
-SELECT doc_id, round(score, 4) AS score FROM (
+SELECT doc_id, round(score + 1e-9, 4) AS score FROM (
   SELECT doc_id,
          sum(score * CASE term WHEN 'dup' THEN 2.0 ELSE 1.0 END) AS score
   FROM scores WHERE term IN ('dup', 'key')
@@ -473,7 +473,7 @@ tscore AS (
   FROM td JOIN tdf USING (split_id) JOIN ss USING (split_id)
   WHERE td.lang = 'de'
 )
-SELECT doc_id, round(s.score + t.score, 4) AS score FROM
+SELECT doc_id, round(s.score + t.score + 1e-9, 4) AS score FROM
   (SELECT doc_id, split_id, sum(score) AS score FROM scores
    WHERE term = 'dup' GROUP BY 1, 2) s
 JOIN tscore t USING (doc_id, split_id)
@@ -530,13 +530,13 @@ GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5
 """
     o["agg_terms_sub_avg"] = """
 SELECT event_type AS key, count(*) AS doc_count,
-  round(avg(value), 4) AS avg_value, round(max(value), 4) AS max_value
+  round(avg(value) + 1e-9, 4) AS avg_value, round(max(value) + 1e-9, 4) AS max_value
 FROM events GROUP BY 1 ORDER BY avg(value) DESC, key ASC LIMIT 5
 """
     o["agg_date_histogram_stats"] = """
 SELECT (floor(epoch(ts) / 21600) * 21600)::BIGINT AS key,
   count(*) AS doc_count,
-  round(avg(value), 4) AS avg_value, round(sum(value), 2) AS sum_value,
+  round(avg(value) + 1e-9, 4) AS avg_value, round(sum(value) + 1e-9, 2) AS sum_value,
   count(value) AS n_values
 FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY key
 """
@@ -552,9 +552,9 @@ SELECT event_id FROM events WHERE user_id = 7
 """
     o["agg_stats_by_type"] = """
 SELECT event_type AS key, count(value) AS count,
-  round(min(value), 4) AS min, round(max(value), 4) AS max,
-  round(sum(value), 2) AS sum, round(avg(value), 4) AS avg,
-  round(stddev_pop(value), 4) AS stddev
+  round(min(value) + 1e-9, 4) AS min, round(max(value) + 1e-9, 4) AS max,
+  round(sum(value) + 1e-9, 2) AS sum, round(avg(value) + 1e-9, 4) AS avg,
+  round(stddev_pop(value) + 1e-9, 4) AS stddev
 FROM events GROUP BY 1 ORDER BY key
 """
 

@@ -264,7 +264,7 @@ idf AS (
 )
 SELECT doc_id,
   round(idf_sum * (pf * {K1 + 1.0})
-        / (pf + {K1} * ({1.0 - B} + {B} * dl.dl / ss.avgdl)), 4) AS score
+        / (pf + {K1} * ({1.0 - B} + {B} * dl.dl / ss.avgdl)) + 1e-9, 4) AS score
 FROM pfq
 JOIN dl USING (doc_id, split_id)
 JOIN ss USING (split_id)
@@ -287,7 +287,7 @@ def bm25_and_sql(
     tl = ", ".join(f"'{t}'" for t in terms)
     flt = f"AND ({doc_filter})" if doc_filter else ""
     return f"""{prelude or ORACLE_PRELUDE}
-SELECT doc_id, round(score, 4) AS score FROM (
+SELECT doc_id, round(score + 1e-9, 4) AS score FROM (
   SELECT doc_id, sum(score) AS score
   FROM scores WHERE term IN ({tl}) {flt}
   GROUP BY split_id, doc_id
@@ -300,7 +300,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {k} OFFSET {offset}
 def bm25_or_sql(terms: list[str], k: int) -> str:
     tl = ", ".join(f"'{t}'" for t in terms)
     return f"""{ORACLE_PRELUDE}
-SELECT doc_id, round(score, 4) AS score FROM (
+SELECT doc_id, round(score + 1e-9, 4) AS score FROM (
   SELECT doc_id, sum(score) AS score
   FROM scores WHERE term IN ({tl})
   GROUP BY split_id, doc_id
