@@ -315,6 +315,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_date_histogram_stats"] = date_histogram_stats
 
+    def dh_terms(s: SparkSession, d: str) -> DataFrame:
+        # nested buckets: terms agg inside every 6h date_histogram bucket
+        return A.date_histogram_terms(
+            _events(s, d), "ts", 21600, "event_type", size_per_bucket=3
+        )
+
+    q["agg_dh_nested_terms"] = dh_terms
+
     def trace_top_ids(s: SparkSession, d: str) -> DataFrame:
         # FindTraceIds collector analog (find_trace_ids_collector.rs:122-142)
         s.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ -> epoch pin
@@ -539,6 +547,21 @@ SELECT (floor(epoch(ts) / 21600) * 21600)::BIGINT AS key,
   round(avg(value) + 1e-9, 4) AS avg_value, round(sum(value) + 1e-9, 2) AS sum_value,
   count(value) AS n_values
 FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY key
+"""
+    o["agg_dh_nested_terms"] = """
+WITH g AS (
+  SELECT (floor(epoch(ts) / 21600) * 21600)::BIGINT AS key,
+         event_type AS term_key, count(*) AS doc_count
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY key ORDER BY doc_count DESC, term_key ASC
+  ) AS rk FROM g
+)
+SELECT key, term_key, doc_count FROM r WHERE rk <= 3
+ORDER BY key, doc_count DESC, term_key ASC
 """
     o["trace_top_ids"] = """
 SELECT user_id AS trace_id, epoch_us(max(ts))::BIGINT AS max_ts_us

@@ -172,6 +172,41 @@ def stats_agg(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def date_histogram_terms(
+    df: DataFrame,
+    ts_col: str,
+    interval_seconds: int,
+    term_col: str,
+    size_per_bucket: int = 5,
+    sub_aggs=None,
+) -> DataFrame:
+    """Nested bucket aggregation: a terms agg inside every date_histogram
+    bucket (aggregation.md:110-111 — bucket aggs may hold bucket children).
+    Relationally this is ONE groupBy on (time bucket, term) plus a windowed
+    per-bucket top-k — still a single shuffle; the reference's recursive
+    intermediate-result merge is Catalyst's partial aggregation + the rank
+    filter. Returns (key, term_key, doc_count, *sub_aggs) with at most
+    ``size_per_bucket`` terms per time bucket (count desc, term asc)."""
+    from pyspark.sql.window import Window
+
+    epoch = F.unix_timestamp(F.col(ts_col))
+    key = (F.floor(epoch / F.lit(interval_seconds)) * F.lit(interval_seconds))
+    grouped = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(term_col).isNotNull())
+        .groupBy(key.alias("key"), F.col(term_col).alias("term_key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"), *_sub_agg_exprs(sub_aggs))
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.desc("doc_count"), F.asc("term_key")
+    )
+    return (
+        grouped.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= size_per_bucket)
+        .drop("_rk")
+        .orderBy("key", F.desc("doc_count"), F.asc("term_key"))
+    )
+
+
 def find_trace_ids(
     df: DataFrame, trace_col: str, ts_col: str, n: int = 10
 ) -> DataFrame:

@@ -73,6 +73,56 @@ def kafka_pages_stream(
     return good.filter(~F.col("_corrupt")).drop("_corrupt", "_kafka_key")
 
 
+def kinesis_pages_stream(
+    spark: SparkSession,
+    stream_name: str,
+    region: str,
+    schema: T.StructType,
+    options: dict | None = None,
+) -> DataFrame:
+    """Kinesis source (quickwit-indexing/src/source/kinesis, 1,129 LoC of
+    shard consumers + positions): on Spark the shard lease/position machinery
+    is the connector's + the checkpoint's job. Requires a spark-kinesis
+    connector on the classpath (e.g. the spark-sql-kinesis package, which
+    registers format "kinesis"); record payloads are JSON in ``data``."""
+    reader = (
+        spark.readStream.format("kinesis")
+        .option("streamName", stream_name)
+        .option("region", region)
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.load().select(
+        F.col("data").alias("value"), F.lit(None).cast("binary").alias("key")
+    )
+    good = parse_kafka_records(raw, schema)
+    return good.filter(~F.col("_corrupt")).drop("_corrupt", "_kafka_key")
+
+
+def pulsar_pages_stream(
+    spark: SparkSession,
+    service_url: str,
+    topic: str,
+    schema: T.StructType,
+    options: dict | None = None,
+) -> DataFrame:
+    """Pulsar source (source/pulsar_source.rs, 1,230 LoC): same micro-batch
+    + positions pattern via the StreamNative pulsar-spark connector
+    (format "pulsar"); message payloads are JSON in ``value``."""
+    reader = (
+        spark.readStream.format("pulsar")
+        .option("service.url", service_url)
+        .option("topics", topic)
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.load().select(
+        F.col("value"), F.lit(None).cast("binary").alias("key")
+    )
+    good = parse_kafka_records(raw, schema)
+    return good.filter(~F.col("_corrupt")).drop("_corrupt", "_kafka_key")
+
+
 def index_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -202,3 +202,26 @@ def test_terms_agg_sum_other(spark):
     sel = sum(r["doc_count"] for r in out)
     assert all(r["sum_other_doc_count"] == total - sel for r in out)
     assert out[0]["key"] == "k0" and out[0]["doc_count"] == 40
+
+
+def test_date_histogram_terms_nested(spark):
+    import datetime as dtm
+
+    from quickwit_spark.operators.aggs import date_histogram_terms
+
+    base = dtm.datetime(2024, 1, 1)
+    rows = []
+    for h in range(4):
+        for i in range(10 - h):
+            rows.append((base + dtm.timedelta(hours=h), "a"))
+        for i in range(3):
+            rows.append((base + dtm.timedelta(hours=h), "b"))
+        rows.append((base + dtm.timedelta(hours=h), "c"))
+    df = spark.createDataFrame(rows, "ts timestamp, et string")
+    out = date_histogram_terms(df, "ts", 3600, "et", size_per_bucket=2).collect()
+    # 4 buckets x top-2 terms
+    assert len(out) == 8
+    for h in range(4):
+        bucket = [r for r in out if r["key"] == int(base.timestamp()) + h * 3600]
+        assert [r["term_key"] for r in bucket] == ["a", "b"]
+        assert bucket[0]["doc_count"] == 10 - h
