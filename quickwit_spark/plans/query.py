@@ -106,6 +106,9 @@ class _Parser:
         return self.toks[self.i] if self.i < len(self.toks) else None
 
     def next(self) -> str:
+        if self.i >= len(self.toks):
+            # e.g. an unterminated range/term-set: `f:[1 TO`
+            raise ValueError("unexpected end of query")
         t = self.toks[self.i]
         self.i += 1
         return t

@@ -162,3 +162,17 @@ def test_phrase_survives_merge(spark, pages_small, tmp_path):
     ]
     exp = _expected_phrase(reader, ["w0", "w2"], 1, quantize=True)[:15]
     assert got == exp and got
+
+
+def test_phrase_through_export_and_count(small_index):
+    """count_hits and the fast-field export path must work with the
+    positions-based phrase evaluator (they share Searcher.matching)."""
+    from quickwit_spark.operators.search import count_hits, export_fast_field
+
+    n = count_hits(small_index, SearchRequest(query='"w0 w1"')).collect()[0][
+        "num_hits"
+    ]
+    exported = export_fast_field(
+        small_index, SearchRequest(query='"w0 w1"'), "url"
+    ).count()
+    assert n == exported > 0

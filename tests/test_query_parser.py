@@ -43,3 +43,32 @@ def test_core_forms():
     assert isinstance(n, Range) and n.lo == "10" and n.hi_inc
     n = parse_query('"exact run"~2')
     assert isinstance(n, Phrase) and n.slop == 2
+
+
+def test_parser_fuzz_never_crashes():
+    """Random query strings must either parse or raise ValueError — never
+    anything else (the driver-facing contract of parse_query)."""
+    import random
+    import string
+
+    rng = random.Random(42)
+    alphabet = string.ascii_lowercase + ' ()"~^:[]{}+-*.0123456789'
+    for _ in range(3000):
+        q = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 24)))
+        try:
+            parse_query(q)
+        except ValueError:
+            pass
+
+
+def test_parser_roundtrip_shapes():
+    import itertools
+
+    pieces = ["w1", "f:w2", '"a b"~1', "f:IN [x y]", "url:[1 TO 2]", "-w3",
+              "(w4 OR w5)^2", "*"]
+    for combo in itertools.permutations(pieces, 2):
+        q = " ".join(combo)
+        try:
+            parse_query(q)
+        except ValueError:
+            pass
