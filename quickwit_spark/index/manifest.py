@@ -50,6 +50,10 @@ class SplitMetadata:
     # per-extra-text-field token totals (avgdl per field = v / num_docs);
     # the default field's total lives in total_tokens
     field_total_tokens: dict | None = None
+    # indexing record option this split was built with ("position" | "freq");
+    # a merge of mixed sources degrades to "freq", and phrase queries take
+    # the positions path only when EVERY pruned split has them
+    record: str = "position"
 
     def field_avgdl(self, field_name: str | None) -> float:
         if field_name and self.field_total_tokens and field_name in self.field_total_tokens:
@@ -284,6 +288,7 @@ class Manifest:
                 "avgdl": m.avgdl,
                 "num_merge_ops": m.num_merge_ops,
                 "field_total_tokens": m.field_total_tokens,
+                "record": m.record,
             }
             for m in self.list_all()
             if m.state == "Published"

@@ -103,8 +103,9 @@ def range_agg(
         if hi is not None:
             cond = cond & (c < F.lit(hi))
         whens = F.when(cond, F.lit(label)) if whens is None else whens.when(cond, F.lit(label))
+    needed = sorted({src for _, src in (sub_aggs or {}).values()})
     return (
-        df.select(whens.alias("range_key"), "*")
+        df.select(whens.alias("range_key"), *[F.col(c) for c in needed])
         .filter(F.col("range_key").isNotNull())
         .groupBy("range_key")
         .agg(F.count(F.lit(1)).alias("doc_count"), *_sub_agg_exprs(sub_aggs))
@@ -117,7 +118,7 @@ def terms_agg(
     col: str,
     size: int = 10,
     order_by: str = "count",  # "count" | "key" | a sub-agg name
-    order_dir: str = "desc",
+    order_dir: str | None = None,  # default: desc for counts/sub-aggs, asc for key
     sub_aggs=None,
     include_sum_other: bool = False,
 ) -> DataFrame:
@@ -136,6 +137,9 @@ def terms_agg(
         grouped = grouped.withColumn(
             "_total", F.sum("doc_count").over(Window.partitionBy())
         )
+    if order_dir is None:
+        # ES conventions: _count orders desc by default, _key asc
+        order_dir = "asc" if order_by == "key" else "desc"
     direction = F.desc if order_dir == "desc" else F.asc
     if order_by == "count":
         order = [direction("doc_count"), F.asc("key")]

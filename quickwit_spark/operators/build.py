@@ -647,19 +647,41 @@ def build_index(
             cfg = replace(cfg, store_fields=cfg.store_fields + ("_source",))
     t0 = time.time()
     manifest = Manifest(index_dir)
-    manifest.save_index_config(
-        {
-            "index_id": cfg.index_id,
-            "text_field": cfg.text_field,
-            "tag_field": cfg.tag_field,
-            "timestamp_field": cfg.timestamp_field,
-            "doc_key": cfg.doc_key,
-            "tokenizer": cfg.tokenizer,
-            "record": cfg.record,
-            "store_fields": list(cfg.store_fields),
-            "extra_text_fields": list(cfg.extra_text_fields),
+    new_icfg = {
+        "index_id": cfg.index_id,
+        "text_field": cfg.text_field,
+        "tag_field": cfg.tag_field,
+        "timestamp_field": cfg.timestamp_field,
+        "doc_key": cfg.doc_key,
+        "tokenizer": cfg.tokenizer,
+        "record": cfg.record,
+        "store_fields": list(cfg.store_fields),
+        "extra_text_fields": list(cfg.extra_text_fields),
+    }
+    # a resume/append must never silently flip the index's format: queries
+    # are analyzed with the PERSISTED tokenizer/record, so mixing formats
+    # across splits would corrupt semantics (e.g. a rerun of an old
+    # record='freq' index under the new default would make searchers take
+    # the positions path against splits that have none)
+    old_icfg = manifest.load_index_config()
+    if old_icfg:
+        # missing keys mean the index predates the option — its splits were
+        # built with the then-defaults, which must keep winning
+        legacy = {
+            "text_field": "text",
+            "tokenizer": "default",
+            "record": "freq",
+            "extra_text_fields": [],
         }
-    )
+        for k, dflt in legacy.items():
+            have = old_icfg.get(k, dflt)
+            if have != new_icfg[k]:
+                raise ValueError(
+                    f"index config mismatch on {k!r}: index has "
+                    f"{have!r}, build requested {new_icfg[k]!r} — "
+                    "rebuild into a fresh index_dir to change the format"
+                )
+    manifest.save_index_config(new_icfg)
 
     # --- checkpoint-resume: skip partitions whose split is already Published
     done = manifest.published_fingerprints(cfg.generation) if resume else {}
@@ -835,6 +857,7 @@ def build_index(
             generation=cfg.generation,
             # docids are dense row_number()-1 per split at build time
             max_docid=row["num_docs"] - 1,
+            record=cfg.record,
             field_total_tokens=(
                 {f_: row[f"_ftt__{f_}"] for f_ in cfg.extra_text_fields}
                 if cfg.extra_text_fields

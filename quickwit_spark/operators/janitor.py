@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 
 from quickwit_spark.functions.tokenize import analyzer_expr
 from quickwit_spark.index.manifest import Manifest, SplitMetadata
-from quickwit_spark.operators.build import ENC_SCHEMA, _make_arrow_stream_kernel
+from quickwit_spark.operators.build import (
+    ENC_SCHEMA,
+    FIELD_SEP,
+    _make_arrow_stream_kernel,
+)
 from quickwit_spark.operators.search import IndexReader, Searcher
 from quickwit_spark.plans.query import parse_query
 
@@ -101,7 +105,11 @@ def delete_by_query(
             manifest.publish([], replaced=[split_id])
             metrics.dropped_splits.append(split_id)
         else:
-            rewrite[split_id] = f"{meta.index_id}-del-{qh}-{split_id[-8:]}"
+            # new id must be a collision-free function of the FULL source id:
+            # a suffix slice would collapse e.g. generations g and g+10 of
+            # the same partition into one rewritten split
+            sh = hashlib.sha256(split_id.encode()).hexdigest()[:12]
+            rewrite[split_id] = f"{meta.index_id}-del-{qh}-{sh}"
     if not rewrite:
         matches.unpersist()
         metrics.elapsed_sec = time.time() - t0
@@ -153,7 +161,7 @@ def delete_by_query(
 
     enc = _field_enc("text", None)
     for f_ in extra_text_fields:
-        enc = enc.unionByName(_field_enc(f_, f_ + "\x00"))
+        enc = enc.unionByName(_field_enc(f_, f_ + FIELD_SEP))
     (
         enc.join(map_df, enc["partition_id"] == map_df["tmp_pid"])
         .select(
@@ -215,6 +223,7 @@ def delete_by_query(
                 if extra_text_fields
                 else None
             ),
+            record="position" if with_pos else "freq",
         )
         manifest.stage(new_meta)
         manifest.publish([new_meta], replaced=[split_id])

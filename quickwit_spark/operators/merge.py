@@ -214,6 +214,13 @@ def execute_merge(
         # last source's offset + its ceiling = exclusive bound of merged ids
         max_docid=sum(m.docid_ceiling for m in metas) - 1,
         field_total_tokens=field_tt,
+        # a mixed-source merge wrote positions-less terms: degrade the whole
+        # split so phrase queries fall back rather than hit null payloads
+        record=(
+            "position"
+            if all(m.record == "position" for m in metas)
+            else "freq"
+        ),
     )
     manifest.stage(meta)
     manifest.publish([meta], replaced=op.split_ids)

@@ -37,6 +37,7 @@ from pyspark.sql.window import Window
 from quickwit_spark import BM25_B, BM25_K1
 from quickwit_spark.functions.tokenize import analyzer_py, tokenize_py, SPLIT_PATTERN_JAVA
 from quickwit_spark.index.codec import decode_block, decode_positions
+from quickwit_spark.operators.build import FIELD_SEP
 from quickwit_spark.index.manifest import Manifest
 from quickwit_spark.plans.query import (
     Bool,
@@ -76,8 +77,7 @@ DECODED_SCHEMA = T.StructType(
     ]
 )
 
-#: namespaced-term separator for non-default text fields (build.FIELD_SEP)
-FIELD_SEP = "\x00"
+
 
 
 # ---------------------------------------------------------------------------
@@ -91,7 +91,8 @@ FIELD_SEP = "\x00"
 # ---------------------------------------------------------------------------
 
 _NORMS_CACHE: dict = {}
-_NORMS_CACHE_MAX = 64
+_NORMS_CACHE_MAX_BYTES = 512 * 1024 * 1024  # per python worker (tantivy: 1 GB)
+_NORMS_CACHE_BYTES = 0
 
 
 def _load_norms(index_dir: str, split_id: str, quantize: bool, field: str = ""):
@@ -118,9 +119,19 @@ def _load_norms(index_dir: str, split_id: str, quantize: bool, field: str = ""):
     dls = dls[order]
     dense = len(docids) > 0 and docids[0] == 0 and docids[-1] == len(docids) - 1
     entry = (None if dense else docids, dls)
-    if len(_NORMS_CACHE) >= _NORMS_CACHE_MAX:
-        _NORMS_CACHE.pop(next(iter(_NORMS_CACHE)))
+    # byte-bounded FIFO eviction: entry size is ~16 bytes/doc, and a
+    # 10M-doc split costs ~160 MB — an entry-count bound would OOM the
+    # python workers at exactly the split sizes the design targets
+    global _NORMS_CACHE_BYTES
+    nbytes = dls.nbytes + (docids.nbytes if not dense else 0)
+    while _NORMS_CACHE and _NORMS_CACHE_BYTES + nbytes > _NORMS_CACHE_MAX_BYTES:
+        oldest = next(iter(_NORMS_CACHE))
+        old_idx, old_dls = _NORMS_CACHE.pop(oldest)
+        _NORMS_CACHE_BYTES -= old_dls.nbytes + (
+            old_idx.nbytes if old_idx is not None else 0
+        )
     _NORMS_CACHE[key] = entry
+    _NORMS_CACHE_BYTES += nbytes
     return entry
 
 
@@ -183,6 +194,7 @@ class IndexReader:
         self._warmed: list[DataFrame] = []
         self._scratch: list[DataFrame] = []
         self._split_stats: DataFrame | None = None
+        self._stats_map: dict | None = None
 
     def refresh(self) -> None:
         # unpersist before dropping the references — executor storage memory
@@ -194,6 +206,7 @@ class IndexReader:
         self._postings = None
         self._docstore = None
         self._split_stats = None
+        self._stats_map = None
 
     def hold_scratch(self, df: DataFrame) -> DataFrame:
         """Register a per-query cached DataFrame (e.g. WAND block metadata)
@@ -236,13 +249,21 @@ class IndexReader:
             )
         return self._docstore
 
+    def stats_map(self) -> dict:
+        """Memoized manifest stats (one JSON read per split otherwise —
+        per-query driver latency at thousands of splits); invalidated by
+        refresh() like the DataFrame handles."""
+        if self._stats_map is None:
+            self._stats_map = self.manifest.stats()
+        return self._stats_map
+
     def split_stats(self) -> DataFrame:
         """Tiny per-split stats DF (broadcast into the scorer); memoized per
         reader — stats only change with publishes, which require refresh()."""
         if self._split_stats is None:
             rows = [
                 (sid, s["num_docs"], float(s["avgdl"]))
-                for sid, s in self.manifest.stats().items()
+                for sid, s in self.stats_map().items()
             ]
             self._split_stats = self.spark.createDataFrame(
                 rows, "split_id string, n_docs long, avgdl double"
@@ -364,6 +385,11 @@ def _make_phrase_kernel(
                 pdf["blocks"],
                 pdf["pos_blocks"],
             ):
+                if pos_blocks is None:
+                    # positions-less term (mixed-merge split): the driver
+                    # normally routes such queries to the fallback; never
+                    # crash the executor on a null payload
+                    continue
                 d, t, flat = decode_positions(list(blocks), list(pos_blocks))
                 g = np.repeat(d, t) * _PHRASE_SHIFT + flat
                 acc.setdefault(sid, {})[term] = g
@@ -545,7 +571,7 @@ class Searcher:
         """(split_id, field) -> avgdl for the scorer kernels ('' = default)."""
         out: dict[tuple[str, str], float] = {}
         sset = set(split_ids)
-        for sid, s in self.reader.manifest.stats().items():
+        for sid, s in self.reader.stats_map().items():
             if sid not in sset:
                 continue
             out[(sid, "")] = float(s["avgdl"])
@@ -563,7 +589,9 @@ class Searcher:
         per-posting BM25 contributions: the decode kernel already attached
         |d| and the per-(split, field) avgdl from executor-side caches, so
         this is ONE broadcast stats join (n_docs for idf) plus pure column
-        arithmetic (whole-stage codegen) — no docstore scan, no shuffle."""
+        arithmetic (whole-stage codegen) — no docstore scan, no shuffle.
+        (``split_ids`` is retained for signature stability; pruning happens
+        in the callers' postings filters.)"""
         stats = F.broadcast(self.reader.split_stats().select("split_id", "n_docs"))
         j = decoded.join(stats, "split_id")
         idf = F.log(
@@ -817,9 +845,11 @@ class Searcher:
     ) -> DataFrame:
         """AST -> DataFrame(split_id, docid, score)."""
         self._split_ids = split_ids  # phrase path scopes its postings scan
-        terms = self._collect_text_terms(
-            node, include_phrases=(self.record != "position")
-        )
+        # phrase tokens stay OUT of the scored table only when the positions
+        # path will actually handle them — which also requires every pruned
+        # split to store positions (a mixed-source merge degrades)
+        positions_path = self.record == "position" and self._splits_have_positions()
+        terms = self._collect_text_terms(node, include_phrases=not positions_path)
         scored = self.scored_terms(terms, split_ids)
         docs = self.reader.docstore().filter(F.col("split_id").isin(split_ids))
         if start_ts is not None:
@@ -922,9 +952,19 @@ class Searcher:
             return self._zero(docs).limit(0)
         if len(toks) == 1:
             return self._eval_term(Term(node.field, toks[0]), scored, docs)
-        if self.record == "position":
+        if self.record == "position" and self._splits_have_positions():
             return self._eval_phrase_positions(node, toks, pre)
         return self._eval_phrase_fallback(node, toks, scored, docs)
+
+    def _splits_have_positions(self) -> bool:
+        """True iff EVERY pruned split stores positions — a merge of mixed
+        sources writes positions-less terms (merge.py), and the whole query
+        must then take the fallback rather than decode null payloads."""
+        stats = self.reader.stats_map()
+        return all(
+            stats.get(sid, {}).get("record", "position") == "position"
+            for sid in self._split_ids
+        )
 
     def _eval_phrase_positions(
         self, node: Phrase, toks: list[str], pre: str = ""
@@ -944,7 +984,7 @@ class Searcher:
         split_ids = self._split_ids
         ns_toks = [pre + t for t in toks]
         uniq = sorted(set(ns_toks))
-        stats_map = self.reader.manifest.stats()
+        stats_map = self.reader.stats_map()
         n_docs_by_split = {
             sid: s["num_docs"] for sid, s in stats_map.items() if sid in set(split_ids)
         }

@@ -85,8 +85,13 @@ _TOKEN_RE = re.compile(
 )
 
 
-def _lex(q: str) -> list[str]:
-    out = []
+def _lex(q: str) -> tuple[list[str], list[bool]]:
+    """-> (tokens, adjacent) where adjacent[i] means token i starts exactly
+    where token i-1 ended (no whitespace between) — boost `^N` binds only
+    when adjacent, matching the reference grammar's tight `^` binding."""
+    out: list[str] = []
+    adj: list[bool] = []
+    prev_end = -1
     for m in _TOKEN_RE.finditer(q):
         kind = m.lastgroup
         if kind == "space":
@@ -94,12 +99,15 @@ def _lex(q: str) -> list[str]:
         if kind == "quoted" and m.group("quoted") is None:
             continue
         out.append(m.group(0))
-    return out
+        adj.append(m.start() == prev_end)
+        prev_end = m.end()
+    return out, adj
 
 
 class _Parser:
-    def __init__(self, tokens: list[str]):
+    def __init__(self, tokens: list[str], adjacent: list[bool] | None = None):
         self.toks = tokens
+        self.adj = adjacent or [False] * len(tokens)
         self.i = 0
 
     def peek(self) -> str | None:
@@ -179,7 +187,7 @@ class _Parser:
         """Group boost ``(a b)^2`` — the ^N arrives as its own token after
         the closing paren (UserInputAst::Boost, query_builder.rs:102-113)."""
         t = self.peek()
-        if t and t.startswith("^"):
+        if t and t.startswith("^") and self.adj[self.i]:
             m = re.match(r"^\^([\d.]+)$", t)
             if not m:
                 raise ValueError(f"bad boost {t!r}")
@@ -191,6 +199,10 @@ class _Parser:
         t = self.next()
         if t == "*":
             return MatchAll()
+        if re.match(r"^\^[\d.]+$", t):
+            # a whitespace-separated boost binds to nothing: `a ^2` is a
+            # grammar error (the reference's ^ binds tightly)
+            raise ValueError(f"dangling boost {t!r}")
 
         # quoted phrase (optionally field-qualified via previous handling)
         m = re.match(r'^(?:(?P<f>[\w.]+):)?"(?P<body>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<boost>[\d.]+))?$', t)
@@ -270,4 +282,5 @@ def parse_query(q: str) -> Node:
     q = q.strip()
     if not q or q == "*":
         return MatchAll()
-    return _Parser(_lex(q)).parse()
+    toks, adj = _lex(q)
+    return _Parser(toks, adj).parse()

@@ -217,3 +217,31 @@ def test_manifest_dataframe_and_snapshot(spark, small_index, tmp_path):
     snap = str(tmp_path / "splits_snapshot")
     small_index.manifest.export_snapshot(spark, snap)
     assert spark.read.parquet(snap).count() == len(metas)
+
+
+def test_delete_across_generations_no_id_collision(spark, pages_small, tmp_path):
+    """r2 review finding: rewritten split ids derived from a suffix slice
+    collapsed same-partition splits of different generations into one
+    corrupted split. Ids must stay distinct and results exact."""
+    d = str(tmp_path / "gen_del")
+    build_index(
+        spark, pages_small, d,
+        IndexConfig(index_id="pages", num_splits=2, generation=0),
+    )
+    # second generation over the same partitions (streaming-batch analog)
+    build_index(
+        spark,
+        pages_small.withColumn("url", F.concat(F.col("url"), F.lit("-g10"))),
+        d,
+        IndexConfig(index_id="pages", num_splits=2, generation=10),
+    )
+    reader = IndexReader(spark, d)
+    total = search(reader, SearchRequest(query="*", max_hits=10000), fetch_fields=()).count()
+    assert total == 1200
+    m = delete_by_query(spark, d, "w20")
+    assert len(m.rewritten_splits) == 4  # 2 splits x 2 generations
+    assert len(set(m.rewritten_splits)) == 4, m.rewritten_splits
+    reader2 = IndexReader(spark, d)
+    left = search(reader2, SearchRequest(query="*", max_hits=10000), fetch_fields=()).count()
+    assert left == total - m.matched_docs
+    assert search(reader2, SearchRequest(query="w20", max_hits=10), fetch_fields=()).count() == 0

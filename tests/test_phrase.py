@@ -176,3 +176,41 @@ def test_phrase_through_export_and_count(small_index):
         small_index, SearchRequest(query='"w0 w1"'), "url"
     ).count()
     assert n == exported > 0
+
+
+def test_mixed_positions_index_degrades_not_crashes(spark, pages_small, tmp_path):
+    """A split without positions in scope (e.g. from a mixed-source merge)
+    must route phrase queries to the fallback instead of decoding null
+    payloads (r2 review finding)."""
+    d = str(tmp_path / "mixed_idx")
+    build_index(spark, pages_small, d, IndexConfig(index_id="pages", num_splits=3))
+    reader = IndexReader(spark, d)
+    # simulate a mixed-source merge result: one split marked positions-less
+    metas = reader.manifest.list_published()
+    metas[0].record = "freq"
+    reader.manifest._write(metas[0])
+    reader.refresh()
+    res = search(reader, SearchRequest(query='"w0 w1"', max_hits=10), fetch_fields=())
+    rows = res.collect()
+    assert rows  # fallback answered; no executor TypeError
+    # and every hit really contains the phrase
+    docs = {(r["split_id"], r["docid"]): r["text"]
+            for r in reader.docstore().select("split_id", "docid", "text").collect()}
+    for r in rows:
+        toks = tokenize_py(docs[(r["split_id"], r["docid"])])
+        assert phrase_freq(["w0", "w1"], positions_of(toks), 0) > 0
+
+
+def test_build_config_mismatch_rejected(spark, pages_small, tmp_path):
+    d = str(tmp_path / "cfgguard")
+    build_index(spark, pages_small, d, IndexConfig(index_id="pages", num_splits=2))
+    with pytest.raises(ValueError, match="config mismatch"):
+        build_index(
+            spark, pages_small, d,
+            IndexConfig(index_id="pages", num_splits=2, record="freq"),
+        )
+    with pytest.raises(ValueError, match="config mismatch"):
+        build_index(
+            spark, pages_small, d,
+            IndexConfig(index_id="pages", num_splits=2, tokenizer="en_stem"),
+        )

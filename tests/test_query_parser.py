@@ -72,3 +72,13 @@ def test_parser_roundtrip_shapes():
             parse_query(q)
         except ValueError:
             pass
+
+
+def test_dangling_boost_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_query("a ^2")
+    # adjacent forms still bind
+    assert isinstance(parse_query("a^2"), Boost)
+    assert isinstance(parse_query("(a b)^2"), Boost)
