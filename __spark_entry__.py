@@ -431,6 +431,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mm_features"] = lambda s, d: MM.extract_features(
         MM.synth_media(docs_df(s, d))
     ).select("media_id", "modality", "payload_bytes", "payload_sha")
+
+    def mm_image_stat(s: SparkSession, d: str) -> DataFrame:
+        # REAL image pipeline: generate actual BMP files, decode them with
+        # the pure-numpy decoder, emit an orientation/channel-sensitive
+        # pixel checksum; the oracle recomputes it from the generator
+        # formula without ever touching the bytes
+        media = MM.synth_media_real(docs_df(s, d))
+        return MM.image_decode_stats(media)
+
+    q["mm_image_decode_stat"] = mm_image_stat
     return q
 
 
@@ -670,5 +680,20 @@ SELECT doc_id AS media_id,
   octet_length(encode(text)) AS payload_bytes,
   substr(sha256(text), 1, 16) AS payload_sha
 FROM documents
+"""
+    o["mm_image_decode_stat"] = """
+WITH img AS (
+  SELECT doc_id, (8 + doc_id % 8)::INT AS w, (6 + doc_id % 6)::INT AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT doc_id, w, h, tx.x, ty.y, tc.c
+  FROM img, range(0, 16) tx(x), range(0, 12) ty(y), range(0, 3) tc(c)
+  WHERE tx.x < w AND ty.y < h
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+  sum(((doc_id * 31 + x * 7 + y * 13 + c * 5) % 256)
+      * (y * w + x + 1) * (c + 1))::BIGINT AS pix_stat
+FROM px GROUP BY 1, 2, 3
 """
     return o

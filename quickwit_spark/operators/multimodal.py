@@ -1,24 +1,29 @@
-"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+"""Multimodal columns: images/audio/video as binary payloads + typed metadata.
 
 A 100 TB multimodal training table holds media as ``binary`` payload columns
-with a typed metadata struct alongside; all Spark-side plumbing (schemas,
-Arrow batch shapes, partitioning, vectorized UDF signatures) is real and
-tested here. The actual codec work (JPEG decode, audio resample, frame
-extraction) needs native libs not present in this environment, so each kernel
-tries the real library and otherwise falls back to a clearly-marked
-deterministic fake (or raises NotImplementedError for ops where a fake would
-be misleading). Swapping in the real decoder changes ONE function body, not
-the pipeline.
+with a typed metadata struct alongside. Two tiers live here:
+
+- **Real codecs, no native libs**: 24-bit BMP images (pure-numpy decode +
+  encode + nearest-neighbor resize), PCM WAV audio (stdlib ``wave`` decode,
+  numpy RMS/zero-crossing/spectral features), and a minimal multi-frame
+  container (``QVID`` = magic + frame table + concatenated BMP frames) with
+  REAL frame extraction. These exercise the full decode→transform→re-encode
+  pipeline end to end, correctness-gated against an oracle that recomputes
+  pixel statistics from the generator formula independently.
+- **Library-gated codecs** (JPEG/PNG/MP3/H.264): the kernels sniff the
+  payload; compressed formats route to PIL/ffmpeg when present and otherwise
+  fall back to a clearly-marked deterministic byte-histogram feature.
 
 Batch-shape notes: payloads stream through ``mapInPandas`` (Arrow), so one
 in-flight batch is ``arrow.maxRecordsPerBatch`` payloads — size that config
-against media size (e.g. 64 rows of 5 MB JPEGs ≈ 320 MB/batch). Feature
-extraction is a per-row projection: no shuffle, scales linearly.
+against media size (e.g. 64 rows of 5 MB JPEGs ≈ 320 MB/batch). Every kernel
+is a per-row projection: no shuffle, scales linearly.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -81,9 +86,158 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# ---------------------------------------------------------------------------
+# real codecs (no native libraries): 24-bit BMP, PCM WAV, QVID frame container
+# ---------------------------------------------------------------------------
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit BMP bytes (bottom-up rows, BGR channel
+    order, rows padded to 4 bytes — the actual file format)."""
+    h, w, _ = img.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    image_size = (row_bytes + pad) * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    bgr = img[::-1, :, ::-1]  # bottom-up, BGR
+    if pad:
+        rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+        rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+        body = rows.tobytes()
+    else:
+        body = bgr.tobytes()
+    return header + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit BMP bytes -> (H, W, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 PCM mono samples -> WAV bytes (stdlib ``wave``)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (int16 samples, sample rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        data = wf.readframes(wf.getnframes())
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+QVID_MAGIC = b"QVID"
+
+
+def encode_qvid(frames: list[bytes]) -> bytes:
+    """Minimal multi-frame container: magic + frame count + frame lengths +
+    concatenated (BMP) frames. Stands in for a real video container while
+    keeping frame EXTRACTION an honest byte-level operation."""
+    head = QVID_MAGIC + struct.pack("<I", len(frames))
+    head += b"".join(struct.pack("<I", len(f)) for f in frames)
+    return head + b"".join(frames)
+
+
+def decode_qvid(payload: bytes) -> list[bytes]:
+    if payload[:4] != QVID_MAGIC:
+        raise ValueError("not a QVID payload")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    lens = struct.unpack_from(f"<{n}I", payload, 8)
+    out = []
+    off = 8 + 4 * n
+    for ln in lens:
+        out.append(payload[off : off + ln])
+        off += ln
+    return out
+
+
+def _synth_pixels(media_id: int, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB pattern, reproducible by the SQL oracle:
+    pixel[y, x, c] = (media_id*31 + x*7 + y*13 + c*5) % 256."""
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    return ((media_id * 31 + x * 7 + y * 13 + c * 5) % 256).astype(np.uint8)
+
+
+def synth_media_real(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL media table: actual BMP images, PCM WAV clips and
+    QVID multi-frame videos (3 BMP frames), modality cycling by id. The
+    payloads round-trip through the honest decoders below."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 8 + mid % 8, 6 + mid % 6
+                kind = mid % 3
+                if kind == 0:
+                    payload = encode_bmp(_synth_pixels(mid, w, h))
+                    meta = ("image/bmp", w, h, 0)
+                    modality = "image"
+                elif kind == 1:
+                    n = 400 + mid % 400  # 50-100 ms at 8 kHz
+                    t = np.arange(n, dtype=np.float64)
+                    freq = 100.0 + mid % 400
+                    samples = (3000 * np.sin(2 * np.pi * freq * t / 8000.0)).astype(
+                        np.int16
+                    )
+                    payload = encode_wav(samples)
+                    meta = ("audio/wav", 0, 0, int(n * 1000 / 8000))
+                    modality = "audio"
+                else:
+                    frames = [
+                        encode_bmp(_synth_pixels(mid + fi, w, h)) for fi in range(3)
+                    ]
+                    payload = encode_qvid(frames)
+                    meta = ("video/x-qvid", w, h, 3000)
+                    modality = "video"
+                rows.append((mid, modality, payload, meta))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "payload", "meta"]
+            )
+
+    return docs.select(F.col(id_col)).mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Real decode if PIL is available, else a deterministic fake 'pixel
-    array' derived from the payload's byte histogram."""
+    """Payload-sniffing decode: real BMP decode for 'BM' payloads; PIL for
+    compressed formats when available; else a deterministic byte-histogram
+    fallback (clearly fake, for opaque formats in lib-less environments)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     try:  # pragma: no cover - PIL not installed in this environment
         import io
 
@@ -127,39 +281,155 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize pipeline stage. Real implementation requires PIL; there
-    is no honest deterministic fake for resampled pixels, so this raises
-    unless the library is present. The Spark plumbing (schema in = schema
-    out, per-row projection) is what's under test."""
-    try:  # pragma: no cover
-        from PIL import Image  # type: ignore # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "resize_images needs PIL; not available in this environment"
-        ) from e
+    """REAL image resize for BMP payloads: decode -> nearest-neighbor
+    resample (pure-numpy fancy indexing) -> re-encode; meta dims updated.
+    Compressed formats route through PIL when present; without it they are
+    an error (no honest fake exists for resampled pixels)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError
+        ys = None
+        for pdf in batches:
+            rows = []
+            for mid, modality, payload, meta in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"], pdf["meta"]
+            ):
+                raw = bytes(payload)
+                if modality != "image":
+                    rows.append((mid, modality, raw, meta))
+                    continue
+                img = _decode_image(raw)
+                if img.ndim != 3:
+                    raise NotImplementedError(
+                        "resize of compressed formats needs PIL"
+                    )
+                h0, w0, _ = img.shape
+                ys = (np.arange(height) * h0) // height
+                xs = (np.arange(width) * w0) // width
+                out = img[ys][:, xs]
+                meta = dict(meta) if meta is not None else {}
+                meta.update({"mime": "image/bmp", "width": width, "height": height})
+                rows.append((mid, modality, encode_bmp(out), meta))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "modality", "payload", "meta"]
+            )
 
     return media.mapInPandas(kernel, MEDIA_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling plan: one output row per sampled timestamp,
-    driven entirely by metadata (duration_ms) so the *plan* is real even
-    though frame decode is stubbed: the explode happens JVM-side and the
-    payload column is carried through untouched."""
-    ts = F.sequence(
-        F.lit(0),
-        F.greatest(F.col("meta.duration_ms").cast("long"), F.lit(0)),
-        F.lit(int(every_ms)),
-    )
-    return (
-        media.filter(F.col("modality") == "video")
-        .select(
-            "media_id",
-            "payload",
-            F.explode(ts).alias("frame_ts_ms"),
-        )
-        .withColumn("frame", F.lit(None).cast("binary"))  # decode stub
-    )
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("peak_freq_hz", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over WAV payloads: stdlib decode, numpy
+    RMS / zero-crossing count / FFT peak frequency — the standard quality/
+    dedup signals for audio training data."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_wav(bytes(payload))
+                x = samples.astype(np.float64)
+                n = len(x)
+                rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                if n:
+                    spec = np.abs(np.fft.rfft(x))
+                    peak = float(np.argmax(spec) * rate / n)
+                else:
+                    peak = 0.0
+                rows.append(
+                    (mid, n, int(n * 1000 / rate) if rate else 0, rms, zc, peak)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "duration_ms",
+                    "rms",
+                    "zero_crossings",
+                    "peak_freq_hz",
+                ],
+            )
+
+    return media.filter(F.col("modality") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame extraction for QVID containers: parse the frame
+    table, emit every ``every_n``-th frame's actual bytes (decodable BMPs).
+    Per-row projection, no shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for fi, fb in enumerate(decode_qvid(bytes(payload))):
+                    if fi % every_n == 0:
+                        mids.append(mid)
+                        idxs.append(fi)
+                        frames.append(fb)
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_index": idxs, "frame": frames}
+            )
+
+    return media.filter(F.col("modality") == "video").select(
+        "media_id", "payload"
+    ).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+IMAGE_STAT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pix_stat", T.LongType()),
+    ]
+)
+
+
+def image_decode_stats(media: DataFrame) -> DataFrame:
+    """Orientation- and channel-sensitive pixel checksum over REAL decoded
+    images: sum over pixels of value * (y*W + x + 1) * (c + 1). The
+    correctness gate recomputes this independently from the generator
+    formula in SQL — a wrong stride, row order (BMP is bottom-up) or channel
+    order (BGR on disk) changes the stat."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_bmp(bytes(payload)).astype(np.int64)
+                h, w, _ = img.shape
+                posw = (np.arange(h)[:, None] * w + np.arange(w)[None, :] + 1)
+                chw = np.arange(1, 4)
+                stat = int((img * posw[:, :, None] * chw[None, None, :]).sum())
+                rows.append((mid, w, h, stat))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "pix_stat"]
+            )
+
+    return media.filter(F.col("modality") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(kernel, IMAGE_STAT_SCHEMA)

@@ -185,16 +185,78 @@ def test_media_pipeline(docs):
     assert feats2 == {r["media_id"]: r["payload_sha"] for r in feats}
 
 
-def test_sample_frames(docs):
-    media = M.synth_media(docs)
-    frames = M.sample_frames(media, every_ms=5000).collect()
+def test_sample_frames(spark):
+    # real frame extraction from the QVID container (every 2nd frame)
+    docs_ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    media = M.synth_media_real(docs_ids)
+    frames = M.sample_frames(media, every_n=2).collect()
     vids = {r["media_id"] for r in frames}
-    assert vids  # ids where id % 3 == 2 are videos
-    assert all(mid % 3 == 2 for mid in vids)
-    one = [r for r in frames if r["media_id"] == 2]
-    assert [r["frame_ts_ms"] for r in one] == sorted(r["frame_ts_ms"] for r in one)
+    assert vids and all(mid % 3 == 2 for mid in vids)
+    one = sorted(r["frame_index"] for r in frames if r["media_id"] == 2)
+    assert one == [0, 2]
 
 
-def test_resize_stub_raises(docs):
-    with pytest.raises(NotImplementedError):
-        M.resize_images(M.synth_media(docs), 64, 64)
+def test_resize_compressed_formats_need_pil(spark):
+    # non-BMP image payloads (here: fake opaque bytes) have no honest
+    # numpy resize; the kernel raises unless PIL is present
+    docs_ids = spark.createDataFrame([(0,)], "doc_id long")
+    fake = M.synth_media(docs_ids.withColumnRenamed("doc_id", "doc_id").withColumn("text", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("xyz")))
+    with pytest.raises(Exception):
+        M.resize_images(fake, 4, 4).collect()
+
+
+def test_real_media_pipeline(spark):
+    """BMP/WAV/QVID codecs end to end through Spark: decode stats, real
+    nearest-neighbor resize, audio features (FFT peak ~ generator sine
+    frequency), and actual frame extraction from the container."""
+    import numpy as np
+
+    from quickwit_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    media = MM.synth_media_real(docs)
+
+    # image decode checksum matches the generator formula
+    stats = {r["media_id"]: r for r in MM.image_decode_stats(media).collect()}
+    for mid, r in stats.items():
+        w, h = 8 + mid % 8, 6 + mid % 6
+        img = MM._synth_pixels(mid, w, h).astype(np.int64)
+        posw = np.arange(h)[:, None] * w + np.arange(w)[None, :] + 1
+        exp = int((img * posw[:, :, None] * np.arange(1, 4)[None, None, :]).sum())
+        assert (r["width"], r["height"], r["pix_stat"]) == (w, h, exp)
+
+    # real resize: every output pixel equals the nearest-neighbor source pixel
+    resized = {
+        r["media_id"]: r
+        for r in MM.resize_images(media, 5, 4)
+        .filter("modality = 'image'")
+        .collect()
+    }
+    for mid, r in resized.items():
+        out = MM.decode_bmp(bytes(r["payload"]))
+        w, h = 8 + mid % 8, 6 + mid % 6
+        src = MM._synth_pixels(mid, w, h)
+        ys = (np.arange(4) * h) // 4
+        xs = (np.arange(5) * w) // 5
+        assert out.tolist() == src[ys][:, xs].tolist()
+        assert r["meta"]["width"] == 5 and r["meta"]["height"] == 4
+
+    # audio: FFT peak within one bin of the generator sine frequency
+    for r in MM.audio_features(media).collect():
+        mid = r["media_id"]
+        n = 400 + mid % 400
+        freq = 100.0 + mid % 400
+        assert abs(r["peak_freq_hz"] - freq) <= 8000 / n + 1
+        assert r["n_samples"] == n and r["rms"] > 1000
+
+    # video: all 3 frames extracted, each a decodable BMP of the right frame
+    frames = MM.sample_frames(media).collect()
+    by_media: dict = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rs in by_media.items():
+        assert sorted(x["frame_index"] for x in rs) == [0, 1, 2]
+        w, h = 8 + mid % 8, 6 + mid % 6
+        for x in rs:
+            img = MM.decode_bmp(bytes(x["frame"]))
+            assert img.tolist() == MM._synth_pixels(mid + x["frame_index"], w, h).tolist()
