@@ -265,6 +265,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["agg_histogram_value"] = lambda s, d: A.histogram(
         _events(s, d), "value", interval=50.0
     )
+
+    def histogram_filled(s: SparkSession, d: str) -> DataFrame:
+        # ES/tantivy min_doc_count:0 semantics — empty buckets between the
+        # observed min and max keys materialize with doc_count 0 (the value
+        # filter below guarantees a hole in the middle of the range)
+        ev = _events(s, d).filter("value < 30 OR value > 120")
+        return A.histogram(ev, "value", interval=25.0, fill_empty=True)
+
+    q["agg_histogram_filled"] = histogram_filled
     q["agg_date_histogram"] = lambda s, d: A.date_histogram(
         _events(s, d), "ts", 3600
     )
@@ -529,6 +538,15 @@ SELECT doc_id FROM d WHERE list_contains(toks, 'dup')
     o["agg_histogram_value"] = """
 SELECT (floor(value / 50.0) * 50.0)::DOUBLE AS key, count(*) AS doc_count
 FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY key
+"""
+    o["agg_histogram_filled"] = """
+WITH f AS (SELECT value FROM events WHERE value < 30 OR value > 120),
+g AS (SELECT floor(value / 25.0)::BIGINT AS bi, count(*) AS c
+      FROM f WHERE value IS NOT NULL GROUP BY 1),
+b AS (SELECT unnest(generate_series((SELECT min(bi) FROM g),
+                                    (SELECT max(bi) FROM g))) AS bi)
+SELECT (b.bi * 25.0)::DOUBLE AS key, coalesce(g.c, 0) AS doc_count
+FROM b LEFT JOIN g USING (bi) ORDER BY key
 """
     o["agg_date_histogram"] = """
 SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS key, count(*) AS doc_count

@@ -51,10 +51,17 @@ def histogram(
     offset: float = 0.0,
     min_doc_count: int = 0,
     sub_aggs=None,
+    fill_empty: bool = False,
 ) -> DataFrame:
     """Histogram bucket agg: key = floor((val - offset) / interval) * interval
     + offset (aggregation.md bucket-key rule). Returns (key, doc_count,
-    *sub_aggs)."""
+    *sub_aggs).
+
+    ``fill_empty`` reproduces the ES/tantivy ``min_doc_count: 0`` semantics:
+    every bucket between the min and max observed key appears, empty ones
+    with doc_count 0 (sub-agg columns null). The fill runs over the ALREADY
+    AGGREGATED tiny result (one sequence-explode + left join), never over
+    the data."""
     key = (
         F.floor((F.col(col) - F.lit(offset)) / F.lit(interval)) * F.lit(interval)
         + F.lit(offset)
@@ -64,6 +71,24 @@ def histogram(
         .groupBy(key.alias("key"))
         .agg(F.count(F.lit(1)).alias("doc_count"), *_sub_agg_exprs(sub_aggs))
     )
+    if fill_empty and min_doc_count == 0:
+        # integer bucket indexes avoid float-sequence drift
+        idx = F.round((F.col("key") - F.lit(offset)) / F.lit(interval)).cast("long")
+        with_idx = out.withColumn("_bi", idx)
+        full = (
+            with_idx.agg(
+                F.min("_bi").alias("lo"), F.max("_bi").alias("hi")
+            )
+            .select(F.explode(F.sequence("lo", "hi")).alias("_bi"))
+            .join(with_idx, "_bi", "left")
+            .withColumn(
+                "key",
+                (F.col("_bi") * F.lit(interval) + F.lit(offset)).cast("double"),
+            )
+            .withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
+            .drop("_bi")
+        )
+        out = full.select("key", "doc_count", *(sub_aggs or {}).keys())
     if min_doc_count > 0:
         out = out.filter(F.col("doc_count") >= min_doc_count)
     return out.orderBy("key")

@@ -225,3 +225,17 @@ def test_date_histogram_terms_nested(spark):
         bucket = [r for r in out if r["key"] == int(base.timestamp()) + h * 3600]
         assert [r["term_key"] for r in bucket] == ["a", "b"]
         assert bucket[0]["doc_count"] == 10 - h
+
+
+def test_histogram_fill_empty(spark):
+    from quickwit_spark.operators.aggs import histogram
+
+    rows = [(5.0,), (6.0,), (55.0,)]  # buckets 0 and 5 with 10-gap holes
+    df = spark.createDataFrame(rows, "v double")
+    out = histogram(df, "v", 10.0, fill_empty=True).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [
+        (0.0, 2), (10.0, 0), (20.0, 0), (30.0, 0), (40.0, 0), (50.0, 1),
+    ]
+    # default (no fill) keeps only occupied buckets
+    out2 = histogram(df, "v", 10.0).collect()
+    assert [(r["key"], r["doc_count"]) for r in out2] == [(0.0, 2), (50.0, 1)]
