@@ -266,6 +266,13 @@ def decode_positions(
     if not blocks:
         z = np.zeros(0, dtype=np.int64)
         return z, z.copy(), z.copy()
+    if pos_blocks is None or len(pos_blocks) != len(blocks):
+        # zip would silently truncate a mismatched pair (e.g. a freq-built
+        # partial concatenated into a positions split) — fail loudly
+        raise ValueError(
+            f"pos_blocks/blocks length mismatch: "
+            f"{None if pos_blocks is None else len(pos_blocks)} vs {len(blocks)}"
+        )
     docid_parts, tf_parts, pos_parts = [], [], []
     for b, pb in zip(blocks, pos_blocks):
         d, t = decode_block(b)

@@ -52,8 +52,10 @@ class SplitMetadata:
     field_total_tokens: dict | None = None
     # indexing record option this split was built with ("position" | "freq");
     # a merge of mixed sources degrades to "freq", and phrase queries take
-    # the positions path only when EVERY pruned split has them
-    record: str = "position"
+    # the positions path only when EVERY pruned split has them. The default
+    # covers split rows that PREDATE this field — those were built without
+    # positions, so the safe (fallback) direction is "freq"
+    record: str = "freq"
 
     def field_avgdl(self, field_name: str | None) -> float:
         if field_name and self.field_total_tokens and field_name in self.field_total_tokens:
@@ -129,6 +131,16 @@ class Manifest:
             return {}
         with open(p) as f:
             return json.load(f)
+
+    def record_lineage(
+        self, generation: int, partition_id: int, fingerprint: str
+    ) -> None:
+        """Record one (generation, partition) -> fingerprint row directly —
+        used for partitions whose (re)build produced no split (empty input
+        slice) but which are nonetheless done."""
+        rec = self._load_lineage(generation)
+        rec[str(partition_id)] = fingerprint
+        self._save_lineage(generation, rec)
 
     def drop_lineage(self, generation: int, partition_id: int) -> None:
         """Forget one (generation, partition) lineage row — forces the next

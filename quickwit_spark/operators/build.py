@@ -218,7 +218,9 @@ def _make_doc_tf_kernel(with_positions: bool):
             if not len(pdf):
                 continue
             lens = np.fromiter(
-                (len(t) for t in pdf["tokens"]), dtype=np.int64, count=len(pdf)
+                (0 if t is None else len(t) for t in pdf["tokens"]),
+                dtype=np.int64,
+                count=len(pdf),
             )
             total = int(lens.sum())
             if total == 0:
@@ -281,6 +283,7 @@ def _encode_sorted_slice(
     docid_all = pdf["docid"].to_numpy().astype(np.int64)
     tf_all = pdf["tf"].to_numpy().astype(np.int64)
     pos_all = pdf["positions"].to_numpy() if with_positions else None
+    salt_all = pdf["salt"].to_numpy() if with_salt else None
     rows = []
     for a, b in zip(bounds[:-1], bounds[1:]):
         tfs = tf_all[a:b]
@@ -301,7 +304,7 @@ def _encode_sorted_slice(
         else:
             row["pos_blocks"] = None
         if with_salt:
-            row["salt"] = int(pdf["salt"].to_numpy()[a])
+            row["salt"] = int(salt_all[a])
         rows.append(row)
     return pd.DataFrame(rows)
 
@@ -597,11 +600,25 @@ def prepare_docs(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
     shuffle must not carry dead weight (html is the bulk of a web page and
     appears in no index structure)."""
     toks = analyzer_expr(F.col(cfg.text_field), cfg.tokenizer)
-    route = (
-        F.col(cfg.routing_col).cast("int")
-        if cfg.routing_col
-        else F.pmod(F.xxhash64(F.col(cfg.doc_key)), F.lit(cfg.num_splits)).cast("int")
-    )
+    if cfg.routing_col:
+        r = F.col(cfg.routing_col).cast("int")
+        # out-of-range routing would write orphan split data and then crash
+        # the stats loop — fail fast inside the first job instead
+        route = F.when(r.between(0, cfg.num_splits - 1), r).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"routing_col {cfg.routing_col!r} out of range "
+                        f"[0, {cfg.num_splits}): "
+                    ),
+                    r.cast("string"),
+                )
+            )
+        )
+    else:
+        route = F.pmod(
+            F.xxhash64(F.col(cfg.doc_key)), F.lit(cfg.num_splits)
+        ).cast("int")
     keep = {cfg.doc_key, cfg.text_field}
     if cfg.tag_field:
         keep.add(cfg.tag_field)
@@ -615,11 +632,14 @@ def prepare_docs(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
         pages.select(*sorted(keep))
         .withColumn("partition_id", route)
         .withColumn("tokens", toks)
-        .withColumn("doc_len", F.size("tokens"))
+        # size(NULL) is NULL — null text must index as an empty doc, not
+        # poison doc_len/norms/stats with nulls
+        .withColumn("doc_len", F.coalesce(F.size("tokens"), F.lit(0)))
     )
     for f_ in cfg.extra_text_fields:
         df = df.withColumn(
-            f"doc_len__{f_}", F.size(analyzer_expr(F.col(f_), cfg.tokenizer))
+            f"doc_len__{f_}",
+            F.coalesce(F.size(analyzer_expr(F.col(f_), cfg.tokenizer)), F.lit(0)),
         )
     w = Window.partitionBy("partition_id").orderBy(cfg.doc_key)
     return df.withColumn("docid", F.row_number().over(w) - F.lit(1))
@@ -657,6 +677,8 @@ def build_index(
         "record": cfg.record,
         "store_fields": list(cfg.store_fields),
         "extra_text_fields": list(cfg.extra_text_fields),
+        "num_splits": cfg.num_splits,
+        "routing_col": cfg.routing_col,
     }
     # a resume/append must never silently flip the index's format: queries
     # are analyzed with the PERSISTED tokenizer/record, so mixing formats
@@ -680,6 +702,17 @@ def build_index(
                     f"index config mismatch on {k!r}: index has "
                     f"{have!r}, build requested {new_icfg[k]!r} — "
                     "rebuild into a fresh index_dir to change the format"
+                )
+        # layout keys: changing routing or split count against existing
+        # splits would orphan stale Published splits (duplicate/stale docs);
+        # only comparable when the index already recorded them
+        for k in ("num_splits", "routing_col", "doc_key", "tag_field",
+                  "timestamp_field", "store_fields"):
+            if k in old_icfg and old_icfg[k] != new_icfg[k]:
+                raise ValueError(
+                    f"index config mismatch on {k!r}: index has "
+                    f"{old_icfg[k]!r}, build requested {new_icfg[k]!r} — "
+                    "rebuild into a fresh index_dir to change the layout"
                 )
     manifest.save_index_config(new_icfg)
 
@@ -850,8 +883,16 @@ def build_index(
             num_docs=row["num_docs"],
             uncompressed_docs_size_in_bytes=row["bytes"],
             total_tokens=row["total_tokens"],
-            time_range_start=row["ts_min"].isoformat() if cfg.timestamp_field else None,
-            time_range_end=row["ts_max"].isoformat() if cfg.timestamp_field else None,
+            time_range_start=(
+                row["ts_min"].isoformat()
+                if cfg.timestamp_field and row["ts_min"] is not None
+                else None
+            ),
+            time_range_end=(
+                row["ts_max"].isoformat()
+                if cfg.timestamp_field and row["ts_max"] is not None
+                else None
+            ),
             tags=tags,
             source_fingerprint=fingerprints[row["partition_id"]],
             generation=cfg.generation,
@@ -869,6 +910,18 @@ def build_index(
         metrics.num_docs += row["num_docs"]
         metrics.uncompressed_bytes += row["bytes"]
     manifest.publish(new_metas)
+    # a todo partition that routed ZERO rows produces no stats row: its
+    # previous split (if any) must still be retired and its lineage recorded,
+    # or deleted docs would stay searchable and every resume would re-run it
+    built = {m.partition_id for m in new_metas}
+    for p in todo:
+        if p in built:
+            continue
+        stale = split_id_for(cfg.index_id, p, cfg.generation)
+        manifest.publish(
+            [], replaced=[stale] if manifest.get(stale) is not None else []
+        )
+        manifest.record_lineage(cfg.generation, p, fingerprints[p])
     docs.unpersist()
 
     metrics.num_splits = len(new_metas)

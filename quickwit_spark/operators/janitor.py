@@ -211,8 +211,16 @@ def delete_by_query(
             num_docs=row["num_docs"],
             uncompressed_docs_size_in_bytes=row["bytes"],
             total_tokens=row["total_tokens"],
-            time_range_start=row["ts_min"].isoformat() if has_ts else None,
-            time_range_end=row["ts_max"].isoformat() if has_ts else None,
+            time_range_start=(
+                row["ts_min"].isoformat()
+                if has_ts and row["ts_min"] is not None
+                else None
+            ),
+            time_range_end=(
+                row["ts_max"].isoformat()
+                if has_ts and row["ts_max"] is not None
+                else None
+            ),
             tags=sorted(row["tags"]) if has_tag else [],
             num_merge_ops=meta.num_merge_ops,
             generation=meta.generation,

@@ -962,7 +962,7 @@ class Searcher:
         must then take the fallback rather than decode null payloads."""
         stats = self.reader.stats_map()
         return all(
-            stats.get(sid, {}).get("record", "position") == "position"
+            stats.get(sid, {}).get("record", "freq") == "position"
             for sid in self._split_ids
         )
 

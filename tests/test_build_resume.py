@@ -90,3 +90,82 @@ def test_build_determinism(spark, pages_small, tmp_path):
     assert _hits(r1, "w0 w3", 20) == _hits(r2, "w0 w3", 20)
     shutil.rmtree(d1)
     shutil.rmtree(d2)
+
+
+def test_empty_partition_retires_stale_split(spark, pages_small, tmp_path):
+    """A rebuilt partition that routes ZERO rows must still retire its old
+    split and record lineage (r2 review: deleted docs stayed searchable)."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "empty_part")
+    pages = pages_small.withColumn(
+        "part", (F.xxhash64("url") % 2 != 0).cast("int")
+    )
+    cfg = IndexConfig(index_id="pages", num_splits=2, routing_col="part")
+    build_index(spark, pages, d, cfg)
+    reader = IndexReader(spark, d)
+    total = search(reader, SearchRequest(query="*", max_hits=10000), fetch_fields=()).count()
+    assert total == 600
+
+    # shrink the input so partition 1 becomes empty (different plan => all
+    # fingerprints change => both partitions rebuild)
+    shrunk = pages.filter(F.col("part") == 0)
+    m = build_index(spark, shrunk, d, cfg)
+    assert m.num_splits == 1
+    reader.refresh()
+    live = reader.manifest.list_published()
+    assert [x.partition_id for x in live] == [0]
+    n0 = shrunk.count()
+    assert (
+        search(reader, SearchRequest(query="*", max_hits=10000), fetch_fields=()).count()
+        == n0
+    )
+    # and the empty partition is recorded done: full rerun skips everything
+    m2 = build_index(spark, shrunk, d, cfg)
+    assert m2.skipped_partitions == 2 and m2.num_splits == 0
+
+
+def test_num_splits_change_rejected(spark, pages_small, tmp_path):
+    import pytest
+
+    d = str(tmp_path / "nsplit_guard")
+    build_index(spark, pages_small, d, IndexConfig(index_id="pages", num_splits=3))
+    with pytest.raises(ValueError, match="config mismatch"):
+        build_index(spark, pages_small, d, IndexConfig(index_id="pages", num_splits=4))
+
+
+def test_routing_out_of_range_fails_fast(spark, pages_small, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "route_guard")
+    bad = pages_small.withColumn(
+        "part", (F.xxhash64("url") % 10).cast("int")  # 0..9 vs num_splits=8
+    )
+    with pytest.raises(Exception, match="out of range"):
+        build_index(
+            spark, bad, d, IndexConfig(index_id="pages", num_splits=8, routing_col="part")
+        )
+
+
+def test_null_text_docs_index_cleanly(spark, pages_small, tmp_path):
+    from pyspark.sql import functions as F
+
+    pages = pages_small.withColumn(
+        "text", F.when(F.xxhash64("url") % 10 == 0, F.lit(None)).otherwise(F.col("text"))
+    )
+    n_null = pages.filter("text is null").count()
+    assert n_null > 0
+    for name, cfg in (
+        ("null_a", IndexConfig(index_id="pages", num_splits=2)),
+        ("null_s", IndexConfig(index_id="pages", num_splits=2, salt_range=64)),
+    ):
+        d = str(tmp_path / name)
+        m = build_index(spark, pages, d, cfg)
+        assert m.num_docs == 600
+        reader = IndexReader(spark, d)
+        assert (
+            search(reader, SearchRequest(query="*", max_hits=10000), fetch_fields=()).count()
+            == 600
+        )
+        assert search(reader, SearchRequest(query="w0", max_hits=10), fetch_fields=()).count() > 0
