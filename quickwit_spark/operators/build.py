@@ -227,8 +227,14 @@ def _make_doc_tf_kernel(with_positions: bool):
                 continue
             pid_rep = np.repeat(pdf["partition_id"].to_numpy(), lens)
             docid_rep = np.repeat(pdf["docid"].to_numpy(), lens)
+            # None tokens (null text) become 0-d arrays under np.asarray and
+            # break concatenate; lens already counts them as 0, so skip them.
             term_flat = np.concatenate(
-                [np.asarray(t, dtype=object) for t in pdf["tokens"]]
+                [
+                    np.asarray(t, dtype=object)
+                    for t in pdf["tokens"]
+                    if t is not None and len(t)
+                ]
             )
             codes, uniques = pd.factorize(term_flat, sort=False)
             cum = np.concatenate([[0], np.cumsum(lens)])
