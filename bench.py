@@ -125,13 +125,18 @@ def main() -> None:
     lat.append(timings["q_count"])
 
     # value = build + warmup + one pass of reported (warmed) query latencies
-    # — NOT wall-clock, which would double-count the per-query warm runs
+    # — NOT wall-clock, which would double-count the per-query warm runs.
+    # Both methodologies are emitted explicitly so the JSON is self-describing
+    # (r2 ADVICE: the round-1 value was cold wall-clock; comparing across
+    # rounds needs the matching field, not the headline value).
     total = t_build + t_warm + sum(lat)
-    _ = t_total0
+    wall_clock = time.time() - t_total0
     out = {
-        "metric": "index_build_plus_bm25_queries",
+        "metric": "index_build_plus_bm25_queries_warmed",
         "value": round(total, 3),
         "unit": "sec",
+        "value_methodology": "build + warmup + best-of-2 warmed latency per query",
+        "wall_clock_sec": round(wall_clock, 3),
         "queries": timings,
         "sf": sf,
         "n_docs": n_docs,

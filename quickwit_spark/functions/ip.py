@@ -1,0 +1,74 @@
+"""Comparable IP storage: canonical 16-byte (IPv6-mapped) form as hex.
+
+The reference coerces every ip field value to ``IpAddr`` and stores the
+IPv6 16-byte representation (IPv4 mapped into ``::ffff:a.b.c.d``,
+default_doc_mapper/mapping_tree.rs:90-99), which is what makes
+``ip:[a TO b]`` ranges and equality meaningful across mixed notations.
+
+Spark formulation: ingest-time coercion to a fixed-width 32-char lowercase
+hex string of those 16 bytes — lexicographic ORDER on the hex string equals
+numeric order on the 128-bit address, so range/equality predicates stay
+JVM-side string comparisons on a fast field (pushdown-friendly, no UDF in
+the query path). The parse itself (``::`` decompression, dotted-quad
+embedding, validation) is genuinely outside Spark's built-in expressions, so
+it runs as an Arrow-batched pandas UDF at INGEST only, via the stdlib
+``ipaddress`` module.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def ip_canon_py(value: str | None) -> str | None:
+    """One IP literal -> 32-hex-char canonical form (None if invalid).
+
+    Used driver-side to rewrite query constants (``ip:1.2.3.4``,
+    ``ip:[a TO b]``) into the stored domain."""
+    if value is None:
+        return None
+    try:
+        addr = ipaddress.ip_address(value.strip())
+    except ValueError:
+        return None
+    if addr.version == 4:
+        addr = ipaddress.IPv6Address(f"::ffff:{addr}")
+    return addr.packed.hex()
+
+
+def ip_display_py(canon: str | None) -> str | None:
+    """Canonical hex -> human form (IPv4-mapped rendered as dotted quad),
+    mirroring the reference's display of stored IpAddr values."""
+    if canon is None:
+        return None
+    try:
+        addr = ipaddress.IPv6Address(bytes.fromhex(canon))
+    except ValueError:
+        return None
+    v4 = addr.ipv4_mapped
+    return str(v4) if v4 is not None else str(addr)
+
+
+@F.pandas_udf(T.StringType())
+def _ip_canon_udf(s: pd.Series) -> pd.Series:
+    return s.map(ip_canon_py)
+
+
+@F.pandas_udf(T.StringType())
+def _ip_display_udf(s: pd.Series) -> pd.Series:
+    return s.map(ip_display_py)
+
+
+def ip_canon_expr(col: Column) -> Column:
+    """Ingest-side coercion: string column -> canonical hex (invalid -> null,
+    counted by DocMapper like every other coercion error)."""
+    return _ip_canon_udf(col.try_cast("string"))
+
+
+def ip_display_expr(col: Column) -> Column:
+    return _ip_display_udf(col)

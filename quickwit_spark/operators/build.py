@@ -915,7 +915,26 @@ def build_index(
         new_metas.append(meta)
         metrics.num_docs += row["num_docs"]
         metrics.uncompressed_bytes += row["bytes"]
-    manifest.publish(new_metas)
+    # retire superseded splits by (generation, partition_id) among Published
+    # originals, NOT by reconstructing the conventional id: a partition whose
+    # split was delete-rewritten carries id `<index>-del-…` and would
+    # otherwise survive the rebuild as a duplicate-doc ghost
+    prev_by_part: dict[int, list[str]] = {}
+    for m_ in manifest.list_all():
+        if (
+            m_.state == "Published"
+            and m_.generation == cfg.generation
+            and m_.num_merge_ops == 0
+            and m_.partition_id is not None
+        ):
+            prev_by_part.setdefault(m_.partition_id, []).append(m_.split_id)
+    replaced = [
+        sid
+        for m_ in new_metas
+        for sid in prev_by_part.get(m_.partition_id, [])
+        if sid != m_.split_id
+    ]
+    manifest.publish(new_metas, replaced=replaced)
     # a todo partition that routed ZERO rows produces no stats row: its
     # previous split (if any) must still be retired and its lineage recorded,
     # or deleted docs would stay searchable and every resume would re-run it
@@ -923,10 +942,7 @@ def build_index(
     for p in todo:
         if p in built:
             continue
-        stale = split_id_for(cfg.index_id, p, cfg.generation)
-        manifest.publish(
-            [], replaced=[stale] if manifest.get(stale) is not None else []
-        )
+        manifest.publish([], replaced=prev_by_part.get(p, []))
         manifest.record_lineage(cfg.generation, p, fingerprints[p])
     docs.unpersist()
 

@@ -304,9 +304,17 @@ def _make_decode_postings_rows(
                 docids.append(d)
                 tfs.append(t)
                 dls.append(_norms_for(index_dir, sid, quantize, d, fld))
-                avgs.append(
-                    np.full(len(d), avgdl_map.get((sid, fld), 1.0))
-                )
+                try:
+                    avgdl = avgdl_map[(sid, fld)]
+                except KeyError:
+                    # a missing key means the manifest's field_total_tokens is
+                    # inconsistent with the postings — scoring with a default
+                    # would be silently wrong, so fail loudly instead
+                    raise KeyError(
+                        f"no avgdl for split={sid!r} field={fld!r}: manifest "
+                        "field_total_tokens out of sync with postings"
+                    ) from None
+                avgs.append(np.full(len(d), avgdl))
             if not docids:
                 continue
             yield pd.DataFrame(
@@ -461,7 +469,14 @@ def _make_decode_block_rows(
                 docids.append(d)
                 tfs.append(t)
                 dls.append(_norms_for(index_dir, sid, quantize, d, fld))
-                avgs.append(np.full(len(d), avgdl_map.get((sid, fld), 1.0)))
+                try:
+                    avgdl = avgdl_map[(sid, fld)]
+                except KeyError:
+                    raise KeyError(
+                        f"no avgdl for split={sid!r} field={fld!r}: manifest "
+                        "field_total_tokens out of sync with postings"
+                    ) from None
+                avgs.append(np.full(len(d), avgdl))
             if not docids:
                 continue
             yield pd.DataFrame(
@@ -675,7 +690,7 @@ class Searcher:
         single-token text terms (the classic WAND domain: term / OR / IN).
         None disables pruning and falls back to the exhaustive path."""
         if isinstance(node, Term) and self._is_text(node.field):
-            toks = self._tok(node.value)
+            toks = [node.value] if node.pre_analyzed else self._tok(node.value)
             return toks if len(toks) == 1 else None
         if isinstance(node, TermSet) and self._is_text(node.field):
             toks: list[str] = []
@@ -891,16 +906,19 @@ class Searcher:
     def _eval_term(self, node: Term, scored: DataFrame, docs: DataFrame) -> DataFrame:
         pre = self._ns_prefix(node.field)
         if pre is not None:
-            toks = [pre + t for t in self._tok(node.value)]
+            toks = (
+                [node.value] if node.pre_analyzed else self._tok(node.value)
+            )
             if not toks:
                 return self._zero(docs).limit(0)
             if len(toks) == 1:
-                return scored.filter(F.col("term") == toks[0]).select(
+                return scored.filter(F.col("term") == pre + toks[0]).select(
                     "split_id", "docid", "score"
                 )
-            # multi-token value => implicit AND of its tokens
+            # multi-token value => implicit AND of its tokens; mark them
+            # pre_analyzed so the recursion doesn't re-stem analyzer output
             return self._eval_bool(
-                Bool(must=[Term(node.field, t) for t in self._tok(node.value)]),
+                Bool(must=[Term(node.field, t, pre_analyzed=True) for t in toks]),
                 scored,
                 docs,
             )
@@ -1082,7 +1100,9 @@ class Searcher:
         if isinstance(node, Term):
             pre = self._ns_prefix(node.field)
             if pre is not None:
-                toks = self._tok(node.value)
+                toks = (
+                    [node.value] if node.pre_analyzed else self._tok(node.value)
+                )
                 if len(toks) == 1:
                     return pre + toks[0]
         return None

@@ -36,6 +36,10 @@ class MatchAll(Node):
 class Term(Node):
     field: str | None
     value: str
+    # True when `value` is already an analyzer output token: evaluation must
+    # not re-run the analyzer (Porter2 is not idempotent for every input, so
+    # re-stemming a stemmed token could query a term that was never indexed).
+    pre_analyzed: bool = False
 
 
 @dataclass

@@ -32,19 +32,27 @@ def parse_kafka_records(records: DataFrame, schema: T.StructType) -> DataFrame:
     ``_corrupt`` flag instead of killing the stream — the analog of the
     reference's doc-processor parse-error counters (doc_processor.rs:50-99).
     """
+    # columnNameOfCorruptRecord distinguishes MALFORMED JSON (corrupt) from a
+    # syntactically valid doc that happens to carry none of the mapped fields
+    # ({} or only unmapped keys) — the latter must NOT be dropped, matching
+    # the reference's parse-error-only counters (doc_processor.rs:50-99).
+    with_cr = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
     parsed = records.select(
         F.col("key").cast("string").alias("_kafka_key"),
-        F.from_json(F.col("value").cast("string"), schema).alias("doc"),
+        F.from_json(
+            F.col("value").cast("string"),
+            with_cr,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("doc"),
     )
-    # PERMISSIVE from_json maps malformed JSON to an all-null struct, not a
-    # null struct — treat either as corrupt
-    all_null = F.lit(True)
-    for f_ in schema.fields:
-        all_null = all_null & F.col(f"doc.{f_.name}").isNull()
     return parsed.select(
         "_kafka_key",
-        "doc.*",
-        (F.col("doc").isNull() | all_null).alias("_corrupt"),
+        *[F.col(f"doc.{f_.name}").alias(f_.name) for f_ in schema.fields],
+        (
+            F.col("doc").isNull() | F.col("doc._corrupt_record").isNotNull()
+        ).alias("_corrupt"),
     )
 
 

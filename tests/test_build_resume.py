@@ -169,3 +169,37 @@ def test_null_text_docs_index_cleanly(spark, pages_small, tmp_path):
             == 600
         )
         assert search(reader, SearchRequest(query="w0", max_hits=10), fetch_fields=()).count() > 0
+
+
+def test_rebuild_retires_delete_rewritten_split(spark, pages_small, tmp_path):
+    """A partition whose split was delete-rewritten (id `<index>-del-…`)
+    must still be retired when that partition is rebuilt with changed input
+    — retirement goes by (generation, partition_id), not by reconstructing
+    the conventional split id (ADVICE r02)."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.operators.janitor import delete_by_query
+
+    index_dir = str(tmp_path / "idx")
+    cfg = IndexConfig(index_id="pages", num_splits=2)
+    build_index(spark, pages_small, index_dir, cfg)
+    reader = IndexReader(spark, index_dir)
+
+    dm = delete_by_query(spark, index_dir, "needleone")
+    assert dm.matched_docs > 0 and dm.rewritten_splits
+    n_after_delete = search(
+        reader, SearchRequest(query="*", max_hits=10000), fetch_fields=()
+    ).count()
+    assert n_after_delete == 600 - dm.matched_docs
+
+    # changed input => new fingerprints => full rebuild of both partitions;
+    # the -del- splits must be retired or their docs would double-count
+    pages2 = pages_small.withColumn("text", F.concat(F.col("text"), F.lit(" zz")))
+    build_index(spark, pages2, index_dir, cfg)
+    reader.refresh()
+    res = search(
+        reader, SearchRequest(query="*", max_hits=10000), fetch_fields=("url",)
+    ).collect()
+    assert len(res) == 600
+    urls = [r["url"] for r in res]
+    assert len(urls) == len(set(urls)), "duplicate docs from un-retired ghost split"

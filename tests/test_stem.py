@@ -121,3 +121,37 @@ def test_analyzer_exprs_match_python(spark):
         # raw_expr returns [] for null via otherwise-branch
         exp = [e if e is not None else [] for e in exp]
         assert got == exp, tok
+
+
+def test_multi_token_atom_not_double_stemmed(spark, tmp_path):
+    """A hyphenated atom like `data-university:` tokenizes to multiple
+    tokens; the implicit-AND recursion must consume the ALREADY-analyzed
+    tokens. Porter2 is not idempotent (university -> univers -> univ), so
+    re-stemming would query a term that was never indexed and lose the doc."""
+    from quickwit_spark.operators.build import IndexConfig, build_index
+    from quickwit_spark.operators.search import IndexReader, SearchRequest, search
+
+    assert stem("university") == "univers"
+    assert stem("univers") == "univ"  # the non-idempotence this test pins
+
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("u0", "the data university lecture hall", "en", ts),
+        ("u1", "unrelated words entirely", "en", ts),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, text string, lang string, warc_ts timestamp"
+    )
+    d = str(tmp_path / "stemidx")
+    build_index(
+        spark, pages, d,
+        IndexConfig(index_id="pages", num_splits=1, tokenizer="en_stem"),
+    )
+    reader = IndexReader(spark, d)
+    hits = search(
+        reader, SearchRequest(query="data-university", max_hits=10),
+        fetch_fields=("url",),
+    ).collect()
+    assert [r["url"] for r in hits] == ["u0"]

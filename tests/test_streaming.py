@@ -92,12 +92,17 @@ def test_kafka_record_parsing(spark):
         (b"k1", json.dumps({"url": "u1", "text": "hello world", "lang": "en"}).encode()),
         (b"k2", b"{not json"),
         (None, json.dumps({"url": "u2", "text": "w0 w1", "lang": "de"}).encode()),
+        # valid-but-sparse documents: {} and only-unmapped-keys must NOT be
+        # classified corrupt (only parse errors count, doc_processor.rs:50-99)
+        (b"k4", b"{}"),
+        (b"k5", json.dumps({"other": 1}).encode()),
     ]
     records = spark.createDataFrame(rows, "key binary, value binary")
     out = parse_kafka_records(records, schema).collect()
     good = [r for r in out if not r["_corrupt"]]
     bad = [r for r in out if r["_corrupt"]]
-    assert {r["url"] for r in good} == {"u1", "u2"}
+    assert {r["url"] for r in good} == {"u1", "u2", None}
+    assert len(good) == 4
     assert len(bad) == 1
 
 
