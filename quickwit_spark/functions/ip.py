@@ -64,6 +64,17 @@ def _ip_display_udf(s: pd.Series) -> pd.Series:
     return s.map(ip_display_py)
 
 
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _ip_canon_array_udf(s: pd.Series) -> pd.Series:
+    # multi-cardinality ip fields (F.transform can't host a pandas UDF, so
+    # the array variant maps whole lists per row)
+    return s.map(
+        lambda vals: None
+        if vals is None
+        else [ip_canon_py(v) for v in vals]
+    )
+
+
 def ip_canon_expr(col: Column) -> Column:
     """Ingest-side coercion: string column -> canonical hex (invalid -> null,
     counted by DocMapper like every other coercion error)."""
@@ -72,3 +83,7 @@ def ip_canon_expr(col: Column) -> Column:
 
 def ip_display_expr(col: Column) -> Column:
     return _ip_display_udf(col)
+
+
+def ip_canon_array_expr(col: Column) -> Column:
+    return _ip_canon_array_udf(col.try_cast("array<string>"))

@@ -26,6 +26,8 @@ import time
 import uuid
 from dataclasses import asdict, dataclass, field
 
+from quickwit_spark.index.txnlog import TransactionLog
+
 
 @dataclass
 class SplitMetadata:
@@ -77,60 +79,116 @@ class SplitMetadata:
 
 
 class Manifest:
-    """Filesystem-backed metastore for one index."""
+    """Metastore for one index, backed by the transaction log
+    (``index/txnlog.py``): every mutation is ONE atomic commit, and listing
+    is checkpoint + bounded tail replay instead of O(splits) file reads —
+    the two scale gaps of the per-split-file backend this replaces
+    (metastore/mod.rs:304-390 publish transaction analog).
+
+    Indexes written by the old backend (one ``<split_id>.json`` per split +
+    ``_lineage_g*.json`` + ``_index_config.json`` sidecars) are migrated
+    into the log on first open; the migration commit is idempotent under a
+    two-writer race because replay is last-writer-wins on identical rows."""
 
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
         self.dir = os.path.join(index_dir, "manifest")
         os.makedirs(self.dir, exist_ok=True)
+        self.log = TransactionLog(os.path.join(self.dir, "_txn"))
+        self._migrate_legacy()
 
-    # -- io ---------------------------------------------------------------
-    def _path(self, split_id: str) -> str:
-        return os.path.join(self.dir, f"{split_id}.json")
+    # -- legacy migration ---------------------------------------------------
+    def _migrate_legacy(self) -> None:
+        if self.log.latest_version() > 0:
+            return
+        actions: list[dict] = []
+        legacy_files: list[str] = []
+        for name in sorted(os.listdir(self.dir)):
+            path = os.path.join(self.dir, name)
+            if name.endswith(".json") and not name.startswith("_"):
+                with open(path) as f:
+                    actions.append({"op": "upsert", "meta": json.load(f)})
+                legacy_files.append(path)
+            elif name.startswith("_lineage_g") and name.endswith(".json"):
+                gen = int(name[len("_lineage_g") : -len(".json")])
+                with open(path) as f:
+                    actions.append(
+                        {"op": "lineage", "generation": gen, "set": json.load(f)}
+                    )
+                legacy_files.append(path)
+            elif name == "_index_config.json":
+                with open(path) as f:
+                    actions.append({"op": "config", "config": json.load(f)})
+                legacy_files.append(path)
+        if not actions:
+            return
+        self.log.commit(actions)
+        for path in legacy_files:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
 
+    # -- write path ---------------------------------------------------------
     def stage(self, meta: SplitMetadata) -> None:
-        meta.state = "Staged"
-        meta.create_timestamp = meta.create_timestamp or time.time()
-        self._write(meta)
+        self.stage_many([meta])
+
+    def stage_many(self, metas: list[SplitMetadata]) -> None:
+        """Stage a batch in ONE commit (a build stages every split of the
+        run together — per-split commits would cost O(splits) log appends)."""
+        now = time.time()
+        for meta in metas:
+            meta.state = "Staged"
+            meta.create_timestamp = meta.create_timestamp or now
+        self.log.commit(
+            [{"op": "upsert", "meta": asdict(m)} for m in metas]
+        )
 
     def publish(
         self, new: list[SplitMetadata], replaced: list[str] | None = None
     ) -> None:
-        """Atomic-ish publish: mark replaced splits for deletion and flip the
-        new splits to Published (publisher.rs:129-140 semantics — the only
-        transaction in the system)."""
+        """Atomic publish: ONE log commit marks replaced splits for deletion,
+        flips the new splits to Published, and records checkpoint lineage
+        (publisher.rs:129-140 + checkpoint.rs semantics — a reader observes
+        all of it or none of it; the per-file backend could tear here)."""
+        actions: list[dict] = []
+        state = self.log.state()
         for split_id in replaced or []:
-            meta = self.get(split_id)
-            if meta is not None:
-                meta.state = "MarkedForDeletion"
-                self._write(meta)
+            d = state["splits"].get(split_id)
+            if d is not None:
+                d = dict(d)
+                d["state"] = "MarkedForDeletion"
+                actions.append({"op": "upsert", "meta": d})
         for meta in new:
             meta.state = "Published"
-            self._write(meta)
-        # durable checkpoint lineage: record (generation, partition) ->
-        # fingerprint for original (never-merged) splits in a sidecar that
-        # SURVIVES merge/retention/GC split replacement — exactly-once replay
-        # must not depend on the gen-0 splits still being alive
-        # (checkpoint.rs semantics; the reference checkpoint outlives splits).
+            actions.append({"op": "upsert", "meta": asdict(meta)})
+        # durable checkpoint lineage: (generation, partition) -> fingerprint
+        # for original (never-merged) splits, surviving merge/retention/GC —
+        # exactly-once replay must not depend on gen-0 splits staying alive
         lineage_new = [
             m for m in new if m.num_merge_ops == 0 and m.source_fingerprint
         ]
-        for gen in {m.generation for m in lineage_new}:
-            rec = self._load_lineage(gen)
-            for m in lineage_new:
-                if m.generation == gen:
-                    rec[str(m.partition_id)] = m.source_fingerprint
-            self._save_lineage(gen, rec)
+        for gen in sorted({m.generation for m in lineage_new}):
+            actions.append(
+                {
+                    "op": "lineage",
+                    "generation": gen,
+                    "set": {
+                        str(m.partition_id): m.source_fingerprint
+                        for m in lineage_new
+                        if m.generation == gen
+                    },
+                }
+            )
+        if actions:
+            self.log.commit(actions)
 
-    def _lineage_path(self, generation: int) -> str:
-        return os.path.join(self.dir, f"_lineage_g{generation}.json")
+    def remove_split(self, split_id: str) -> None:
+        """Drop a split row entirely (GC of MarkedForDeletion splits)."""
+        self.log.commit([{"op": "remove", "split_id": split_id}])
 
     def _load_lineage(self, generation: int) -> dict[str, str]:
-        p = self._lineage_path(generation)
-        if not os.path.exists(p):
-            return {}
-        with open(p) as f:
-            return json.load(f)
+        return dict(self.log.state()["lineage"].get(str(generation), {}))
 
     def record_lineage(
         self, generation: int, partition_id: int, fingerprint: str
@@ -138,58 +196,50 @@ class Manifest:
         """Record one (generation, partition) -> fingerprint row directly —
         used for partitions whose (re)build produced no split (empty input
         slice) but which are nonetheless done."""
-        rec = self._load_lineage(generation)
-        rec[str(partition_id)] = fingerprint
-        self._save_lineage(generation, rec)
+        self.log.commit(
+            [
+                {
+                    "op": "lineage",
+                    "generation": generation,
+                    "set": {str(partition_id): fingerprint},
+                }
+            ]
+        )
 
     def drop_lineage(self, generation: int, partition_id: int) -> None:
         """Forget one (generation, partition) lineage row — forces the next
         resume to re-index that partition (manual re-index escape hatch)."""
-        rec = self._load_lineage(generation)
-        if rec.pop(str(partition_id), None) is not None:
-            self._save_lineage(generation, rec)
-
-    def _save_lineage(self, generation: int, rec: dict[str, str]) -> None:
-        tmp = self._lineage_path(generation) + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(rec, f)
-        os.replace(tmp, self._lineage_path(generation))
+        self.log.commit(
+            [
+                {
+                    "op": "lineage",
+                    "generation": generation,
+                    "drop": [str(partition_id)],
+                }
+            ]
+        )
 
     def _write(self, meta: SplitMetadata) -> None:
-        tmp = self._path(meta.split_id) + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(asdict(meta), f)
-        os.replace(tmp, self._path(meta.split_id))
+        """Upsert one split row as-is (compat shim for direct state edits)."""
+        self.log.commit([{"op": "upsert", "meta": asdict(meta)}])
 
     # -- index-level config (the reference keeps IndexConfig/DocMapper in the
     # metastore; searchers must use the index's own tokenizer and fields) ---
     def save_index_config(self, cfg: dict) -> None:
-        tmp = os.path.join(self.dir, f"_index_config.tmp.{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            json.dump(cfg, f)
-        os.replace(tmp, os.path.join(self.dir, "_index_config.json"))
+        self.log.commit([{"op": "config", "config": cfg}])
 
     def load_index_config(self) -> dict:
-        p = os.path.join(self.dir, "_index_config.json")
-        if not os.path.exists(p):
-            return {}
-        with open(p) as f:
-            return json.load(f)
+        return dict(self.log.state()["config"])
 
     def get(self, split_id: str) -> SplitMetadata | None:
-        p = self._path(split_id)
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return SplitMetadata(**json.load(f))
+        d = self.log.state()["splits"].get(split_id)
+        return SplitMetadata(**d) if d is not None else None
 
     def list_all(self) -> list[SplitMetadata]:
-        out = []
-        for name in sorted(os.listdir(self.dir)):
-            if name.endswith(".json") and not name.startswith("_"):
-                with open(os.path.join(self.dir, name)) as f:
-                    out.append(SplitMetadata(**json.load(f)))
-        return out
+        return [
+            SplitMetadata(**d)
+            for _, d in sorted(self.log.state()["splits"].items())
+        ]
 
     # -- pruning (the reference's list_relevant_splits) --------------------
     def list_published(

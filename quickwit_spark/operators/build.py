@@ -911,10 +911,11 @@ def build_index(
                 else None
             ),
         )
-        manifest.stage(meta)
         new_metas.append(meta)
         metrics.num_docs += row["num_docs"]
         metrics.uncompressed_bytes += row["bytes"]
+    if new_metas:
+        manifest.stage_many(new_metas)  # one commit for the whole batch
     # retire superseded splits by (generation, partition_id) among Published
     # originals, NOT by reconstructing the conventional id: a partition whose
     # split was delete-rewritten carries id `<index>-del-…` and would

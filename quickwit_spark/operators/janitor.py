@@ -46,16 +46,16 @@ def apply_retention(index_dir: str, cutoff_iso: str) -> list[str]:
     """Mark Published splits with ``time_range_end < cutoff`` for deletion.
     Returns the dropped split ids (call merge.garbage_collect to reclaim)."""
     manifest = Manifest(index_dir)
-    dropped: list[str] = []
-    for m in manifest.list_all():
-        if (
-            m.state == "Published"
-            and m.time_range_end is not None
-            and m.time_range_end < cutoff_iso
-        ):
-            m.state = "MarkedForDeletion"
-            manifest._write(m)
-            dropped.append(m.split_id)
+    dropped = [
+        m.split_id
+        for m in manifest.list_all()
+        if m.state == "Published"
+        and m.time_range_end is not None
+        and m.time_range_end < cutoff_iso
+    ]
+    if dropped:
+        # one atomic commit retires the whole expired set
+        manifest.publish([], replaced=dropped)
     return dropped
 
 

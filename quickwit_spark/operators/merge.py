@@ -245,7 +245,7 @@ def garbage_collect(index_dir: str) -> list[str]:
                 os.path.join(index_dir, sub, f"split_id={m.split_id}"),
                 ignore_errors=True,
             )
-        os.remove(os.path.join(index_dir, "manifest", f"{m.split_id}.json"))
+        manifest.remove_split(m.split_id)
         removed.append(m.split_id)
     return removed
 

@@ -35,7 +35,7 @@ def test_resume_skips_and_preserves(spark, pages_small, tmp_path):
     # and its durable lineage entry vanish (they are written together; a
     # crash before publish loses both, and only out-of-band intervention can
     # lose one without the other)
-    os.remove(os.path.join(index_dir, "manifest", "pages-00-p00001.json"))
+    reader.manifest.remove_split("pages-00-p00001")
     reader.manifest.drop_lineage(0, 1)
     m3 = build_index(spark, pages_small, index_dir, cfg)
     assert m3.skipped_partitions == 2 and m3.num_splits == 1
