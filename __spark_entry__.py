@@ -261,6 +261,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_filtered_terms_agg"] = fts_filtered_terms_agg
 
+    # --- typed fast fields (r2 VERDICT "missing" #2-4): comparable ip,
+    # array<T> cardinality, nested object struct, datetime input formats ---
+    # ip range over the canonical 16-byte domain: a plain STRING store would
+    # order 10.0.0.200 < 10.0.0.63 lexicographically; canonical hex must not
+    q["ip_range_filter"] = lambda s, d: _fts_matching(
+        s, d, "synth_ip:[10.0.1.16 TO 10.0.1.63]"
+    )
+    q["ip_term_filter"] = lambda s, d: _fts_matching(s, d, "synth_ip:10.0.0.77")
+    # array<string> fast field: term matches ANY element (MultiValues)
+    q["array_field_filter"] = lambda s, d: _fts_matching(s, d, "tags_arr:src7")
+    # nested object struct: typed children addressed parent.child
+    q["object_field_filter"] = lambda s, d: _fts_matching(
+        s, d, "meta.len:[100 TO 400] AND meta.lg:de"
+    )
+
+    def dt_formats_parse(s: SparkSession, d: str) -> DataFrame:
+        # round-trip: render synth_ts as RFC 2822, re-ingest through the
+        # datetime input-format fallback chain (date_time_type.rs:34-67)
+        from quickwit_spark.schema import FieldMapping
+
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        fm = FieldMapping(
+            "when", "datetime", input_formats=["rfc2822", "unix_timestamp"]
+        )
+        df = docs_df(s, d).select(
+            "doc_id",
+            F.date_format(
+                F.timestamp_seconds(F.lit(1672531200) + F.col("doc_id") * 60),
+                "EEE, dd MMM yyyy HH:mm:ss Z",
+            ).alias("when"),
+        )
+        return df.select(
+            "doc_id", fm.coerce(F.col("when")).alias("when")
+        ).orderBy("doc_id")
+
+    q["dt_formats_parse"] = dt_formats_parse
+
     # --- aggregations over events (SURVEY §2.5 aggregation set) -----------
     q["agg_histogram_value"] = lambda s, d: A.histogram(
         _events(s, d), "value", interval=50.0
@@ -619,6 +656,29 @@ SELECT lang AS key, count(*) AS doc_count FROM d
 WHERE list_contains(toks, 'dup')
 GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5
 """
+
+    # typed fast fields: synth_ip = 10.0.x.y with (x, y) = divmod(doc_id %
+    # 65536, 256) => the canonical-hex range compare must select exactly the
+    # arithmetic doc_id window (a naive string store would not)
+    o["ip_range_filter"] = (
+        "SELECT doc_id FROM documents "
+        "WHERE (doc_id % 65536) BETWEEN 256 + 16 AND 256 + 63"
+    )
+    o["ip_term_filter"] = (
+        "SELECT doc_id FROM documents WHERE (doc_id % 65536) = 77"
+    )
+    o["array_field_filter"] = (
+        "SELECT doc_id FROM documents WHERE lang = 'src7' OR source = 'src7'"
+    )
+    o["object_field_filter"] = (
+        "SELECT doc_id FROM documents "
+        "WHERE n_chars BETWEEN 100 AND 400 AND lang = 'de'"
+    )
+    o["dt_formats_parse"] = (
+        "SELECT doc_id, TIMESTAMP '2023-01-01 00:00:00'"
+        " + doc_id * INTERVAL 1 MINUTE AS when"
+        " FROM documents ORDER BY doc_id"
+    )
 
     # --- training-data pipeline ops ---------------------------------------
     o["ts_token_count"] = f"""

@@ -20,6 +20,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quickwit_spark.functions.ip import ip_canon_expr
 from quickwit_spark.operators.build import IndexConfig, build_index
 from quickwit_spark.operators.search import IndexReader
 
@@ -27,8 +28,9 @@ K1 = 1.2
 B = 0.75
 N_GATE_SPLITS = 4
 
-# v3: postings gained the pos_blocks positions column (record: position)
-_CACHE_ROOT = os.environ.get("QS_INDEX_CACHE", "/tmp/quickwit_spark_gate_index_v3")
+# v4: docstore gained synth_ip (canonical hex), tags_arr (array<string>) and
+# meta (struct) fast-field columns for the typed-field gates
+_CACHE_ROOT = os.environ.get("QS_INDEX_CACHE", "/tmp/quickwit_spark_gate_index_v4")
 
 
 def docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,6 +65,31 @@ def gate_index(
                     F.lit(1672531200) + F.col("doc_id") * F.lit(60)
                 ),
             )
+            # typed fast fields, all deterministic functions of doc_id /
+            # existing columns so the DuckDB oracle can mirror them:
+            # ip 10.0.x.y with (x, y) = divmod(doc_id % 65536, 256), stored
+            # canonical (16-byte hex) via the ingest coercion
+            .withColumn(
+                "synth_ip",
+                ip_canon_expr(
+                    F.concat(
+                        F.lit("10.0."),
+                        ((F.col("doc_id") / 256).cast("int") % 256).cast(
+                            "string"
+                        ),
+                        F.lit("."),
+                        (F.col("doc_id") % 256).cast("string"),
+                    )
+                ),
+            )
+            .withColumn("tags_arr", F.array(F.col("lang"), F.col("source")))
+            .withColumn(
+                "meta",
+                F.struct(
+                    F.col("n_chars").cast("long").alias("len"),
+                    F.col("lang").alias("lg"),
+                ),
+            )
         )
         if with_title:
             # deterministic second text field the oracle can reproduce
@@ -79,6 +106,8 @@ def gate_index(
             routing_col="gate_part",
             tokenizer=tokenizer,
             extra_text_fields=("title",) if with_title else (),
+            store_fields=("synth_ip", "tags_arr", "meta"),
+            ip_fields=("synth_ip",),
         )
         build_index(spark, docs, index_dir, cfg)
         open(marker, "w").close()

@@ -86,14 +86,13 @@ def unix_timestamp_expr(col: Column) -> Column:
     ).otherwise(F.timestamp_micros((v / F.lit(1000)).cast("long")))
 
 
-# RFC 2822 arrives with or without the optional day-of-week and with either
-# a numeric zone or an obsolete named zone; try the common shapes in order.
+# RFC 2822 arrives with or without the optional day-of-week (Spark's
+# pattern engine forbids 'E' when PARSING, so the day name is stripped by
+# regexp first) and with a numeric or obsolete named zone.
 _RFC2822_PATTERNS = (
-    "EEE, d MMM yyyy HH:mm:ss xx",
     "d MMM yyyy HH:mm:ss xx",
-    "EEE, d MMM yyyy HH:mm:ss zz",
-    "d MMM yyyy HH:mm:ss zz",
-    "EEE, d MMM yyyy HH:mm xx",
+    "d MMM yyyy HH:mm:ss zzz",
+    "d MMM yyyy HH:mm xx",
 )
 
 
@@ -110,7 +109,9 @@ def datetime_input_expr(col: Column, input_formats: list[str]) -> Column:
         elif f == "unix_timestamp":
             cands.append(unix_timestamp_expr(col))
         elif f == "rfc2822":
-            s = col.try_cast("string")
+            s = F.regexp_replace(
+                col.try_cast("string"), r"^[A-Za-z]{3},\s*", ""
+            )
             cands.extend(
                 F.try_to_timestamp(s, F.lit(p)) for p in _RFC2822_PATTERNS
             )

@@ -161,6 +161,10 @@ class IndexConfig:
     # postings are identical to the unsalted path (block boundaries may
     # differ, content cannot).
     salt_range: int | None = None
+    # names among store_fields that are ip-typed (already coerced to the
+    # canonical 16-byte hex form by DocMapper): searchers must rewrite query
+    # constants on these fields into that domain (mapping_tree.rs:90-99)
+    ip_fields: tuple[str, ...] = ()
 
 
 @dataclass
@@ -685,6 +689,7 @@ def build_index(
         "extra_text_fields": list(cfg.extra_text_fields),
         "num_splits": cfg.num_splits,
         "routing_col": cfg.routing_col,
+        "ip_fields": list(cfg.ip_fields),
     }
     # a resume/append must never silently flip the index's format: queries
     # are analyzed with the PERSISTED tokenizer/record, so mixing formats

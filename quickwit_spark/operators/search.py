@@ -529,6 +529,32 @@ class Searcher:
         # store_fields); JSON string columns among them are path-queryable
         for extra in icfg.get("store_fields", []) or []:
             self.fast_fields.setdefault(extra, extra)
+        # ip-typed fast fields store the canonical 16-byte hex form; query
+        # constants on them must be rewritten into that domain
+        self.ip_fields = set(icfg.get("ip_fields", []) or [])
+
+    def _ip_const(self, field: str, value: str) -> str:
+        from quickwit_spark.functions.ip import ip_canon_py
+
+        canon = ip_canon_py(value)
+        if canon is None:
+            raise ValueError(f"invalid ip literal {value!r} for field {field!r}")
+        return canon
+
+    def _ff_predicate(self, docs: DataFrame, field: str, value: str):
+        """Typed fast-field equality for term/termset atoms: array columns
+        match any element (MultiValues cardinality), struct paths compare
+        the addressed child, scalars compare directly; ip constants are
+        canonicalized first."""
+        if field in self.ip_fields:
+            value = self._ip_const(field, value)
+        col = self.fast_fields.get(field, field)
+        dtypes = dict(docs.dtypes)
+        dt = dtypes.get(col)
+        if dt is not None and dt.startswith("array<"):
+            elem = dt[len("array<") : -1]
+            return F.array_contains(F.col(col), F.lit(value).try_cast(elem))
+        return F.col(col) == value
 
     # ---- term universe --------------------------------------------------
     def _collect_text_terms(
@@ -928,20 +954,28 @@ class Searcher:
                 "split_id", "docid", F.lit(0.0).alias("score")
             )
         if "." in node.field:
-            # JSON-path term `field.a.b:v` (doc_mapper.rs:262-291): the root
-            # must be a stored JSON column; string comparison on the
-            # extracted scalar also matches numbers by canonical rendering
             root, path = node.field.split(".", 1)
             col = self.fast_fields.get(root, root)
+            dt = dict(docs.dtypes).get(col)
+            if dt is not None and dt.startswith("struct<"):
+                # mapped `object` field (mapping_tree.rs Object node): the
+                # child is a REAL typed column inside a struct — direct
+                # comparison, canonical string rendering for numerics
+                return docs.filter(
+                    F.col(f"{col}.{path}").cast("string") == F.lit(node.value)
+                ).select("split_id", "docid", F.lit(0.0).alias("score"))
             if col in docs.columns:
+                # JSON-path term `field.a.b:v` (doc_mapper.rs:262-291): the
+                # root is a stored JSON string column; string comparison on
+                # the extracted scalar also matches numbers by canonical
+                # rendering
                 return docs.filter(
                     F.get_json_object(F.col(col), f"$.{path}") == F.lit(node.value)
                 ).select("split_id", "docid", F.lit(0.0).alias("score"))
             raise ValueError(f"unknown json field {root!r}")
-        col = self.fast_fields.get(node.field, node.field)
-        return docs.filter(F.col(col) == node.value).select(
-            "split_id", "docid", F.lit(0.0).alias("score")
-        )
+        return docs.filter(
+            self._ff_predicate(docs, node.field, node.value)
+        ).select("split_id", "docid", F.lit(0.0).alias("score"))
 
     def _eval_termset(
         self, node: TermSet, scored: DataFrame, docs: DataFrame
@@ -954,8 +988,16 @@ class Searcher:
                 .groupBy("split_id", "docid")
                 .agg(F.sum("score").alias("score"))
             )
-        col = "tag" if node.field == self.tag_field else node.field
-        return docs.filter(F.col(col).isin(node.values)).select(
+        if node.field == self.tag_field:
+            cond = F.col("tag").isin(node.values)
+        else:
+            cond = None
+            for v in node.values:
+                p = self._ff_predicate(docs, node.field, v)
+                cond = p if cond is None else (cond | p)
+            if cond is None:
+                return self._zero(docs).limit(0)
+        return docs.filter(cond).select(
             "split_id", "docid", F.lit(0.0).alias("score")
         )
 
@@ -1083,6 +1125,10 @@ class Searcher:
         c = F.col(col_name)
         cond = F.lit(True)
         lo, hi = node.lo, node.hi
+        if node.field in self.ip_fields:
+            # canonical-hex domain: lexicographic compare == numeric compare
+            lo = self._ip_const(node.field, lo) if lo is not None else None
+            hi = self._ip_const(node.field, hi) if hi is not None else None
         if col_name == "ts":
             lo = F.lit(lo).cast("timestamp") if lo is not None else None
             hi = F.lit(hi).cast("timestamp") if hi is not None else None

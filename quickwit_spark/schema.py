@@ -28,6 +28,12 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from quickwit_spark.functions.datetime_fmt import (
+    datetime_input_expr,
+    datetime_output_expr,
+)
+from quickwit_spark.functions.ip import ip_canon_array_expr, ip_canon_expr
+
 FIELD_TYPES = (
     "text",
     "i64",
@@ -38,6 +44,11 @@ FIELD_TYPES = (
     "bytes",
     "ip",
     "json",
+    # nested mapping node (field_mapping_type.rs:70-74 Object): children in
+    # FieldMapping.object_mappings, addressed `parent.child`; stored as a
+    # Spark STRUCT column so `parent.child` predicates are plain typed
+    # column references (codegen + pushdown), never JSON re-parsing
+    "object",
 )
 
 _SPARK_TYPE = {
@@ -52,10 +63,6 @@ _SPARK_TYPE = {
     "json": "string",
 }
 
-# normalized-ish IPv4/IPv6 acceptance (the reference parses to IpAddr and
-# stores IPv6 16-byte form; we validate + lowercase, string-keyed)
-_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
-_IP_RE = rf"^({_OCTET}\.){{3}}{_OCTET}$|^[0-9a-f:]+:[0-9a-f:]*$"
 
 
 @dataclass
@@ -69,20 +76,39 @@ class FieldMapping:
     stored: bool = True
     indexed: bool = True
     fast: bool = False
-    # datetime input formats, tried in order (date_time_type.rs:34-67);
-    # "iso8601" and "unix_timestamp" supported
+    # datetime input formats, tried in declaration order
+    # (date_time_type.rs:34-67): iso8601 | rfc3339 | rfc2822 |
+    # unix_timestamp (precision by magnitude) | strptime patterns
     input_formats: list[str] = dc_field(default_factory=lambda: ["iso8601"])
+    # datetime output precision (date_time_format.rs:123-127):
+    # seconds | milliseconds | microseconds
+    output_precision: str = "microseconds"
+    # MultiValues cardinality (mapping_tree.rs Cardinality): "single" |
+    # "multi". Multi fields hold array<T>; a scalar arriving on a multi
+    # field is wrapped, an array arriving on a single field is a
+    # cardinality error (mapping_tree.rs:145) — counted, not fatal.
+    cardinality: str = "single"
+    # children for type="object" (field_mapping_type.rs:70-74)
+    object_mappings: list["FieldMapping"] | None = None
 
     def __post_init__(self) -> None:
         if self.type not in FIELD_TYPES:
             raise ValueError(
                 f"unknown field type {self.type!r}; expected one of {FIELD_TYPES}"
             )
+        if self.cardinality not in ("single", "multi"):
+            raise ValueError(f"unknown cardinality {self.cardinality!r}")
+        if self.type == "object":
+            if not self.object_mappings:
+                raise ValueError("object mapping needs object_mappings")
+            if self.cardinality == "multi":
+                raise ValueError(
+                    "object arrays are not supported; use a json field"
+                )
 
-    def coerce(self, col: Column) -> Column:
-        """Source column -> typed column; invalid values become null via
-        try_cast (they are counted by DocMapper.map, like the reference's
-        error counters — never a job failure, even under ANSI mode)."""
+    def _scalar_coerce(self, col: Column) -> Column:
+        """One VALUE -> typed value (pure expressions so the same logic runs
+        both top-level and inside F.transform for multi cardinality)."""
         t = self.type
         if t == "text" or t == "json":
             return col.try_cast("string")
@@ -101,19 +127,39 @@ class FieldMapping:
                 col.try_cast("string").rlike(r"^[A-Za-z0-9+/=\s]*$"),
                 F.unbase64(col.try_cast("string")),
             )
-        if t == "ip":
-            s = F.lower(col.try_cast("string"))
-            return F.when(s.rlike(_IP_RE), s)
         if t == "datetime":
-            out = None
-            for fmt in self.input_formats:
-                if fmt == "unix_timestamp":
-                    cand = F.timestamp_seconds(col.try_cast("long"))
-                else:  # iso8601 / rfc3339-ish via Spark's native cast
-                    cand = col.try_cast("timestamp")
-                out = cand if out is None else F.coalesce(out, cand)
-            return out
+            return datetime_output_expr(
+                datetime_input_expr(col, self.input_formats),
+                self.output_precision,
+            )
         raise AssertionError(t)
+
+    def coerce(self, col: Column) -> Column:
+        """Source column -> typed column; invalid values become null
+        (counted by DocMapper.map like the reference's error counters —
+        never a job failure, even under ANSI mode)."""
+        if self.type == "object":
+            children = self.object_mappings or []
+            return F.when(
+                col.isNotNull(),
+                F.struct(
+                    *[
+                        c.coerce(col.getField(c.name)).alias(c.name)
+                        for c in children
+                    ]
+                ),
+            )
+        if self.type == "ip":
+            # canonical 16-byte (IPv6-mapped) hex: lexicographic order ==
+            # numeric order, so ranges/equality are JVM string compares
+            # (mapping_tree.rs:90-99; parse itself is an ingest-only UDF)
+            if self.cardinality == "multi":
+                return ip_canon_array_expr(col)
+            return ip_canon_expr(col)
+        if self.cardinality == "multi":
+            arr = col.try_cast("array<string>")
+            return F.transform(arr, lambda e: self._scalar_coerce(e))
+        return self._scalar_coerce(col)
 
 
 @dataclass
@@ -168,8 +214,27 @@ class DocMapper:
             rejected = df.filter(cond).count()
             df = df.filter(~cond)
 
+        def typed_col(m: FieldMapping) -> tuple[Column, Column | None]:
+            """(typed output, cardinality-error condition or None).
+
+            A scalar arriving on a multi-cardinality field is wrapped into a
+            one-element array (the reference accepts it); an array arriving
+            on a single field is a CARDINALITY error (mapping_tree.rs:145)
+            — the whole value nulls and the row is counted. Array-vs-scalar
+            is a schema-level fact here, so the mismatch is decided at plan
+            time, not per row."""
+            c = F.col(m.name)
+            is_array = df.schema[m.name].dataType.typeName() == "array"
+            if m.cardinality == "multi" and not is_array:
+                return m.coerce(F.when(c.isNotNull(), F.array(c))), None
+            if m.cardinality == "single" and is_array and m.type != "object":
+                null_t = F.lit(None).cast(_SPARK_TYPE.get(m.type, "string"))
+                return null_t, c.isNotNull()
+            return m.coerce(c), None
+
+        typed = {m.name: typed_col(m) for m in self.mapping.field_mappings}
         cols = [
-            m.coerce(F.col(m.name)).alias(m.name)
+            typed[m.name][0].alias(m.name)
             for m in self.mapping.field_mappings
         ]
         if self.mapping.mode == "dynamic" and unmapped:
@@ -182,20 +247,37 @@ class DocMapper:
             )
         out = df.select(*cols)
 
-        # per-field coercion-error counts: value present in input but null
-        # after coercion (doc_processor.rs counters analog) — ONE aggregate
+        # per-field coercion-error counts, down to object LEAF paths: value
+        # present in input but null after coercion, or a cardinality
+        # mismatch (doc_processor.rs counters analog) — ONE aggregate over
+        # leaf (path, error-condition) pairs
+        leaves: list[tuple[str, Column]] = []
+
+        def walk(m: FieldMapping, path: str, src: Column):
+            if m.type == "object":
+                for c in m.object_mappings or []:
+                    walk(c, f"{path}.{c.name}", src.getField(c.name))
+            else:
+                leaves.append(
+                    (path, src.isNotNull() & m.coerce(src).isNull())
+                )
+
+        for m in self.mapping.field_mappings:
+            _, card_err = typed[m.name]
+            if card_err is not None:
+                leaves.append((m.name, card_err))
+            elif m.type == "object":
+                walk(m, m.name, F.col(m.name))
+            else:
+                out_c, _ = typed[m.name]
+                leaves.append((m.name, F.col(m.name).isNotNull() & out_c.isNull()))
+
         err_exprs = [
-            F.sum(
-                (F.col(m.name).isNotNull() & out_null).cast("long")
-            ).alias(m.name)
-            for m, out_null in [
-                (m, m.coerce(F.col(m.name)).isNull())
-                for m in self.mapping.field_mappings
-            ]
+            F.sum(cond.cast("long")).alias(path) for path, cond in leaves
         ]
         err_wide = df.select(*err_exprs)
         errors = err_wide.unpivot(
-            [], [m.name for m in self.mapping.field_mappings], "field", "n_errors"
+            [], [f"`{path}`" for path, _ in leaves], "field", "n_errors"
         ).filter(F.col("n_errors") > 0)
         return MapResult(docs=out, errors=errors, rejected=rejected)
 

@@ -63,10 +63,15 @@ def test_typed_coercion_and_error_counts(raw_docs):
     assert rows["3"]["when"] is None
     assert bytes(rows["1"]["blob"]) == b"hi"
     assert rows["2"]["blob"] is None
-    assert rows["1"]["addr"] == "10.0.0.1"
-    assert rows["2"]["addr"] is None  # 999.x invalid octet? (regex is lax on
-    # octet ranges but rejects the non-ip shapes below)
-    assert rows["3"]["addr"] == "fe80::1"
+    # ip fields store the canonical 16-byte (IPv6-mapped) hex form so
+    # lexicographic order == numeric order (mapping_tree.rs:90-99 analog)
+    from quickwit_spark.functions.ip import ip_canon_py, ip_display_py
+
+    assert rows["1"]["addr"] == ip_canon_py("10.0.0.1")
+    assert ip_display_py(rows["1"]["addr"]) == "10.0.0.1"
+    assert rows["2"]["addr"] is None  # invalid octet rejected
+    assert rows["3"]["addr"] == ip_canon_py("fe80::1")
+    assert ip_display_py(rows["3"]["addr"]) == "fe80::1"
     errs = {r["field"]: r["n_errors"] for r in res.errors.collect()}
     assert errs.get("ratio") == 1 and errs.get("when") == 1
     assert res.rejected == 0  # lenient: unmapped columns silently dropped
