@@ -74,15 +74,25 @@ def index_stream_available_now(
     checkpoint_dir: str,
     cfg: IndexConfig | None = None,
     max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> StreamingIndexer:
     """Index a parquet directory as a bounded stream (availableNow): every
     file present is processed in micro-batches, then the query stops. Re-runs
     with the same checkpoint pick up only new files — the file-source analog
-    of the reference's file/Kafka sources with positions."""
+    of the reference's file/Kafka sources with positions.
+
+    Commit-trigger analogs (indexer.rs:468-478, index_config/mod.rs:151-192):
+    trigger interval = commit_timeout_secs; maxFilesPerTrigger /
+    maxBytesPerTrigger bound each micro-batch (the memory trigger); and a
+    cfg.split_num_docs_target sizes the splits WITHIN each batch by doc
+    count (the num-docs trigger) — together a batch can never produce an
+    oversized split regardless of backlog size."""
     static = spark.read.parquet(source_dir)
     reader = spark.readStream.schema(static.schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    if max_bytes_per_trigger:
+        reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
     stream = reader.parquet(source_dir)
     sink = StreamingIndexer(index_dir, cfg)
     q = sink.start(stream, checkpoint_dir, trigger_available_now=True)

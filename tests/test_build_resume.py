@@ -203,3 +203,59 @@ def test_rebuild_retires_delete_rewritten_split(spark, pages_small, tmp_path):
     assert len(res) == 600
     urls = [r["url"] for r in res]
     assert len(urls) == len(set(urls)), "duplicate docs from un-retired ghost split"
+
+
+def test_split_num_docs_target_sizes_builds(spark, pages_small, tmp_path):
+    """Size-driven split sizing (index_config/mod.rs:151-192 analog): the
+    split count follows the input so split size stays STABLE as input grows;
+    a shrink retires the now-out-of-range partitions' splits."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "dyn")
+    cfg = IndexConfig(index_id="pages", num_splits=999, split_num_docs_target=100)
+    m = build_index(spark, pages_small, d, cfg)
+    assert m.num_splits == 6 and m.num_docs == 600  # ceil(600/100)
+    reader = IndexReader(spark, d)
+    assert all(
+        meta.num_docs <= 150 for meta in reader.manifest.list_published()
+    )  # hash routing is uneven but bounded near the target
+
+    # shrink to ~150 docs -> 2 splits; partitions 2..5's splits must retire
+    # (filter on text, NOT url — routing hashes url, a url-hash filter would
+    # collapse the survivors into one routing class)
+    small = pages_small.filter(F.xxhash64("text") % 4 == 0)
+    n_small = small.count()
+    m2 = build_index(spark, small, d, cfg)
+    assert m2.num_splits == -(-n_small // 100)
+    reader.refresh()
+    assert (
+        search(reader, SearchRequest(query="*", max_hits=10000), fetch_fields=()).count()
+        == n_small
+    )
+
+
+def test_split_memory_budget_sizes_builds(spark, pages_small, tmp_path):
+    from pyspark.sql import functions as F
+
+    total_bytes = pages_small.agg(
+        F.sum(F.octet_length("text"))
+    ).first()[0]
+    d = str(tmp_path / "dynb")
+    cfg = IndexConfig(
+        index_id="pages", num_splits=1,
+        split_memory_budget_bytes=total_bytes // 4 + 1,
+    )
+    m = build_index(spark, pages_small, d, cfg)
+    assert m.num_splits == 4
+
+
+def test_dynamic_vs_static_config_guard(spark, pages_small, tmp_path):
+    import pytest
+
+    d = str(tmp_path / "guard")
+    build_index(spark, pages_small, d, IndexConfig(index_id="pages", num_splits=2))
+    with pytest.raises(ValueError, match="config mismatch"):
+        build_index(
+            spark, pages_small, d,
+            IndexConfig(index_id="pages", split_num_docs_target=100),
+        )

@@ -112,3 +112,22 @@ def test_kafka_stream_integration(spark, tmp_path):
     import pytest
 
     pytest.skip("no Kafka broker/connector in sandbox; covered by unit parse test")
+
+
+def test_streaming_dynamic_split_sizing(spark, pages_small, tmp_path):
+    """cfg.split_num_docs_target sizes splits WITHIN each micro-batch (the
+    num-docs commit-trigger analog): no split may exceed ~the target even
+    when one batch carries the whole backlog."""
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    pages_small.coalesce(1).write.mode("overwrite").parquet(src)
+    cfg = IndexConfig(index_id="pages", split_num_docs_target=100)
+    sink = index_stream_available_now(spark, src, idx, ckpt, cfg)
+    n = sum(m.num_docs for _, m in sink.batch_metrics)
+    assert n == 600
+    pub = IndexReader(spark, idx).manifest.list_published()
+    assert len(pub) >= 6
+    # hash routing is uneven but bounded near the target
+    assert all(m.num_docs <= 150 for m in pub)
+    assert _count_hits(IndexReader(spark, idx), "*") == 600
