@@ -93,7 +93,8 @@ def _fts_topk(
 
 def _fts_matching(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     reader = gate_index(spark, sf_dir)
-    searcher = Searcher(reader, quantize_norms=False)
+    # filter-only gate: exercises the scoring opt-out (docids-only decode)
+    searcher = Searcher(reader, quantize_norms=False, scoring=False)
     split_ids = [m.split_id for m in reader.manifest.list_published()]
     m = searcher.matching(parse_query(query), split_ids)
     docs = reader.docstore().select("split_id", "docid", "url")
@@ -252,7 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregation over the docs matching a full-text query (the
         # reference runs aggs on query matches, aggregation.md)
         reader = gate_index(s, d)
-        searcher = Searcher(reader, quantize_norms=False)
+        searcher = Searcher(reader, quantize_norms=False, scoring=False)
         split_ids = [m.split_id for m in reader.manifest.list_published()]
         m = searcher.matching(parse_query("dup"), split_ids)
         docs = reader.docstore().select("split_id", "docid", "tag")

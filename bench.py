@@ -70,8 +70,13 @@ def main() -> None:
     n_docs = max(int(600_000 * sf), 1000)
     # one split builds in one task: split count IS the build's parallelism
     # (on a cluster there are thousands of splits; locally, size splits so
-    # the box is saturated rather than idling 28 of 32 cores on 4 splits)
-    n_splits = max(4, min(32, n_docs // 2_000))
+    # the box is saturated rather than idling 28 of 32 cores on 4 splits).
+    # SPARK_GRAFT_NSPLITS pins it for matched-config comparisons across
+    # rounds (r2 VERDICT #7: query-latency deltas must separate split
+    # fan-out cost from plan cost).
+    n_splits = int(
+        os.environ.get("SPARK_GRAFT_NSPLITS", 0)
+    ) or max(4, min(32, n_docs // 2_000))
 
     spark = get_spark(app_name="quickwit_spark_bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,305 @@
+"""Command-line surface: the analog of the reference's `quickwit` CLI
+(quickwit-cli/src/lib.rs — index create / ingest / search, split list,
+merge, gc, delete, retention), deployable via spark-submit.
+
+Design: every subcommand is a thin wrapper over the library API, so the
+same code path runs under `python -m quickwit_spark.cli` locally and under
+`spark-submit --py-files quickwit_spark.zip` on a cluster (the session
+factory honors the submitted master; `--master` only overrides it for
+local runs). Output is JSON lines on stdout, logs on stderr — pipeable.
+
+Examples:
+    python -m quickwit_spark.cli create  --index-dir /idx --config cfg.json
+    python -m quickwit_spark.cli ingest  --index-dir /idx --input pages.parquet
+    python -m quickwit_spark.cli ingest  --index-dir /idx --input dir/ \\
+        --stream --checkpoint-dir /ckpt
+    python -m quickwit_spark.cli search  --index-dir /idx --query "web +crawl"
+    python -m quickwit_spark.cli count   --index-dir /idx --query "lang:en"
+    python -m quickwit_spark.cli list-splits --index-dir /idx
+    python -m quickwit_spark.cli merge   --index-dir /idx
+    python -m quickwit_spark.cli gc      --index-dir /idx
+    python -m quickwit_spark.cli delete  --index-dir /idx --query "spam"
+    python -m quickwit_spark.cli retention --index-dir /idx \\
+        --cutoff 2020-06-01T00:00:00
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+from quickwit_spark.operators.build import IndexConfig
+
+CLI_CONFIG = "cli_index_config.json"
+
+
+def _load_cfg(index_dir: str, config_path: str | None) -> IndexConfig:
+    """IndexConfig from --config JSON, else from the index's stored CLI
+    config (written by `create`), else defaults. JSON lists become the
+    tuples the dataclass expects."""
+    path = config_path or os.path.join(index_dir, CLI_CONFIG)
+    if not os.path.exists(path):
+        return IndexConfig()
+    with open(path) as f:
+        raw = json.load(f)
+    fields = {f.name for f in dataclasses.fields(IndexConfig)}
+    unknown = sorted(set(raw) - fields)
+    if unknown:
+        raise SystemExit(f"unknown index-config keys: {unknown}")
+    kwargs = {
+        k: tuple(v) if isinstance(v, list) else v for k, v in raw.items()
+    }
+    return IndexConfig(**kwargs)
+
+
+def _spark(args):
+    from quickwit_spark.session import get_spark
+
+    s = get_spark(app_name="quickwit_spark_cli", master=args.master)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj, default=str))
+
+
+def cmd_create(args) -> int:
+    os.makedirs(args.index_dir, exist_ok=True)
+    cfg = _load_cfg(args.index_dir, args.config)
+    with open(os.path.join(args.index_dir, CLI_CONFIG), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+    _emit({"created": args.index_dir, "index_id": cfg.index_id})
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    spark = _spark(args)
+    cfg = _load_cfg(args.index_dir, args.config)
+    if args.stream:
+        if not args.checkpoint_dir:
+            raise SystemExit("--stream requires --checkpoint-dir")
+        from quickwit_spark.streaming.indexer import index_stream_available_now
+
+        sink = index_stream_available_now(
+            spark, args.input, args.index_dir, args.checkpoint_dir, cfg
+        )
+        for bid, m in sink.batch_metrics:
+            _emit({"batch": bid, "num_docs": m.num_docs,
+                   "num_splits": m.num_splits})
+        return 0
+    from quickwit_spark.operators.build import build_index
+
+    pages = spark.read.parquet(args.input)
+    m = build_index(spark, pages, args.index_dir, cfg, resume=True)
+    _emit(
+        {
+            "num_docs": m.num_docs,
+            "num_splits": m.num_splits,
+            "skipped_partitions": m.skipped_partitions,
+            "elapsed_sec": round(m.elapsed_sec, 3),
+            "docs_per_sec": round(m.num_docs / m.elapsed_sec, 1)
+            if m.elapsed_sec
+            else None,
+        }
+    )
+    return 0
+
+
+def cmd_search(args) -> int:
+    from quickwit_spark.operators.search import (
+        IndexReader,
+        SearchRequest,
+        search,
+        search_with_failures,
+    )
+
+    spark = _spark(args)
+    reader = IndexReader(spark, args.index_dir)
+    req = SearchRequest(
+        query=args.query,
+        max_hits=args.max_hits,
+        start_offset=args.start_offset,
+        sort_by_field=args.sort_by,
+        sort_order=args.sort_order,
+        start_timestamp=args.start_timestamp,
+        end_timestamp=args.end_timestamp,
+    )
+    fetch = tuple(args.fetch_field or ("url",))
+    if args.tolerate_failures:
+        res, failed = search_with_failures(reader, req, fetch_fields=fetch)
+        if failed:
+            _emit({"failed_splits": failed})
+    else:
+        res = search(reader, req, fetch_fields=fetch)
+    for row in res.collect():
+        _emit(row.asDict())
+    return 0
+
+
+def cmd_count(args) -> int:
+    from quickwit_spark.operators.search import (
+        IndexReader,
+        SearchRequest,
+        count_hits,
+    )
+
+    spark = _spark(args)
+    req = SearchRequest(
+        query=args.query,
+        start_timestamp=args.start_timestamp,
+        end_timestamp=args.end_timestamp,
+    )
+    n = count_hits(IndexReader(spark, args.index_dir), req).collect()[0][0]
+    _emit({"num_hits": n})
+    return 0
+
+
+def cmd_list_splits(args) -> int:
+    from quickwit_spark.index.manifest import Manifest
+
+    for m in Manifest(args.index_dir).list_all():
+        _emit(
+            {
+                "split_id": m.split_id,
+                "state": m.state,
+                "num_docs": m.num_docs,
+                "generation": m.generation,
+                "partition_id": m.partition_id,
+                "time_range": [m.time_range_start, m.time_range_end],
+                "tags": sorted(m.tags or []),
+                "num_merge_ops": m.num_merge_ops,
+            }
+        )
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from quickwit_spark.operators.merge import run_merge_pipeline
+
+    spark = _spark(args)
+    m = run_merge_pipeline(spark, args.index_dir)
+    _emit(
+        {
+            "merge_ops": m.num_ops,
+            "splits_merged": m.splits_merged,
+            "docs_merged": m.docs_merged,
+            "new_splits": m.new_splits,
+        }
+    )
+    return 0
+
+
+def cmd_gc(args) -> int:
+    from quickwit_spark.operators.merge import garbage_collect
+
+    removed = garbage_collect(args.index_dir)
+    _emit({"removed_splits": removed})
+    return 0
+
+
+def cmd_delete(args) -> int:
+    from quickwit_spark.operators.janitor import delete_by_query
+
+    spark = _spark(args)
+    m = delete_by_query(spark, args.index_dir, args.query)
+    _emit(
+        {
+            "matched_docs": m.matched_docs,
+            "rewritten_splits": m.rewritten_splits,
+            "dropped_splits": m.dropped_splits,
+        }
+    )
+    return 0
+
+
+def cmd_retention(args) -> int:
+    from quickwit_spark.operators.janitor import apply_retention
+
+    dropped = apply_retention(args.index_dir, args.cutoff)
+    _emit({"retired_splits": dropped})
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="quickwit_spark", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--index-dir", required=True)
+        sp.add_argument("--master", default=None,
+                        help="Spark master for local runs (spark-submit wins)")
+
+    sp = sub.add_parser("create", help="record an index config")
+    common(sp)
+    sp.add_argument("--config", help="IndexConfig kwargs as JSON")
+    sp.set_defaults(fn=cmd_create)
+
+    sp = sub.add_parser("ingest", help="index a parquet input (batch/stream)")
+    common(sp)
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--config")
+    sp.add_argument("--stream", action="store_true",
+                    help="availableNow streaming ingest (incremental files)")
+    sp.add_argument("--checkpoint-dir")
+    sp.set_defaults(fn=cmd_ingest)
+
+    sp = sub.add_parser("search", help="BM25 top-k search")
+    common(sp)
+    sp.add_argument("--query", required=True)
+    sp.add_argument("--max-hits", type=int, default=10)
+    sp.add_argument("--start-offset", type=int, default=0)
+    sp.add_argument("--sort-by", default=None)
+    sp.add_argument("--sort-order", default="desc", choices=["asc", "desc"])
+    sp.add_argument("--start-timestamp")
+    sp.add_argument("--end-timestamp")
+    sp.add_argument("--fetch-field", action="append")
+    sp.add_argument("--tolerate-failures", action="store_true",
+                    help="skip unreadable splits, report them (root.rs:203)")
+    sp.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser("count", help="count all matches")
+    common(sp)
+    sp.add_argument("--query", required=True)
+    sp.add_argument("--start-timestamp")
+    sp.add_argument("--end-timestamp")
+    sp.set_defaults(fn=cmd_count)
+
+    sp = sub.add_parser("list-splits", help="manifest listing")
+    common(sp)
+    sp.set_defaults(fn=cmd_list_splits)
+
+    sp = sub.add_parser("merge", help="run the merge policy once")
+    common(sp)
+    sp.set_defaults(fn=cmd_merge)
+
+    sp = sub.add_parser("gc", help="remove dead split files")
+    common(sp)
+    sp.set_defaults(fn=cmd_gc)
+
+    sp = sub.add_parser("delete", help="delete-by-query (split rewrite)")
+    common(sp)
+    sp.add_argument("--query", required=True)
+    sp.set_defaults(fn=cmd_delete)
+
+    sp = sub.add_parser("retention", help="retire splits older than cutoff")
+    common(sp)
+    sp.add_argument("--cutoff", required=True,
+                    help="ISO timestamp; splits entirely before it retire")
+    sp.set_defaults(fn=cmd_retention)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

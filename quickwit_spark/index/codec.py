@@ -180,14 +180,24 @@ def encode_postings(
 
 
 def decode_block(block: dict) -> tuple[np.ndarray, np.ndarray]:
+    docids = decode_block_docids(block)
+    n = int(block["count"])
+    tfs = bitunpack(block["tfs"], n, int(block["tf_bits"])) + 1
+    return docids, tfs
+
+
+def decode_block_docids(block: dict) -> np.ndarray:
+    """Docid-only decode: unpack the gap payload and never touch the tf
+    payload. This is the scoring opt-out path — the reference skips tf
+    decompression and fieldnorms unless ``_score`` sorting is requested
+    (quickwit-search/src/collector.rs:413-421)."""
     n = int(block["count"])
     gaps = bitunpack(block["docid_gaps"], n - 1, int(block["gap_bits"]))
     docids = np.empty(n, dtype=np.int64)
     docids[0] = int(block["first_docid"])
     if n > 1:
         docids[1:] = int(block["first_docid"]) + np.cumsum(gaps)
-    tfs = bitunpack(block["tfs"], n, int(block["tf_bits"])) + 1
-    return docids, tfs
+    return docids
 
 
 def decode_postings(blocks: list[dict]) -> tuple[np.ndarray, np.ndarray]:

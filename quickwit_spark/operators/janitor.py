@@ -78,7 +78,8 @@ def delete_by_query(
     t0 = time.time()
     reader = IndexReader(spark, index_dir)
     manifest = reader.manifest
-    searcher = Searcher(reader)
+    # membership-only matching: take the scoring opt-out (no tf/norms)
+    searcher = Searcher(reader, scoring=False)
     icfg = manifest.load_index_config()
     tokenizer = icfg.get("tokenizer", "default")
     with_pos = icfg.get("record", "freq") == "position"

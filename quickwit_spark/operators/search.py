@@ -36,7 +36,11 @@ from pyspark.sql.window import Window
 
 from quickwit_spark import BM25_B, BM25_K1
 from quickwit_spark.functions.tokenize import analyzer_py, tokenize_py, SPLIT_PATTERN_JAVA
-from quickwit_spark.index.codec import decode_block, decode_positions
+from quickwit_spark.index.codec import (
+    decode_block,
+    decode_block_docids,
+    decode_positions,
+)
 from quickwit_spark.operators.build import FIELD_SEP
 from quickwit_spark.index.manifest import Manifest
 from quickwit_spark.plans.query import (
@@ -77,7 +81,49 @@ DECODED_SCHEMA = T.StructType(
     ]
 )
 
+MATCHED_SCHEMA = T.StructType(
+    [
+        T.StructField("split_id", T.StringType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("docid", T.LongType()),
+    ]
+)
 
+
+def _make_decode_postings_docids_rows():
+    """mapInPandas kernel factory for the scoring opt-out: postings rows ->
+    (split_id, term, docid) only. Unpacks docid gaps and never touches the
+    tf payload, the fieldnorm cache, or the avgdl map — the analog of the
+    reference skipping tf decompression + fieldnorms unless the query sorts
+    by ``_score`` (collector.rs:413-421). This is the plan counts, exports
+    and fast-field-sorted searches should pay."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sids: list = []
+            terms: list = []
+            docids: list = []
+            for sid, term, blocks in zip(
+                pdf["split_id"], pdf["term"], pdf["blocks"]
+            ):
+                row_d = [decode_block_docids(b) for b in blocks]
+                if not row_d:
+                    continue
+                d = np.concatenate(row_d)
+                sids.append(np.full(len(d), sid, dtype=object))
+                terms.append(np.full(len(d), term, dtype=object))
+                docids.append(d)
+            if not docids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "split_id": np.concatenate(sids),
+                    "term": np.concatenate(terms),
+                    "docid": np.concatenate(docids),
+                }
+            )
+
+    return kernel
 
 
 # ---------------------------------------------------------------------------
@@ -367,6 +413,7 @@ def _make_phrase_kernel(
     n_docs_by_split: dict[str, int],
     index_dir: str,
     quantize: bool,
+    scoring: bool = True,
 ):
     """mapInPandas kernel over a split's phrase-term postings rows ->
     (split_id, docid, pf, idf_sum) for docs with phrase_freq > 0.
@@ -437,7 +484,13 @@ def _make_phrase_kernel(
                         "docid": udoc,
                         "pf": pf.astype(np.int64),
                         "idf_sum": np.full(len(udoc), idf_sum),
-                        "dl": _norms_for(index_dir, sid, quantize, udoc, field),
+                        # scoring opt-out: phrase membership needs positions
+                        # but never the fieldnorms
+                        "dl": (
+                            _norms_for(index_dir, sid, quantize, udoc, field)
+                            if scoring
+                            else np.zeros(len(udoc))
+                        ),
                     }
                 )
             )
@@ -504,8 +557,13 @@ class Searcher:
         tag_field: str | None = None,
         ts_field: str | None = None,
         quantize_norms: bool = True,
+        scoring: bool = True,
     ):
         self.reader = reader
+        # scoring=False is the count/export/fast-field-sort opt-out: postings
+        # decode skips tf payloads + fieldnorms and BM25 is never computed
+        # (collector.rs:413-421 analog). Membership semantics are identical.
+        self.scoring = scoring
         # index-level config persisted at build time (the reference searcher
         # builds its query against the split's own DocMapper/schema)
         icfg = reader.manifest.load_index_config()
@@ -671,6 +729,15 @@ class Searcher:
         ).select("split_id", "term", "doc_freq", "blocks")
         # ^ explicit projection: the positions column must stay pruned out of
         # the parquet scan on the term/WAND hot path
+        if not self.scoring:
+            # docids-only decode: no tf unpack, no fieldnorm cache, no avgdl
+            # map, no split-stats broadcast join — matches stay score-0
+            matched = post.select("split_id", "term", "blocks").mapInPandas(
+                _make_decode_postings_docids_rows(), MATCHED_SCHEMA
+            )
+            return matched.select(
+                "term", "split_id", "docid", F.lit(0.0).alias("score")
+            )
         decoded = post.mapInPandas(
             _make_decode_postings_rows(
                 self.reader.index_dir,
@@ -1059,9 +1126,14 @@ class Searcher:
                 n_docs_by_split,
                 self.reader.index_dir,
                 self.quantize_norms,
+                self.scoring,
             ),
             PHRASE_PF_SCHEMA,
         )
+        if not self.scoring:
+            return pf_df.select(
+                "split_id", "docid", F.lit(0.0).alias("score")
+            )
 
         # per-(split, field) avgdl as a tiny broadcast relation
         amap = self._avgdl_map(split_ids)
@@ -1287,6 +1359,7 @@ def search(
     fetch_fields: tuple[str, ...] = ("url",),
     use_wand: bool | None = None,
     snippet_fields: tuple[str, ...] = (),
+    exclude_split_ids: tuple[str, ...] = (),
 ) -> DataFrame:
     """Full search: prune -> match/score -> global top-k -> fetch.
 
@@ -1295,15 +1368,27 @@ def search(
     offset dropped at the 'root' like root.rs:487-502. Scored disjunctions go
     through the block-max WAND pruning plan (rank-identical by construction —
     the pruning is sound); everything else uses the exhaustive plan.
+
+    ``exclude_split_ids`` restricts the search away from known-bad splits —
+    the plumbing behind search_with_failures (root.rs:203-217 analog).
     """
     ast = parse_query(request.query)
     reader.release_scratch()  # previous query's WAND block-metadata cache
-    searcher = Searcher(reader, quantize_norms=quantize_norms)
+    # fast-field sort discards BM25 entirely — take the scoring opt-out
+    # (no tf decode, no fieldnorms, no stats join), like the reference
+    # collector skipping scoring unless sorted by _score
+    needs_scores = request.sort_by_field in (None, "_score")
+    searcher = Searcher(
+        reader, quantize_norms=quantize_norms, scoring=needs_scores
+    )
     splits = reader.manifest.list_published(
         request.start_timestamp,
         request.end_timestamp,
         tags=searcher.extract_tags(ast),
     )
+    if exclude_split_ids:
+        bad = set(exclude_split_ids)
+        splits = [m for m in splits if m.split_id not in bad]
     split_ids = [m.split_id for m in splits]
     if not split_ids:
         return reader.spark.createDataFrame(
@@ -1390,7 +1475,7 @@ def export_fast_field(
     No global sort — the reference root concatenates leaf streams in arrival
     order; downstream OLAP joins don't need one either."""
     ast = parse_query(request.query)
-    searcher = Searcher(reader)
+    searcher = Searcher(reader, scoring=False)
     splits = reader.manifest.list_published(
         request.start_timestamp,
         request.end_timestamp,
@@ -1411,10 +1496,100 @@ def export_fast_field(
     )
 
 
+def probe_split_failures(reader: IndexReader) -> list[str]:
+    """Published splits whose postings or docstore files are unreadable.
+
+    The reference surfaces per-split failures in the search response and
+    retries them (root.rs:203-217, quickwit-search/src/retry/); under Spark
+    a corrupt file normally fails the whole job after task retries. This
+    probe is the opt-in alternative: TWO bounded jobs total (not O(splits))
+    — each store is scanned once with ignoreCorruptFiles so unreadable
+    files are skipped, and a split is failed iff it vanishes from either
+    store's surviving split_id set. Collected sets are split-id-sized (tiny
+    even at 10^5 splits)."""
+    published = [m.split_id for m in reader.manifest.list_published()]
+    ok: set[str] | None = None
+    for store in ("postings", "docstore"):
+        df, present = _tolerant_store_read(reader, store, published)
+        if df is None:
+            return sorted(published)  # every split unreadable
+        ok = present if ok is None else (ok & present)
+    return sorted(s for s in published if s not in (ok or set()))
+
+
+def _tolerant_store_read(
+    reader: IndexReader, store: str, published: list[str]
+) -> tuple[DataFrame | None, set[str]]:
+    """(explicit-schema + ignoreCorruptFiles scan of a store, surviving
+    split ids). Plan-time schema inference reads a parquet footer and is
+    NOT covered by ignoreCorruptFiles, so the schema comes from any healthy
+    split dir (driver metadata reads, O(1) in the zero-failure case)."""
+    spark = reader.spark
+    schema: T.StructType | None = None
+    for sid in published:
+        try:
+            schema = spark.read.parquet(
+                f"{reader.index_dir}/{store}/split_id={sid}"
+            ).schema
+            break
+        except Exception:
+            continue
+    if schema is None:
+        return None, set()
+    full = T.StructType(
+        [T.StructField("split_id", T.StringType())] + list(schema.fields)
+    )
+    df = (
+        spark.read.schema(full)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(f"{reader.index_dir}/{store}")
+    )
+    present = {
+        r["split_id"] for r in df.select("split_id").distinct().collect()
+    }
+    return df, present
+
+
+def search_with_failures(
+    reader: IndexReader, request: SearchRequest, **kwargs
+) -> tuple[DataFrame, list[str]]:
+    """Failure-tolerant search: returns (hits over the readable splits,
+    failed split ids) instead of failing the whole query — the opt-in
+    analog of the reference's per-split failure list in responses
+    (root.rs:203-217). Callers decide whether partial results are
+    acceptable; the default `search` keeps all-or-nothing semantics
+    (Spark task retry already covers transient failures)."""
+    published = [m.split_id for m in reader.manifest.list_published()]
+    stores: dict[str, DataFrame | None] = {}
+    ok: set[str] | None = None
+    for store in ("postings", "docstore"):
+        df, present = _tolerant_store_read(reader, store, published)
+        stores[store] = df
+        ok = present if ok is None else (ok & present)
+    failed = sorted(s for s in published if s not in (ok or set()))
+    if not failed:
+        return search(reader, request, **kwargs), []
+    # corrupt footers also break the reader's own plan-time schema
+    # inference, so build the search plan against the tolerant scans; the
+    # returned (lazy) plan captures these DataFrames, so restoring the
+    # reader afterwards is safe and later normal searches keep
+    # all-or-nothing semantics
+    saved = (reader._postings, reader._docstore)
+    reader._postings, reader._docstore = stores["postings"], stores["docstore"]
+    try:
+        res = search(
+            reader, request, exclude_split_ids=tuple(failed), **kwargs
+        )
+    finally:
+        reader._postings, reader._docstore = saved
+    return res, failed
+
+
 def count_hits(reader: IndexReader, request: SearchRequest) -> DataFrame:
-    """num_hits counts ALL matches (collector.rs:226) — single aggregate."""
+    """num_hits counts ALL matches (collector.rs:226) — single aggregate,
+    over the docids-only (no tf/norms/stats) matching plan."""
     ast = parse_query(request.query)
-    searcher = Searcher(reader)
+    searcher = Searcher(reader, scoring=False)
     splits = reader.manifest.list_published(
         request.start_timestamp,
         request.end_timestamp,

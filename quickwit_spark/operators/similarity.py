@@ -100,9 +100,16 @@ def lsh_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Attach the LSH bucket id; at scale this is the partition/bucketing
-    column of the vector table (write once, prune every query)."""
+    column of the vector table (write once, prune every query).
+
+    ``dim`` is part of the vector-table contract (every ANN index fixes it
+    at creation); requiring it keeps this a pure plan constructor — no
+    driver action, no job, usable inside streaming plans."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "lsh_buckets requires the embedding dim (a fixed property of "
+            "the vector table) — pass dim=len(embedding)"
+        )
     planes = _hyperplanes(dim, n_planes, seed)
     return df.withColumn("bucket", lsh_signature(vec_col, planes))
 

@@ -1,0 +1,126 @@
+"""CLI surface (quickwit_spark/cli.py — the quickwit-cli analog): every
+subcommand driven in-process against a real index; JSON-lines output."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from quickwit_spark import cli
+
+
+@pytest.fixture()
+def run(spark, capsys):
+    """Invoke the CLI in-process (shared SparkSession via getOrCreate) and
+    return parsed JSON-lines output."""
+
+    def _run(*argv: str):
+        rc = cli.main(list(argv))
+        assert rc == 0
+        out = capsys.readouterr().out
+        return [json.loads(line) for line in out.splitlines() if line.strip()]
+
+    return _run
+
+
+def test_cli_end_to_end(spark, pages_small, tmp_path, run):
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    cfg = str(tmp_path / "cfg.json")
+    pages_small.write.mode("overwrite").parquet(src)
+    with open(cfg, "w") as f:
+        json.dump({"index_id": "cli-pages", "num_splits": 3}, f)
+
+    created = run("create", "--index-dir", idx, "--config", cfg)
+    assert created == [{"created": idx, "index_id": "cli-pages"}]
+
+    ingested = run("ingest", "--index-dir", idx, "--input", src)
+    assert ingested[0]["num_docs"] == 600
+    assert ingested[0]["num_splits"] == 3
+
+    splits = run("list-splits", "--index-dir", idx)
+    pub = [s for s in splits if s["state"] == "Published"]
+    assert len(pub) == 3 and sum(s["num_docs"] for s in pub) == 600
+
+    # resume: a second ingest of identical input is a no-op
+    again = run("ingest", "--index-dir", idx, "--input", src)
+    assert again[0]["num_docs"] == 0 and again[0]["skipped_partitions"] == 3
+
+    count = run("count", "--index-dir", idx, "--query", "*")
+    assert count == [{"num_hits": 600}]
+
+    hits = run(
+        "search", "--index-dir", idx, "--query", "w0 w3", "--max-hits", "5"
+    )
+    assert 0 < len(hits) <= 5
+    assert all("url" in h and "score" in h for h in hits)
+    scores = [h["score"] for h in hits]
+    assert scores == sorted(scores, reverse=True)
+
+    deleted = run("delete", "--index-dir", idx, "--query", "needleone")
+    assert deleted[0]["matched_docs"] > 0
+    after = run("count", "--index-dir", idx, "--query", "needleone")
+    assert after == [{"num_hits": 0}]
+
+    # merge/gc wiring (the policy may legitimately plan nothing for 3
+    # small splits — merge SEMANTICS are pinned in test_merge.py); counts
+    # must be unchanged either way
+    merged = run("merge", "--index-dir", idx)
+    assert merged[0]["merge_ops"] >= 0
+    assert run("count", "--index-dir", idx, "--query", "*")[0][
+        "num_hits"
+    ] == 600 - deleted[0]["matched_docs"]
+
+    gc = run("gc", "--index-dir", idx)
+    assert isinstance(gc[0]["removed_splits"], list)
+
+    retired = run(
+        "retention", "--index-dir", idx, "--cutoff", "2031-01-01T00:00:00"
+    )
+    assert retired[0]["retired_splits"], "everything predates the cutoff"
+    assert run("count", "--index-dir", idx, "--query", "*") == [
+        {"num_hits": 0}
+    ]
+
+
+def test_cli_streaming_ingest(spark, pages_small, tmp_path, run):
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    pages_small.coalesce(1).write.mode("overwrite").parquet(src)
+    out = run(
+        "ingest", "--index-dir", idx, "--input", src,
+        "--stream", "--checkpoint-dir", ckpt,
+    )
+    assert sum(b["num_docs"] for b in out) == 600
+    assert run("count", "--index-dir", idx, "--query", "*") == [
+        {"num_hits": 600}
+    ]
+
+
+def test_cli_tolerate_failures(spark, pages_small, tmp_path, run):
+    import glob
+    import os
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    pages_small.write.mode("overwrite").parquet(src)
+    cfgp = str(tmp_path / "cfg.json")
+    with open(cfgp, "w") as f:
+        json.dump({"num_splits": 3}, f)
+    run("create", "--index-dir", idx, "--config", cfgp)
+    run("ingest", "--index-dir", idx, "--input", src)
+    victim_file = sorted(
+        glob.glob(os.path.join(idx, "postings", "split_id=*", "*.parquet"))
+    )[0]
+    victim = victim_file.split("split_id=")[1].split("/")[0]
+    with open(victim_file, "wb") as f:
+        f.write(b"\x00garbage\x00" * 99)
+    out = run(
+        "search", "--index-dir", idx, "--query", "w0",
+        "--max-hits", "50", "--tolerate-failures",
+    )
+    assert out[0] == {"failed_splits": [victim]}
+    assert len(out) > 1, "hits still served from readable splits"
+    assert all(h["split_id"] != victim for h in out[1:])

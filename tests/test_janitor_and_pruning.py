@@ -245,3 +245,31 @@ def test_delete_across_generations_no_id_collision(spark, pages_small, tmp_path)
     left = search(reader2, SearchRequest(query="*", max_hits=10000), fetch_fields=()).count()
     assert left == total - m.matched_docs
     assert search(reader2, SearchRequest(query="w20", max_hits=10), fetch_fields=()).count() == 0
+
+
+def test_search_with_failures_skips_corrupt_split(spark, pages_small, tmp_path):
+    """Per-split failure tolerance (root.rs:203-217 analog): corrupt one
+    split's postings file on disk; search_with_failures reports that split
+    id and serves hits from the readable splits instead of failing."""
+    import glob
+
+    from quickwit_spark.operators.search import search_with_failures
+
+    d = str(tmp_path / "tol_idx")
+    build_index(spark, pages_small, d, IndexConfig(index_id="pages", num_splits=3))
+    reader = IndexReader(spark, d)
+    pub = sorted(m.split_id for m in reader.manifest.list_published())
+    assert len(pub) == 3
+    victim = pub[0]
+    files = glob.glob(os.path.join(d, "postings", f"split_id={victim}", "*.parquet"))
+    assert files
+    with open(files[0], "wb") as f:
+        f.write(b"\x00corrupt-not-parquet\x00" * 64)
+
+    res, failed = search_with_failures(
+        reader, SearchRequest(query="w0", max_hits=100), fetch_fields=()
+    )
+    assert failed == [victim]
+    rows = res.collect()
+    assert rows, "readable splits still serve hits"
+    assert all(r["split_id"] != victim for r in rows)

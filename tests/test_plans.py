@@ -36,6 +36,40 @@ def test_phrase_query_plan_shape(small_index):
     assert "text" not in p            # ... but the docstore text never is
 
 
+def test_count_plan_skips_scoring(small_index):
+    """r2 VERDICT 'wrong' #3: count must not pay the scoring plan — no tf
+    decode, no fieldnorm (avgdl/dl) columns, no split-stats (n_docs) join,
+    and no positions read (collector.rs:413-421 scoring opt-out analog)."""
+    from quickwit_spark.operators.search import count_hits
+
+    p = _plan(count_hits(small_index, SearchRequest(query="w0 w3")))
+    assert "avgdl" not in p and "n_docs" not in p
+    assert "pos_blocks" not in p
+
+
+def test_scoring_optout_membership_identical(small_index):
+    """scoring=False changes the physical decode, never the match set."""
+    from quickwit_spark.operators.search import Searcher
+    from quickwit_spark.plans.query import parse_query
+
+    reader = small_index
+    sids = [m.split_id for m in reader.manifest.list_published()]
+    for q in ["w0 w3", "w0 OR w5", "w1 -w2", '"w0 w1"', "w0 IN [w1 w2]"]:
+        ast = parse_query(q)
+        a = (
+            Searcher(reader)
+            .matching(ast, sids)
+            .select("split_id", "docid")
+        )
+        b = (
+            Searcher(reader, scoring=False)
+            .matching(ast, sids)
+            .select("split_id", "docid")
+        )
+        assert a.exceptAll(b).count() == 0, q
+        assert b.exceptAll(a).count() == 0, q
+
+
 def test_minhash_lsh_verify_is_candidate_restricted(spark):
     """VERDICT r01 'Done' criterion: the exact-Jaccard verification join must
     be keyed on LSH candidates, not the full corpus — the plan shows the
