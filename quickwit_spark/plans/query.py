@@ -1,4 +1,4 @@
-"""Query mini-language -> AST.
+r"""Query mini-language -> AST.
 
 Implements the reference grammar subset (docs/reference/query-language.md;
 builder semantics from quickwit-doc-mapper/src/query_builder.rs):
@@ -11,7 +11,13 @@ builder semantics from quickwit-doc-mapper/src/query_builder.rs):
 - ``field:IN [a b c]`` term sets (query-language.md:63-65);
 - ranges ``field:[x TO y]`` / ``{x TO y}`` / ``>``, ``>=``, ``<``, ``<=``
   — only valid on fast (non-text) fields (query_builder.rs:125-175);
-- ``*`` match-all; ``term^2.5`` boost.
+- ``*`` match-all; ``term^2.5`` boost;
+- backslash escaping of reserved characters (query-language.md "Escaping
+  Special Characters"): ``\ `` ``\:`` ``\^`` ``\[`` ``\(`` … become literal
+  characters of the term/field. Note on ``a\.b:v`` vs ``a.b:v``: the
+  reference only distinguishes them under ``expand_dots: false``; we
+  implement the default ``expand_dots: true`` semantics where both address
+  the dotted key, so the two forms normalize to the same lookup.
 
 Parsed once on the driver; the plan compiler in operators/search.py turns the
 AST into DataFrame joins/filters over the postings tables.
@@ -81,12 +87,18 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<lparen>\()
   | (?P<rparen>\))
-  | (?P<quoted>(?:[\w.]+:)?"[^"]*"(~\d+)?)   # incl. field-qualified phrases
+  | (?P<quoted>(?:(?:\\.|[\w.])+:)?"(?:\\.|[^"\\])*"(~\d+)?)  # incl. field-qualified phrases
   | (?P<space>\s+)
-  | (?P<atom>[^\s()]+)
+  | (?P<atom>(?:\\.|[^\s()])+)
     """,
     re.VERBOSE,
 )
+
+
+def _unesc(s: str) -> str:
+    r"""Resolve ``\c`` escapes to the literal character (reference grammar's
+    reserved-character escaping)."""
+    return re.sub(r"\\(.)", r"\1", s)
 
 
 def _lex(q: str) -> tuple[list[str], list[bool]]:
@@ -209,21 +221,29 @@ class _Parser:
             raise ValueError(f"dangling boost {t!r}")
 
         # quoted phrase (optionally field-qualified via previous handling)
-        m = re.match(r'^(?:(?P<f>[\w.]+):)?"(?P<body>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<boost>[\d.]+))?$', t)
+        m = re.match(
+            r'^(?:(?P<f>(?:\\.|[\w.])+):)?"(?P<body>(?:\\.|[^"\\])*)"'
+            r"(?:~(?P<slop>\d+))?(?:\^(?P<boost>[\d.]+))?$",
+            t,
+        )
         if m and t.find('"') != -1:
             node: Node = Phrase(
-                m.group("f"), m.group("body"), int(m.group("slop") or 0)
+                _unesc(m.group("f")) if m.group("f") else None,
+                _unesc(m.group("body")),
+                int(m.group("slop") or 0),
             )
             if m.group("boost"):
                 node = Boost(node, float(m.group("boost")))
             return node
 
-        # field-qualified forms
-        fm = re.match(r"^(?P<f>[\w.]+):(?P<rest>.*)$", t)
+        # field-qualified forms; an escaped `\:` is part of the term, not a
+        # field separator (the escape-aware field regex cannot consume a bare
+        # `:`, so `a\:b` falls through to a single literal term `a:b`)
+        fm = re.match(r"^(?P<f>(?:\\.|[\w.])+):(?P<rest>.*)$", t)
         f: str | None = None
         rest = t
         if fm:
-            f, rest = fm.group("f"), fm.group("rest")
+            f, rest = _unesc(fm.group("f")), fm.group("rest")
 
         # IN [a b c]
         if rest == "IN" and self.peek() is not None and self.peek().startswith("["):
@@ -237,7 +257,7 @@ class _Parser:
                 if tok:
                     vals.append(tok)
                 tok = self.next()
-            return TermSet(f, vals)
+            return TermSet(f, [_unesc(v) for v in vals])
 
         # range: [x TO y] / {x TO y}
         if rest and rest[0] in "[{":
@@ -253,8 +273,8 @@ class _Parser:
             body = [p for p in parts if p and p != "TO"]
             if len(body) != 2:
                 raise ValueError(f"bad range {t!r}")
-            lo = None if body[0] == "*" else body[0]
-            hi = None if body[1] == "*" else body[1]
+            lo = None if body[0] == "*" else _unesc(body[0])
+            hi = None if body[1] == "*" else _unesc(body[1])
             if f is None:
                 raise ValueError("range requires a field")
             return Range(f, lo, hi, lo_inc, hi_inc)
@@ -267,18 +287,20 @@ class _Parser:
             "<": (True, False, False),
         }.items():
             if rest.startswith(op):
-                v = rest[len(op):]
+                v = _unesc(rest[len(op):])
                 if f is None:
                     raise ValueError("range requires a field")
                 if is_lo:
                     return Range(f, v, None, lo_inc, True)
                 return Range(f, None, v, True, hi_inc)
 
-        # plain term, optional boost
-        bm = re.match(r"^(?P<body>.+?)\^(?P<boost>[\d.]+)$", rest)
+        # plain term, optional boost; `\^` is a literal caret, not a boost
+        bm = re.match(r"^(?P<body>.+?)(?<!\\)\^(?P<boost>[\d.]+)$", rest)
         if bm:
-            return Boost(Term(f, bm.group("body")), float(bm.group("boost")))
-        return Term(f, rest)
+            return Boost(
+                Term(f, _unesc(bm.group("body"))), float(bm.group("boost"))
+            )
+        return Term(f, _unesc(rest))
 
 
 def parse_query(q: str) -> Node:
