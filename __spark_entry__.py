@@ -213,7 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def list_terms(s: SparkSession, d: str) -> DataFrame:
         reader = gate_index(s, d)
         return (
-            reader.postings()
+            reader.term_dict()
             .select("term")
             .filter((F.col("term") >= "a") & (F.col("term") < "n"))
             .distinct()
@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def terms_agg_docfreq(s: SparkSession, d: str) -> DataFrame:
         reader = gate_index(s, d)
         return (
-            reader.postings()
+            reader.term_dict()
             .groupBy("term")
             .agg(F.sum("doc_freq").alias("doc_freq"))
             .orderBy(F.desc("doc_freq"), F.asc("term"))

@@ -82,6 +82,8 @@ def cmd_ingest(args) -> int:
     if args.stream:
         if not args.checkpoint_dir:
             raise SystemExit("--stream requires --checkpoint-dir")
+        if getattr(args, "table", None):
+            raise SystemExit("--stream requires --input (a file path)")
         from quickwit_spark.streaming.indexer import index_stream_available_now
 
         sink = index_stream_available_now(
@@ -93,7 +95,15 @@ def cmd_ingest(args) -> int:
         return 0
     from quickwit_spark.operators.build import build_index
 
-    pages = spark.read.parquet(args.input)
+    # --table reads through the session catalog: with an Iceberg (or Delta/
+    # Hive) catalog configured on the cluster this is the Iceberg-source
+    # path of the north rule; predicate pushdown / column pruning / partition
+    # pruning flow through the DataSourceV2 scan exactly as for parquet.
+    pages = (
+        spark.read.table(args.table)
+        if getattr(args, "table", None)
+        else spark.read.parquet(args.input)
+    )
     m = build_index(spark, pages, args.index_dir, cfg, resume=True)
     _emit(
         {
@@ -241,9 +251,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--config", help="IndexConfig kwargs as JSON")
     sp.set_defaults(fn=cmd_create)
 
-    sp = sub.add_parser("ingest", help="index a parquet input (batch/stream)")
+    sp = sub.add_parser(
+        "ingest", help="index a parquet path or catalog table (batch/stream)"
+    )
     common(sp)
-    sp.add_argument("--input", required=True)
+    src = sp.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet path")
+    src.add_argument("--table",
+                     help="catalog table name (Iceberg/Delta/Hive/managed)")
     sp.add_argument("--config")
     sp.add_argument("--stream", action="store_true",
                     help="availableNow streaming ingest (incremental files)")

@@ -237,6 +237,7 @@ class IndexReader:
         self.manifest = Manifest(index_dir)
         self._postings: DataFrame | None = None
         self._docstore: DataFrame | None = None
+        self._term_dict: DataFrame | None = None
         self._warmed: list[DataFrame] = []
         self._scratch: list[DataFrame] = []
         self._split_stats: DataFrame | None = None
@@ -251,6 +252,7 @@ class IndexReader:
         self._warmed = []
         self._postings = None
         self._docstore = None
+        self._term_dict = None
         self._split_stats = None
         self._stats_map = None
 
@@ -265,13 +267,29 @@ class IndexReader:
             df.unpersist()
         self._scratch = []
 
-    def warm(self, materialize: bool = True) -> None:
-        """Pin postings + docstore in executor memory — the analog of the
-        reference searcher's fast-field/footer caches (1 GB + 500 MB,
-        quickwit_config/mod.rs:99-126). On a cluster this caches the hot
-        columns per executor; at full 10^12-doc scale you would cache the
-        manifest + term dictionaries only and let the OS page cache carry
-        postings."""
+    def warm(self, materialize: bool = True, mode: str = "full") -> None:
+        """Pin hot state in executor memory — the analog of the reference
+        searcher's fast-field/footer caches (1 GB + 500 MB,
+        quickwit_config/mod.rs:99-126).
+
+        ``mode="full"`` caches postings + docstore — right for an index that
+        fits cluster memory (this sandbox, or a hot tenant's recent splits).
+        ``mode="metadata"`` caches only the term dictionary (split_id, term,
+        doc_freq, sum_tf — no compressed blocks) + the manifest stats map:
+        the 10^12-doc setting, where postings/docstore stay on storage behind
+        the parquet reader and the OS page cache, but term-existence checks,
+        doc-freq lookups for WAND bounds, and split pruning never re-scan.
+        The term dict is a ~1% slice of postings bytes (blocks dominate)."""
+        if mode == "metadata":
+            td = self.postings().select(
+                "split_id", "term", "doc_freq", "sum_tf"
+            ).cache()
+            self._warmed = [td]
+            self._term_dict = td
+            self.stats_map()  # driver-side manifest snapshot, one read
+            if materialize:
+                td.count()
+            return
         p = self.postings().cache()
         d = self.docstore().cache()
         self._warmed = [p, d]
@@ -280,6 +298,17 @@ class IndexReader:
         if materialize:
             p.count()
             d.count()
+
+    def term_dict(self) -> DataFrame:
+        """(split_id, term, doc_freq, sum_tf) — cached when warmed with
+        mode="metadata", else a pruned projection of the postings scan
+        (column pruning keeps the blocks out of the read)."""
+        td = getattr(self, "_term_dict", None)
+        if td is not None:
+            return td
+        return self.postings().select(
+            "split_id", "term", "doc_freq", "sum_tf"
+        )
 
     def postings(self) -> DataFrame:
         if self._postings is None:

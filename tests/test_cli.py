@@ -124,3 +124,32 @@ def test_cli_tolerate_failures(spark, pages_small, tmp_path, run):
     assert out[0] == {"failed_splits": [victim]}
     assert len(out) > 1, "hits still served from readable splits"
     assert all(h["split_id"] != victim for h in out[1:])
+
+
+def test_cli_ingest_from_catalog_table(spark, pages_small, tmp_path, run):
+    """`ingest --table` reads through the session catalog — the local
+    managed-table analog of the Iceberg-source path (same DataSourceV2
+    read surface; an Iceberg catalog slots in via cluster config)."""
+    idx = str(tmp_path / "idx")
+    cfgp = str(tmp_path / "cfg.json")
+    with open(cfgp, "w") as f:
+        json.dump({"num_splits": 2}, f)
+    spark.sql("DROP TABLE IF EXISTS qs_cli_pages")
+    pages_small.write.saveAsTable("qs_cli_pages")
+    try:
+        run("create", "--index-dir", idx, "--config", cfgp)
+        out = run("ingest", "--index-dir", idx, "--table", "qs_cli_pages")
+        assert out[0]["num_docs"] == 600 and out[0]["num_splits"] == 2
+        assert run("count", "--index-dir", idx, "--query", "*") == [
+            {"num_hits": 600}
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS qs_cli_pages")
+
+
+def test_cli_ingest_table_and_input_mutually_exclusive(tmp_path):
+    with pytest.raises(SystemExit):
+        cli.main([
+            "ingest", "--index-dir", str(tmp_path / "i"),
+            "--input", "/x", "--table", "t",
+        ])

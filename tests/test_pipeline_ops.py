@@ -260,3 +260,22 @@ def test_real_media_pipeline(spark):
         for x in rs:
             img = MM.decode_bmp(bytes(x["frame"]))
             assert img.tolist() == MM._synth_pixels(mid + x["frame_index"], w, h).tolist()
+
+
+def test_metadata_warm_mode(spark, small_index):
+    """warm(mode="metadata") caches the term dictionary only (no blocks)
+    and searches still work — the 10^12-doc cache profile."""
+    from pyspark import StorageLevel
+    from quickwit_spark.operators.search import SearchRequest, search
+
+    small_index.refresh()
+    small_index.warm(mode="metadata")
+    td = small_index.term_dict()
+    assert set(td.columns) == {"split_id", "term", "doc_freq", "sum_tf"}
+    assert td.storageLevel != StorageLevel.NONE, "term dict is cached"
+    # postings themselves are NOT pinned in this mode
+    assert small_index.postings().storageLevel == StorageLevel.NONE
+    # queries still run (postings stream from storage)
+    hits = search(small_index, SearchRequest(query="w0", max_hits=5))
+    assert hits.count() > 0
+    small_index.refresh()
