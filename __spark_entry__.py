@@ -433,6 +433,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_stats_by_type"] = stats_by_type
 
+    def vrl_transform(s: SparkSession, d: str) -> DataFrame:
+        # the reference's per-source VRL `transform:` block
+        # (doc_processor.rs:369-399), compiled to Column expressions
+        from quickwit_spark.functions.vrl import compile_vrl
+
+        t = compile_vrl(
+            """
+            .lang = upcase(string!(.lang))
+            .text_len = length(.text)
+            .src_tag = .source + "-" + .lang
+            del(.n_chars)
+            """
+        )
+        docs, _rejected = t.apply(docs_df(s, d))
+        return docs.select(
+            "doc_id",
+            "lang",
+            F.col("text_len").cast("long").alias("text_len"),
+            "src_tag",
+        ).orderBy("doc_id")
+
+    q["vrl_transform"] = vrl_transform
+
     # --- training-data pipeline ops (dedup / textstats / similarity / mm) --
     q["ts_token_count"] = lambda s, d: TS.token_count(docs_df(s, d))
     q["ts_lang_id"] = lambda s, d: TS.lang_id(docs_df(s, d))
@@ -682,6 +705,15 @@ GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5
     )
 
     # --- training-data pipeline ops ---------------------------------------
+    o["vrl_transform"] = """
+SELECT doc_id,
+       upper(lang) AS lang,
+       length(text) AS text_len,
+       source || '-' || upper(lang) AS src_tag
+FROM documents
+WHERE lang IS NOT NULL
+ORDER BY doc_id
+"""
     o["ts_token_count"] = f"""
 SELECT doc_id, len({TOKENIZE}) AS n_tokens FROM documents
 """

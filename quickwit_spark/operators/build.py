@@ -174,6 +174,12 @@ class IndexConfig:
     # canonical 16-byte hex form by DocMapper): searchers must rewrite query
     # constants on these fields into that domain (mapping_tree.rs:90-99)
     ip_fields: tuple[str, ...] = ()
+    # VRL-subset ingest transform run before indexing (the reference's
+    # per-source `transform:` block, doc_processor.rs:369-399; compiled to
+    # Column expressions by functions/vrl.py). Rows failing a `!`-marked
+    # expression are rejected and counted (BuildMetrics.transform_errors),
+    # the analog of the doc processor's transform-error counter.
+    transform: str | None = None
 
 
 @dataclass
@@ -185,6 +191,7 @@ class BuildMetrics:
     docs_per_sec: float = 0.0
     uncompressed_bytes: int = 0
     postings_bytes: int = 0
+    transform_errors: int = 0  # docs rejected by the VRL ingest transform
     splits: list[str] = field(default_factory=list)
 
 
@@ -678,6 +685,14 @@ def build_index(
     required when the input plan string is not stable across retries (e.g. a
     streaming micro-batch, fingerprinted by its batch_id instead)."""
     cfg = cfg or IndexConfig()
+    transform_errors = 0
+    if cfg.transform:
+        from quickwit_spark.functions.vrl import compile_vrl
+
+        pages, rejected = compile_vrl(cfg.transform).apply(pages)
+        # counted like the reference's doc-processor transform-error metric;
+        # one extra count job only when a transform is configured
+        transform_errors = rejected.count()
     if cfg.split_num_docs_target or cfg.split_memory_budget_bytes:
         # one cheap metadata pass (count + text-byte sum) sizes the split
         # count; at cluster scale this is a scan-light aggregate next to the
@@ -780,7 +795,9 @@ def build_index(
         }
     todo = [p for p in range(cfg.num_splits) if done.get(p) != fingerprints[p]]
     skipped = cfg.num_splits - len(todo)
-    metrics = BuildMetrics(skipped_partitions=skipped)
+    metrics = BuildMetrics(
+        skipped_partitions=skipped, transform_errors=transform_errors
+    )
     if not todo:
         metrics.elapsed_sec = time.time() - t0
         return metrics
