@@ -340,6 +340,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_terms_sub_avg"] = terms_sub_avg
 
+    def histogram_bounds(s: SparkSession, d: str) -> DataFrame:
+        # hard_bounds clips the DATA range (closed interval), extended_bounds
+        # widens the RETURNED bucket range with empty buckets
+        # (aggregation.md:237-265)
+        return A.histogram(
+            _events(s, d),
+            "value",
+            interval=50.0,
+            hard_bounds=(25.0, 175.0),
+            extended_bounds=(0.0, 300.0),
+        )
+
+    q["agg_histogram_bounds"] = histogram_bounds
+
+    def terms_min_doc_count(s: SparkSession, d: str) -> DataFrame:
+        # buckets under min_doc_count are dropped but still feed
+        # sum_other_doc_count (ES accounting, aggregation.md:421-426)
+        return A.terms_agg(
+            _events(s, d),
+            "event_type",
+            size=5,
+            min_doc_count=2000,
+            include_sum_other=True,
+        )
+
+    q["agg_terms_min_doc_count"] = terms_min_doc_count
+
     def date_histogram_stats(s: SparkSession, d: str) -> DataFrame:
         # date_histogram buckets carrying metric sub-aggs
         out = A.date_histogram(
@@ -629,6 +656,26 @@ GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5
 SELECT event_type AS key, count(*) AS doc_count,
   round(avg(value) + 1e-9, 4) AS avg_value, round(max(value) + 1e-9, 4) AS max_value
 FROM events GROUP BY 1 ORDER BY avg(value) DESC, key ASC LIMIT 5
+"""
+    o["agg_histogram_bounds"] = """
+WITH f AS (SELECT value FROM events WHERE value >= 25.0 AND value <= 175.0),
+g AS (SELECT floor(value / 50.0)::BIGINT AS bi, count(*) AS c
+      FROM f WHERE value IS NOT NULL GROUP BY 1),
+b AS (SELECT unnest(generate_series(
+        least((SELECT min(bi) FROM g), 0),
+        greatest((SELECT max(bi) FROM g), 6))) AS bi)
+SELECT (b.bi * 50.0)::DOUBLE AS key, coalesce(g.c, 0) AS doc_count
+FROM b LEFT JOIN g USING (bi) ORDER BY key
+"""
+    o["agg_terms_min_doc_count"] = """
+WITH g AS (SELECT event_type AS key, count(*) AS doc_count FROM events
+           GROUP BY 1),
+kept AS (SELECT key, doc_count FROM g WHERE doc_count >= 2000
+         ORDER BY doc_count DESC, key ASC LIMIT 5)
+SELECT key, doc_count,
+       ((SELECT sum(doc_count) FROM g)
+        - (SELECT sum(doc_count) FROM kept))::BIGINT AS sum_other_doc_count
+FROM kept ORDER BY doc_count DESC, key ASC
 """
     o["agg_date_histogram_stats"] = """
 SELECT (floor(epoch(ts) / 21600) * 21600)::BIGINT AS key,

@@ -52,6 +52,8 @@ def histogram(
     min_doc_count: int = 0,
     sub_aggs=None,
     fill_empty: bool = False,
+    hard_bounds: tuple[float, float] | None = None,
+    extended_bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Histogram bucket agg: key = floor((val - offset) / interval) * interval
     + offset (aggregation.md bucket-key rule). Returns (key, doc_count,
@@ -61,7 +63,24 @@ def histogram(
     every bucket between the min and max observed key appears, empty ones
     with doc_count 0 (sub-agg columns null). The fill runs over the ALREADY
     AGGREGATED tiny result (one sequence-explode + left join), never over
-    the data."""
+    the data.
+
+    ``hard_bounds`` = [min, max] CLOSED interval limiting the data range —
+    values outside are dropped before bucketing (aggregation.md:237-241).
+    ``extended_bounds`` widens the returned bucket range beyond the data
+    (empty buckets fill the extension, so it implies the fill and is
+    rejected with min_doc_count > 0, exactly as the reference documents —
+    aggregation.md:262-265). Forcing an exact range = both set equal."""
+    if extended_bounds is not None and min_doc_count > 0:
+        raise ValueError(
+            "extended_bounds cannot be set with min_doc_count > 0 "
+            "(the extension's empty buckets would never be returned)"
+        )
+    if hard_bounds is not None:
+        df = df.filter(
+            (F.col(col) >= F.lit(hard_bounds[0]))
+            & (F.col(col) <= F.lit(hard_bounds[1]))
+        )
     key = (
         F.floor((F.col(col) - F.lit(offset)) / F.lit(interval)) * F.lit(interval)
         + F.lit(offset)
@@ -71,14 +90,22 @@ def histogram(
         .groupBy(key.alias("key"))
         .agg(F.count(F.lit(1)).alias("doc_count"), *_sub_agg_exprs(sub_aggs))
     )
-    if fill_empty and min_doc_count == 0:
+    if (fill_empty or extended_bounds is not None) and min_doc_count == 0:
         # integer bucket indexes avoid float-sequence drift
         idx = F.round((F.col("key") - F.lit(offset)) / F.lit(interval)).cast("long")
         with_idx = out.withColumn("_bi", idx)
+        lo_expr, hi_expr = F.min("_bi"), F.max("_bi")
+        if extended_bounds is not None:
+            import math
+
+            elo = math.floor((extended_bounds[0] - offset) / interval)
+            ehi = math.floor((extended_bounds[1] - offset) / interval)
+            # "can only be used to EXTEND the value range" — a non-extending
+            # bound has no effect (aggregation.md:264)
+            lo_expr = F.least(lo_expr, F.lit(elo))
+            hi_expr = F.greatest(hi_expr, F.lit(ehi))
         full = (
-            with_idx.agg(
-                F.min("_bi").alias("lo"), F.max("_bi").alias("hi")
-            )
+            with_idx.agg(lo_expr.alias("lo"), hi_expr.alias("hi"))
             .select(F.explode(F.sequence("lo", "hi")).alias("_bi"))
             .join(with_idx, "_bi", "left")
             .withColumn(
@@ -146,13 +173,19 @@ def terms_agg(
     order_dir: str | None = None,  # default: desc for counts/sub-aggs, asc for key
     sub_aggs=None,
     include_sum_other: bool = False,
+    min_doc_count: int = 1,
 ) -> DataFrame:
     """Terms bucket agg: top ``size`` values ordered by doc_count, key, or a
     metric sub-agg (aggregation.md:430-451 "order by sub-aggregation"), key
     asc as tie-break. ``include_sum_other`` adds ES's ``sum_other_doc_count``
     (docs in buckets beyond the returned ``size``) — exact here, since Spark
     computes global counts with no per-shard truncation (the reference's
-    doc_count_error_upper_bound is therefore always 0 and omitted)."""
+    doc_count_error_upper_bound is therefore always 0 and omitted).
+    ``min_doc_count`` drops buckets below the threshold (aggregation.md:421-426,
+    default 1); dropped buckets still count toward ``sum_other_doc_count``,
+    the ES accounting. (min_doc_count=0 — "every term in the field even with
+    no matching doc" — needs the split term dictionaries, not the matching
+    docs: compose list_terms with a left join for that case.)"""
     from pyspark.sql.window import Window
 
     grouped = df.groupBy(F.col(col).alias("key")).agg(
@@ -162,6 +195,8 @@ def terms_agg(
         grouped = grouped.withColumn(
             "_total", F.sum("doc_count").over(Window.partitionBy())
         )
+    if min_doc_count > 1:
+        grouped = grouped.filter(F.col("doc_count") >= min_doc_count)
     if order_dir is None:
         # ES conventions: _count orders desc by default, _key asc
         order_dir = "asc" if order_by == "key" else "desc"

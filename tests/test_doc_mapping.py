@@ -244,3 +244,37 @@ def test_histogram_fill_empty(spark):
     # default (no fill) keeps only occupied buckets
     out2 = histogram(df, "v", 10.0).collect()
     assert [(r["key"], r["doc_count"]) for r in out2] == [(0.0, 2), (50.0, 1)]
+
+
+def test_histogram_hard_and_extended_bounds(spark):
+    from quickwit_spark.operators.aggs import histogram
+
+    rows = [(5.0,), (6.0,), (25.0,), (55.0,), (95.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    # hard_bounds clips data (CLOSED interval: 25.0 kept, 95.0 kept)
+    out = histogram(df, "v", 10.0, hard_bounds=(25.0, 95.0)).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [(20.0, 1), (50.0, 1), (90.0, 1)]
+    # extended_bounds widens the returned range with empty buckets (and only
+    # extends: lo=40 > observed min 50's bucket? no - lo bucket 0 observed)
+    out2 = histogram(df, "v", 10.0, hard_bounds=(50.0, 60.0),
+                     extended_bounds=(30.0, 80.0)).collect()
+    assert [(r["key"], r["doc_count"]) for r in out2] == [
+        (30.0, 0), (40.0, 0), (50.0, 1), (60.0, 0), (70.0, 0), (80.0, 0),
+    ]
+    # non-extending extended_bounds has no effect (can only EXTEND)
+    out3 = histogram(df, "v", 10.0, extended_bounds=(20.0, 60.0)).collect()
+    assert out3[0]["key"] == 0.0 and out3[-1]["key"] == 90.0
+    with pytest.raises(ValueError):
+        histogram(df, "v", 10.0, min_doc_count=1, extended_bounds=(0.0, 10.0))
+
+
+def test_terms_agg_min_doc_count(spark):
+    from quickwit_spark.operators.aggs import terms_agg
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "c string")
+    out = terms_agg(df, "c", size=5, min_doc_count=3,
+                    include_sum_other=True).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [("a", 5), ("b", 3)]
+    # the dropped 'c' bucket still counts toward sum_other (ES accounting)
+    assert all(r["sum_other_doc_count"] == 1 for r in out)
