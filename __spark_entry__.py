@@ -179,6 +179,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_multifield_topk"] = multifield_topk
 
+    def search_fields_topk(s: SparkSession, d: str) -> DataFrame:
+        # rest-api.md `search_field`: unqualified terms expand per-term over
+        # the listed default fields ((text:dup OR title:dup) AND (text:common
+        # OR title:common)); 'dup' lives only in text, 'common' only in
+        # titles, so scores = text-BM25(dup) + title-BM25(common)
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        reader = gate_index(s, d, with_title=True)
+        res = search(
+            reader,
+            SearchRequest(
+                query="dup common",
+                max_hits=10,
+                search_fields=("text", "title"),
+            ),
+            quantize_norms=False,
+            fetch_fields=("url",),
+        )
+        return res.select(
+            F.col("url").cast("long").alias("doc_id"),
+            F.round(F.col("score") + F.lit(1e-9), 4).alias("score"),
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+    q["fts_search_fields_topk"] = search_fields_topk
+
     def sort_fastfield(s: SparkSession, d: str) -> DataFrame:
         reader = gate_index(s, d)
         res = search(
@@ -366,6 +390,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["agg_terms_min_doc_count"] = terms_min_doc_count
+
+    def search_agg_json_terms(s: SparkSession, d: str) -> DataFrame:
+        # the reference's actual aggregation surface: an ES-JSON aggs object
+        # riding a search request, folded over MATCHING docs only
+        # (aggregation.md:39-59, collector.rs:364-399); field names resolve
+        # through the persisted index config (lang -> docstore tag column)
+        from quickwit_spark.operators.search import search_aggs
+
+        out = search_aggs(
+            gate_index(s, d),
+            SearchRequest(query="dup", max_hits=1),
+            {
+                "langs": {
+                    "terms": {"field": "lang", "size": 5},
+                    "aggs": {"avg_len": {"avg": {"field": "meta.len"}}},
+                }
+            },
+        )["langs"]
+        return out.select(
+            "key",
+            "doc_count",
+            F.round(F.col("avg_len") + F.lit(1e-9), 4).alias("avg_len"),
+            "sum_other_doc_count",
+        )
+
+    q["search_agg_json_terms"] = search_agg_json_terms
+
+    def search_agg_json_dh(s: SparkSession, d: str) -> DataFrame:
+        from quickwit_spark.operators.search import search_aggs
+
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        return search_aggs(
+            gate_index(s, d),
+            SearchRequest(query="dup", max_hits=1),
+            {
+                "per_hour": {
+                    "date_histogram": {
+                        "field": "synth_ts",
+                        "fixed_interval": "1h",
+                    }
+                }
+            },
+        )["per_hour"]
+
+    q["search_agg_json_dh"] = search_agg_json_dh
 
     def date_histogram_stats(s: SparkSession, d: str) -> DataFrame:
         # date_histogram buckets carrying metric sub-aggs
@@ -594,6 +663,22 @@ SELECT doc_id, round(s.score + t.score + 1e-9, 4) AS score FROM
 JOIN tscore t USING (doc_id, split_id)
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+    # search_field expansion: every title holds 'common' (title = "common "
+    # + lang, dl = avgdl = 2 so tfnorm = 1), hence title-BM25(common) =
+    # ln(1 + 0.5/(n_docs + 0.5)) per split; text-BM25(dup) from the prelude
+    o["fts_search_fields_topk"] = f"""{ORACLE_PRELUDE},
+tscore AS (
+  SELECT td.doc_id, td.split_id,
+         ln(1.0 + 0.5 / (ss.n_docs + 0.5)) AS score
+  FROM (SELECT doc_id, doc_id % {N_GATE_SPLITS} AS split_id FROM documents) td
+  JOIN ss USING (split_id)
+)
+SELECT doc_id, round(s.score + t.score + 1e-9, 4) AS score FROM
+  (SELECT doc_id, split_id, sum(score) AS score FROM scores
+   WHERE term = 'dup' GROUP BY 1, 2) s
+JOIN tscore t USING (doc_id, split_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
     o["fts_sort_fastfield"] = f"""
 WITH d AS (
   SELECT doc_id, {TOKENIZE} AS toks FROM documents
@@ -676,6 +761,25 @@ SELECT key, doc_count,
        ((SELECT sum(doc_count) FROM g)
         - (SELECT sum(doc_count) FROM kept))::BIGINT AS sum_other_doc_count
 FROM kept ORDER BY doc_count DESC, key ASC
+"""
+    o["search_agg_json_terms"] = f"""
+WITH d AS (SELECT doc_id, lang, n_chars, {TOKENIZE} AS toks FROM documents),
+m AS (SELECT * FROM d WHERE list_contains(toks, 'dup')),
+g AS (SELECT lang AS key, count(*) AS doc_count,
+             round(avg(n_chars) + 1e-9, 4) AS avg_len
+      FROM m GROUP BY 1),
+kept AS (SELECT * FROM g ORDER BY doc_count DESC, key ASC LIMIT 5)
+SELECT key, doc_count, avg_len,
+       ((SELECT sum(doc_count) FROM g)
+        - (SELECT sum(doc_count) FROM kept))::BIGINT AS sum_other_doc_count
+FROM kept ORDER BY doc_count DESC, key ASC
+"""
+    o["search_agg_json_dh"] = f"""
+WITH d AS (SELECT doc_id, {TOKENIZE} AS toks FROM documents),
+m AS (SELECT doc_id FROM d WHERE list_contains(toks, 'dup'))
+SELECT (floor((1672531200 + doc_id * 60) / 3600) * 3600)::BIGINT AS key,
+       count(*) AS doc_count
+FROM m GROUP BY 1 ORDER BY key
 """
     o["agg_date_histogram_stats"] = """
 SELECT (floor(epoch(ts) / 21600) * 21600)::BIGINT AS key,

@@ -137,7 +137,18 @@ def cmd_search(args) -> int:
         sort_order=args.sort_order,
         start_timestamp=args.start_timestamp,
         end_timestamp=args.end_timestamp,
+        search_fields=tuple(
+            f for f in (args.search_field or "").split(",") if f
+        ),
     )
+    if args.aggs:
+        # REST `aggs` parameter: ES-JSON aggregations over the matching docs
+        # (rest-api.md search parameters; aggregation.md format)
+        from quickwit_spark.operators.search import search_aggs
+
+        for name, df in search_aggs(reader, req, json.loads(args.aggs)).items():
+            _emit({name: [r.asDict(recursive=True) for r in df.collect()]})
+        return 0
     fetch = tuple(args.fetch_field or ("url",))
     if args.tolerate_failures:
         res, failed = search_with_failures(reader, req, fetch_fields=fetch)
@@ -275,6 +286,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--start-timestamp")
     sp.add_argument("--end-timestamp")
     sp.add_argument("--fetch-field", action="append")
+    sp.add_argument("--search-field", default=None,
+                    help="comma-separated default search fields "
+                         "(rest-api.md search_field)")
+    sp.add_argument("--aggs", default=None,
+                    help="ES-JSON aggregations object run over the matching "
+                         "docs (aggregation.md format)")
     sp.add_argument("--tolerate-failures", action="store_true",
                     help="skip unreadable splits, report them (root.rs:203)")
     sp.set_defaults(fn=cmd_search)

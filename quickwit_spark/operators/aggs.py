@@ -142,13 +142,19 @@ def range_agg(
     col: str,
     ranges: list[tuple[float | None, float | None]],
     sub_aggs=None,
+    labels: "list[str | None] | None" = None,
 ) -> DataFrame:
     """Range bucket agg with semi-open [from, to) buckets (ES semantics).
-    Returns (range_key, doc_count, *sub_aggs) for each requested bucket."""
+    Returns (range_key, doc_count, *sub_aggs) for each requested bucket.
+    ``labels`` optionally replaces the default ``from-to`` bucket key with
+    the ES request's custom ``key`` per range (None entries keep the
+    default)."""
     c = F.col(col)
     whens: Column | None = None
-    for lo, hi in ranges:
-        label = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+    for i, (lo, hi) in enumerate(ranges):
+        label = (labels[i] if labels else None) or (
+            f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+        )
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (c >= F.lit(lo))

@@ -52,6 +52,7 @@ from quickwit_spark.plans.query import (
     Range,
     Term,
     TermSet,
+    expand_default_fields,
     parse_query,
 )
 
@@ -215,6 +216,12 @@ class SearchRequest:
     sort_order: str = "desc"
     start_timestamp: str | None = None  # semi-open [start, end)
     end_timestamp: str | None = None
+    # default search fields for UNQUALIFIED query terms (rest-api.md
+    # search_field; default = the index's configured default field). Each
+    # bare term expands to a disjunction over these fields, one OR per term
+    # (tantivy QueryParser semantics) — see plans/query.py
+    # expand_default_fields.
+    search_fields: tuple[str, ...] = ()
 
     def __post_init__(self) -> None:
         if self.max_hits > 10_000 or self.start_offset > 10_000:
@@ -1381,6 +1388,23 @@ def make_snippet_udf(terms: list[str], window: int = 80, tokenizer: str = "defau
     return snip
 
 
+def _with_search_fields(
+    searcher: Searcher, ast: Node, request: SearchRequest
+) -> Node:
+    """Apply the request's ``search_field`` list (rest-api.md): unqualified
+    terms expand to a per-term disjunction over the named text fields. Every
+    named field must be indexed text (default or extra_text_fields)."""
+    if not request.search_fields:
+        return ast
+    for f_ in request.search_fields:
+        if searcher._ns_prefix(f_) is None:
+            raise ValueError(
+                f"search_field {f_!r} is not an indexed text field (text "
+                f"fields: {(searcher.default_field, *searcher.extra_text_fields)})"
+            )
+    return expand_default_fields(ast, tuple(request.search_fields))
+
+
 def search(
     reader: IndexReader,
     request: SearchRequest,
@@ -1410,6 +1434,7 @@ def search(
     searcher = Searcher(
         reader, quantize_norms=quantize_norms, scoring=needs_scores
     )
+    ast = _with_search_fields(searcher, ast, request)
     splits = reader.manifest.list_published(
         request.start_timestamp,
         request.end_timestamp,
@@ -1505,6 +1530,7 @@ def export_fast_field(
     order; downstream OLAP joins don't need one either."""
     ast = parse_query(request.query)
     searcher = Searcher(reader, scoring=False)
+    ast = _with_search_fields(searcher, ast, request)
     splits = reader.manifest.list_published(
         request.start_timestamp,
         request.end_timestamp,
@@ -1614,11 +1640,70 @@ def search_with_failures(
     return res, failed
 
 
+def search_aggs(
+    reader: IndexReader, request: SearchRequest, aggs: dict
+) -> "dict[str, DataFrame]":
+    """Aggregations over the docs MATCHING a query — the reference's
+    execution model: an ES-JSON ``aggs`` object rides the search request and
+    tantivy's aggregation collector folds every matching doc
+    (collector.rs:364-399, finalized at root.rs:293-314); ``"query": "*",
+    "max_hits": 0, "aggs": {...}`` is the canonical analytics request
+    (aggregation.md:39-59).
+
+    Plan shape: scoring opt-out matching (docids only — buckets never need
+    BM25), one semi-join onto the docstore's fast-field columns, then each
+    named aggregation is one groupBy (Catalyst's partial+final aggregation =
+    the reference's leaf/root merge). Match-all with no timestamp bounds
+    skips the semi-join entirely and aggregates the pruned docstore scan.
+
+    Request field names are rewritten onto docstore columns via the
+    persisted index config (timestamp_field -> ``ts``, tag_field ->
+    ``tag``); store_fields keep their names, struct fields address as
+    ``a.b`` paths."""
+    from quickwit_spark.plans.agg_request import run_agg_request
+
+    ast = parse_query(request.query)
+    searcher = Searcher(reader, scoring=False)
+    ast = _with_search_fields(searcher, ast, request)
+    splits = reader.manifest.list_published(
+        request.start_timestamp,
+        request.end_timestamp,
+        tags=searcher.extract_tags(ast),
+    )
+    split_ids = [s.split_id for s in splits]
+    try:
+        cfg = reader.manifest.load_index_config()
+    except KeyError:
+        cfg = {}
+    fmap = {}
+    if cfg.get("tag_field"):
+        fmap[cfg["tag_field"]] = "tag"
+    if cfg.get("timestamp_field"):
+        fmap[cfg["timestamp_field"]] = "ts"
+    docs = reader.docstore().filter(F.col("split_id").isin(split_ids))
+    bounded = (
+        request.start_timestamp is not None
+        or request.end_timestamp is not None
+    )
+    if not (isinstance(ast, MatchAll) and not bounded):
+        m = searcher.matching(
+            ast,
+            split_ids,
+            request.start_timestamp,
+            request.end_timestamp,
+        )
+        docs = docs.join(
+            m.select("split_id", "docid"), ["split_id", "docid"], "left_semi"
+        )
+    return run_agg_request(docs, aggs, field_map=fmap)
+
+
 def count_hits(reader: IndexReader, request: SearchRequest) -> DataFrame:
     """num_hits counts ALL matches (collector.rs:226) — single aggregate,
     over the docids-only (no tf/norms/stats) matching plan."""
     ast = parse_query(request.query)
     searcher = Searcher(reader, scoring=False)
+    ast = _with_search_fields(searcher, ast, request)
     splits = reader.manifest.list_published(
         request.start_timestamp,
         request.end_timestamp,

@@ -1,0 +1,255 @@
+"""ES-compatible JSON aggregation requests compiled onto the aggs operators.
+
+The reference's aggregation API surface is the elasticsearch JSON DSL carried
+in a search request ("drop in your elasticsearch aggregation queries",
+docs/reference/aggregation.md:32-39; executed by tantivy's aggregation
+collector, quickwit-search/src/collector.rs:364-399). This module parses that
+JSON shape — named top-level aggregations, each a bucket or metric kind with
+optional nested ``aggs`` children — and lowers every named aggregation to ONE
+declarative Spark plan from :mod:`quickwit_spark.operators.aggs`, so Catalyst
+runs the reference's leaf-partial / root-final merge protocol natively.
+
+Supported kinds (the documented set, aggregation.md:90-103):
+  bucket: ``histogram`` (interval/offset/min_doc_count/hard_bounds/
+          extended_bounds), ``date_histogram`` (fixed_interval with
+          ms/s/m/h/d units), ``range`` (from/to semi-open buckets, custom
+          ``key`` labels), ``terms`` (size/min_doc_count/order incl.
+          order-by-sub-agg; ``sum_other_doc_count`` always included, the ES
+          response contract)
+  metric: ``avg``, ``value_count``, ``max``, ``min``, ``sum``, ``stats``
+
+Nesting: metric children under any bucket ride the same groupBy (one
+shuffle). One bucket-in-bucket shape is supported — ``terms`` inside
+``date_histogram`` (the log-analytics staple) — via
+:func:`~quickwit_spark.operators.aggs.date_histogram_terms`. A ``stats``
+child expands to ``<name>_count/min/max/sum/avg/stddev`` columns.
+
+Differences from the JSON response shape (documented, not silent): results
+are DataFrames (rows = buckets), so ``keyed`` responses and the nested JSON
+envelope don't apply; ``split_size`` / ``show_term_doc_count_error`` are
+accepted and ignored because Spark computes exact global counts (the
+reference's shard-truncation error bound is always 0 here,
+aggregation.md:374-392).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from quickwit_spark.operators import aggs as A
+
+_BUCKET_KINDS = ("histogram", "date_histogram", "range", "terms")
+_METRIC_KINDS = ("avg", "value_count", "max", "min", "sum", "stats")
+
+_INTERVAL_UNITS = {
+    "ms": 0.001,
+    "s": 1.0,
+    "m": 60.0,
+    "h": 3600.0,
+    "d": 86400.0,
+}
+
+
+def parse_fixed_interval(s: "str | int | float") -> float:
+    """``"30s"`` / ``"1.5h"`` / ``"200ms"`` -> seconds (ES fixed_interval)."""
+    if isinstance(s, (int, float)):
+        return float(s)
+    m = re.fullmatch(r"\s*([0-9]+(?:\.[0-9]+)?)\s*(ms|s|m|h|d)\s*", s)
+    if not m:
+        raise ValueError(
+            f"bad fixed_interval {s!r}: expected <number><ms|s|m|h|d>"
+        )
+    return float(m.group(1)) * _INTERVAL_UNITS[m.group(2)]
+
+
+def _bounds(spec, what: str):
+    """ES bounds object {"min": x, "max": y} -> (min, max) tuple."""
+    if spec is None:
+        return None
+    if not isinstance(spec, dict) or set(spec) != {"min", "max"}:
+        raise ValueError(f'{what} must be {{"min": .., "max": ..}}')
+    return (float(spec["min"]), float(spec["max"]))
+
+
+def _agg_kind(spec: dict, name: str) -> str:
+    kinds = [k for k in spec if k in _BUCKET_KINDS + _METRIC_KINDS]
+    if len(kinds) != 1:
+        extra = [k for k in spec if k not in ("aggs", "aggregations")]
+        raise ValueError(
+            f"aggregation {name!r} must have exactly one supported kind, "
+            f"got {extra!r} (supported: {_BUCKET_KINDS + _METRIC_KINDS})"
+        )
+    return kinds[0]
+
+
+def _children(spec: dict) -> dict:
+    sub = spec.get("aggs", spec.get("aggregations")) or {}
+    if not isinstance(sub, dict):
+        raise ValueError("aggs must be an object of named aggregations")
+    return sub
+
+
+def _metric_children(sub: dict, field_map) -> dict:
+    """Metric sub-agg specs -> the operators' {name: (kind, col)} form,
+    expanding a ``stats`` child into its six component columns."""
+    out: dict = {}
+    for name, spec in sub.items():
+        kind = _agg_kind(spec, name)
+        if kind in _BUCKET_KINDS:
+            continue  # handled (or rejected) by the bucket-nesting path
+        col = _field(spec[kind], field_map, kind)
+        if kind == "stats":
+            for stat in ("value_count", "min", "max", "sum", "avg", "stddev"):
+                label = "count" if stat == "value_count" else stat
+                out[f"{name}_{label}"] = (stat, col)
+        else:
+            out[name] = (kind, col)
+    return out
+
+
+def _bucket_children(sub: dict) -> dict:
+    return {
+        name: spec
+        for name, spec in sub.items()
+        if _agg_kind(spec, name) in _BUCKET_KINDS
+    }
+
+
+def _field(spec: dict, field_map, kind: str) -> str:
+    f = spec.get("field")
+    if not f:
+        raise ValueError(f"{kind} aggregation requires a field")
+    return (field_map or {}).get(f, f)
+
+
+def compile_one(name: str, spec: dict, field_map=None):
+    """One named aggregation -> ``df -> DataFrame`` plan function."""
+    kind = _agg_kind(spec, name)
+    params = spec[kind]
+    sub = _children(spec)
+    metrics = _metric_children(sub, field_map)
+    buckets = _bucket_children(sub)
+    if buckets and kind != "date_histogram":
+        raise ValueError(
+            f"bucket-in-bucket under {kind!r} is not supported "
+            "(supported nesting: terms inside date_histogram)"
+        )
+
+    if kind in _METRIC_KINDS:
+        col = _field(params, field_map, kind)
+        if kind == "stats":
+            return lambda df: A.stats_agg(df, col)
+        return lambda df: A.metric(df, col, kind)
+
+    if kind == "histogram":
+        col = _field(params, field_map, kind)
+        interval = float(params["interval"])
+        offset = float(params.get("offset", 0.0))
+        mdc = int(params.get("min_doc_count", 0))
+        hard = _bounds(params.get("hard_bounds"), "hard_bounds")
+        ext = _bounds(params.get("extended_bounds"), "extended_bounds")
+        return lambda df: A.histogram(
+            df,
+            col,
+            interval=interval,
+            offset=offset,
+            min_doc_count=mdc,
+            sub_aggs=metrics or None,
+            # ES histograms return the empty buckets between min and max
+            # observed keys whenever min_doc_count is 0 (aggregation.md:170)
+            fill_empty=mdc == 0,
+            hard_bounds=hard,
+            extended_bounds=ext,
+        )
+
+    if kind == "date_histogram":
+        col = _field(params, field_map, kind)
+        if "fixed_interval" not in params:
+            raise ValueError("date_histogram requires fixed_interval")
+        seconds = parse_fixed_interval(params["fixed_interval"])
+        if seconds <= 0 or seconds != int(seconds):
+            raise ValueError(
+                f"fixed_interval {params['fixed_interval']!r} must be a "
+                "whole positive number of seconds"
+            )
+        if buckets:
+            if len(buckets) > 1:
+                raise ValueError("one nested bucket aggregation per parent")
+            (tname, tspec) = next(iter(buckets.items()))
+            if _agg_kind(tspec, tname) != "terms":
+                raise ValueError(
+                    "only a terms bucket may nest inside date_histogram"
+                )
+            tcol = _field(tspec["terms"], field_map, "terms")
+            tsize = int(tspec["terms"].get("size", 10))
+            tmetrics = _metric_children(_children(tspec), field_map)
+            return lambda df: A.date_histogram_terms(
+                df,
+                col,
+                int(seconds),
+                tcol,
+                size_per_bucket=tsize,
+                sub_aggs=tmetrics or None,
+            )
+        return lambda df: A.date_histogram(
+            df, col, int(seconds), sub_aggs=metrics or None
+        )
+
+    if kind == "range":
+        col = _field(params, field_map, kind)
+        spans, labels = [], []
+        for r in params.get("ranges", []):
+            spans.append((r.get("from"), r.get("to")))
+            labels.append(r.get("key"))
+        if not spans:
+            raise ValueError("range aggregation requires ranges")
+        return lambda df: A.range_agg(
+            df, col, spans, sub_aggs=metrics or None, labels=labels
+        )
+
+    # terms
+    col = _field(params, field_map, "terms")
+    size = int(params.get("size", 10))
+    mdc = int(params.get("min_doc_count", 1))
+    order_by, order_dir = "count", None
+    order = params.get("order")
+    if order:
+        if not isinstance(order, dict) or len(order) != 1:
+            raise ValueError('order must be {"<target>": "asc"|"desc"}')
+        (target, direction), = order.items()
+        if direction not in ("asc", "desc"):
+            raise ValueError("order direction must be asc or desc")
+        order_by = {"_count": "count", "_key": "key"}.get(target, target)
+        order_dir = direction
+        if order_by not in ("count", "key") and order_by not in metrics:
+            raise ValueError(
+                f"order target {target!r} is not _key, _count, or a metric "
+                "sub-aggregation name"
+            )
+    return lambda df: A.terms_agg(
+        df,
+        col,
+        size=size,
+        order_by=order_by,
+        order_dir=order_dir,
+        sub_aggs=metrics or None,
+        include_sum_other=True,  # always present in the ES response
+        min_doc_count=mdc,
+    )
+
+
+def run_agg_request(
+    df: DataFrame, aggs: dict, field_map: "dict[str, str] | None" = None
+) -> "dict[str, DataFrame]":
+    """Execute a full ``aggs`` request object over ``df``; returns one
+    DataFrame per named top-level aggregation (rows = buckets, or the single
+    metric row). ``field_map`` rewrites request field names onto DataFrame
+    columns (e.g. the index's timestamp_field -> the docstore's ``ts``)."""
+    if not isinstance(aggs, dict) or not aggs:
+        raise ValueError("aggs must be a non-empty object of named aggs")
+    return {
+        name: compile_one(name, spec, field_map)(df)
+        for name, spec in aggs.items()
+    }

@@ -310,3 +310,25 @@ def parse_query(q: str) -> Node:
         return MatchAll()
     toks, adj = _lex(q)
     return _Parser(toks, adj).parse()
+
+
+def expand_default_fields(node: Node, fields: "tuple[str, ...]") -> Node:
+    """Rewrite default-field leaves onto explicit ``search_field`` targets
+    (rest-api.md search_field parameter; tantivy's QueryParser expands an
+    unqualified term into a disjunction over the default fields, one OR per
+    term — so ``a b`` over fields (f1, f2) is
+    ``(f1:a OR f2:a) AND (f1:b OR f2:b)``). Qualified leaves are untouched."""
+    from dataclasses import replace
+
+    if not fields:
+        return node
+    if isinstance(node, (Term, Phrase, TermSet)) and node.field is None:
+        if len(fields) == 1:
+            return replace(node, field=fields[0])
+        return Bool(should=[replace(node, field=f) for f in fields])
+    if isinstance(node, Boost):
+        return Boost(expand_default_fields(node.child, fields), node.factor)
+    if isinstance(node, Bool):
+        e = lambda ns: [expand_default_fields(n, fields) for n in ns]  # noqa: E731
+        return Bool(e(node.must), e(node.should), e(node.must_not))
+    return node

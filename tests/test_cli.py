@@ -153,3 +153,23 @@ def test_cli_ingest_table_and_input_mutually_exclusive(tmp_path):
             "ingest", "--index-dir", str(tmp_path / "i"),
             "--input", "/x", "--table", "t",
         ])
+
+
+def test_cli_search_aggs_and_search_field(spark, small_index, run):
+    idx = small_index.index_dir
+    out = run(
+        "search", "--index-dir", idx, "--query", "*",
+        "--aggs", '{"langs": {"terms": {"field": "lang", "size": 100}}}',
+    )
+    assert len(out) == 1 and "langs" in out[0]
+    buckets = out[0]["langs"]
+    assert buckets and sum(b["doc_count"] for b in buckets) + buckets[0][
+        "sum_other_doc_count"
+    ] == 600
+    # --search-field naming the default field is a no-op on results
+    base = run("search", "--index-dir", idx, "--query", "w0", "--max-hits", "5")
+    sf = run(
+        "search", "--index-dir", idx, "--query", "w0", "--max-hits", "5",
+        "--search-field", "text",
+    )
+    assert sf == base

@@ -156,3 +156,46 @@ def test_multifield_survives_merge(spark, mf_index):
     got = _got(reader, "title:zh")
     exp = _expected_field_term(reader, rows, "title", "zh")[:15]
     assert got == exp and got
+
+
+def test_search_fields_expand_unqualified_terms(mf_index):
+    # rest-api.md search_field: bare terms expand per-term over the listed
+    # fields; equivalent to spelling the disjunction out in the query
+    reader, _ = mf_index
+    req = SearchRequest(
+        query="common", max_hits=15, search_fields=("text", "title")
+    )
+    got = [
+        (r["split_id"], r["docid"], round(r["score"], 6))
+        for r in search(reader, req, fetch_fields=()).collect()
+    ]
+    want = _got(reader, "common OR title:common")
+    assert got == want and len(got) > 0
+
+    # a single search_field behaves exactly like qualifying every term
+    req1 = SearchRequest(query="common", max_hits=15, search_fields=("title",))
+    got1 = [
+        (r["split_id"], r["docid"], round(r["score"], 6))
+        for r in search(reader, req1, fetch_fields=()).collect()
+    ]
+    assert got1 == _got(reader, "title:common")
+
+    # qualified leaves are untouched by expansion
+    reqq = SearchRequest(
+        query="title:common", max_hits=15, search_fields=("text", "title")
+    )
+    gotq = [
+        (r["split_id"], r["docid"], round(r["score"], 6))
+        for r in search(reader, reqq, fetch_fields=()).collect()
+    ]
+    assert gotq == got1
+
+
+def test_search_fields_must_be_text_fields(mf_index):
+    reader, _ = mf_index
+    with pytest.raises(ValueError, match="not an indexed text field"):
+        search(
+            reader,
+            SearchRequest(query="common", search_fields=("url",)),
+            fetch_fields=(),
+        ).collect()
