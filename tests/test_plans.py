@@ -81,3 +81,22 @@ def test_minhash_lsh_verify_is_candidate_restricted(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     p = _plan(minhash_lsh_pairs(df, threshold=0.5))
     assert "LeftSemi" in p
+
+
+def test_search_aggs_plan_shape(small_index):
+    """Aggs-over-matches must be the scoring-free matching plan (buckets
+    never need BM25) plus one docstore LeftSemi join; match-all with no
+    bounds skips the join entirely and aggregates the docstore scan."""
+    from quickwit_spark.operators.search import search_aggs
+
+    req = {"langs": {"terms": {"field": "lang", "size": 5}}}
+    p = _plan(
+        search_aggs(small_index, SearchRequest(query="w0 w3", max_hits=1), req)["langs"]
+    )
+    assert "avgdl" not in p and "n_docs" not in p
+    assert "LeftSemi" in p
+    assert "pos_blocks" not in p
+    p_all = _plan(
+        search_aggs(small_index, SearchRequest(query="*", max_hits=1), req)["langs"]
+    )
+    assert "LeftSemi" not in p_all and "Join" not in p_all
