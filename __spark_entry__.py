@@ -391,6 +391,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_terms_min_doc_count"] = terms_min_doc_count
 
+    def agg_terms_terms(s: SparkSession, d: str) -> DataFrame:
+        # terms-inside-terms nesting via the ES-JSON request path: top-3
+        # event types by total count, each with its top-3 user_id%10 buckets
+        from quickwit_spark.plans.agg_request import run_agg_request
+
+        ev = _events(s, d).withColumn(
+            "user_mod", (F.col("user_id") % 10).cast("long")
+        )
+        return run_agg_request(
+            ev,
+            {
+                "types": {
+                    "terms": {"field": "event_type", "size": 3},
+                    "aggs": {"users": {"terms": {"field": "user_mod", "size": 3}}},
+                }
+            },
+        )["types"]
+
+    q["agg_terms_terms"] = agg_terms_terms
+
     def search_agg_json_terms(s: SparkSession, d: str) -> DataFrame:
         # the reference's actual aggregation surface: an ES-JSON aggs object
         # riding a search request, folded over MATCHING docs only
@@ -761,6 +781,22 @@ SELECT key, doc_count,
        ((SELECT sum(doc_count) FROM g)
         - (SELECT sum(doc_count) FROM kept))::BIGINT AS sum_other_doc_count
 FROM kept ORDER BY doc_count DESC, key ASC
+"""
+    o["agg_terms_terms"] = """
+WITH g AS (
+  SELECT event_type AS key, (user_id % 10) AS term_key, count(*) AS doc_count
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2),
+t AS (SELECT key, sum(doc_count) AS outer_doc_count FROM g GROUP BY 1),
+ranked AS (
+  SELECT g.key, t.outer_doc_count, g.term_key, g.doc_count,
+    dense_rank() OVER (ORDER BY t.outer_doc_count DESC, g.key ASC) AS orank,
+    row_number() OVER (PARTITION BY g.key
+                       ORDER BY g.doc_count DESC, g.term_key ASC) AS irank
+  FROM g JOIN t USING (key))
+SELECT key, outer_doc_count::BIGINT AS outer_doc_count, term_key, doc_count
+FROM ranked WHERE orank <= 3 AND irank <= 3
+ORDER BY outer_doc_count DESC, key, doc_count DESC, term_key
 """
     o["search_agg_json_terms"] = f"""
 WITH d AS (SELECT doc_id, lang, n_chars, {TOKENIZE} AS toks FROM documents),

@@ -242,28 +242,24 @@ def stats_agg(df: DataFrame, col: str) -> DataFrame:
     )
 
 
-def date_histogram_terms(
+def _nested_terms(
     df: DataFrame,
-    ts_col: str,
-    interval_seconds: int,
+    outer_key: Column,
+    outer_guard: Column,
     term_col: str,
-    size_per_bucket: int = 5,
-    sub_aggs=None,
+    size_per_bucket: int,
+    sub_aggs,
 ) -> DataFrame:
-    """Nested bucket aggregation: a terms agg inside every date_histogram
-    bucket (aggregation.md:110-111 — bucket aggs may hold bucket children).
-    Relationally this is ONE groupBy on (time bucket, term) plus a windowed
-    per-bucket top-k — still a single shuffle; the reference's recursive
-    intermediate-result merge is Catalyst's partial aggregation + the rank
-    filter. Returns (key, term_key, doc_count, *sub_aggs) with at most
-    ``size_per_bucket`` terms per time bucket (count desc, term asc)."""
+    """Shared kernel for terms-inside-a-bucket-agg (aggregation.md:110-111 —
+    bucket aggs may hold bucket children). Relationally ONE groupBy on
+    (outer bucket, term) plus a windowed per-bucket top-k — still a single
+    shuffle; the reference's recursive intermediate-result merge is
+    Catalyst's partial aggregation + the rank filter."""
     from pyspark.sql.window import Window
 
-    epoch = F.unix_timestamp(F.col(ts_col))
-    key = (F.floor(epoch / F.lit(interval_seconds)) * F.lit(interval_seconds))
     grouped = (
-        df.filter(F.col(ts_col).isNotNull() & F.col(term_col).isNotNull())
-        .groupBy(key.alias("key"), F.col(term_col).alias("term_key"))
+        df.filter(outer_guard & F.col(term_col).isNotNull())
+        .groupBy(outer_key.alias("key"), F.col(term_col).alias("term_key"))
         .agg(F.count(F.lit(1)).alias("doc_count"), *_sub_agg_exprs(sub_aggs))
     )
     w = Window.partitionBy("key").orderBy(
@@ -274,6 +270,93 @@ def date_histogram_terms(
         .filter(F.col("_rk") <= size_per_bucket)
         .drop("_rk")
         .orderBy("key", F.desc("doc_count"), F.asc("term_key"))
+    )
+
+
+def date_histogram_terms(
+    df: DataFrame,
+    ts_col: str,
+    interval_seconds: int,
+    term_col: str,
+    size_per_bucket: int = 5,
+    sub_aggs=None,
+) -> DataFrame:
+    """Terms agg inside every date_histogram bucket. Returns
+    (key, term_key, doc_count, *sub_aggs) with at most ``size_per_bucket``
+    terms per time bucket (count desc, term asc)."""
+    epoch = F.unix_timestamp(F.col(ts_col))
+    key = (F.floor(epoch / F.lit(interval_seconds)) * F.lit(interval_seconds))
+    return _nested_terms(
+        df, key, F.col(ts_col).isNotNull(), term_col, size_per_bucket, sub_aggs
+    )
+
+
+def histogram_terms(
+    df: DataFrame,
+    col: str,
+    interval: float,
+    term_col: str,
+    size_per_bucket: int = 5,
+    offset: float = 0.0,
+    sub_aggs=None,
+) -> DataFrame:
+    """Terms agg inside every (value) histogram bucket — same kernel as the
+    date_histogram nesting, with the histogram bucket-key rule."""
+    key = (
+        F.floor((F.col(col) - F.lit(offset)) / F.lit(interval))
+        * F.lit(interval)
+        + F.lit(offset)
+    )
+    return _nested_terms(
+        df, key, F.col(col).isNotNull(), term_col, size_per_bucket, sub_aggs
+    )
+
+
+def terms_terms(
+    df: DataFrame,
+    outer_col: str,
+    term_col: str,
+    outer_size: int = 10,
+    size_per_bucket: int = 5,
+    sub_aggs=None,
+) -> DataFrame:
+    """Terms-inside-terms nesting (e.g. country -> top devices): top
+    ``outer_size`` outer buckets by TOTAL doc count, each holding its top
+    ``size_per_bucket`` inner terms. One shuffle on (outer, inner) plus
+    window ranks over the aggregated result — post-agg cardinality is
+    bounded by the reference's own 1M bucket cap (collector.rs:364), so the
+    unpartitioned rank window is driver-scale, not data-scale. Returns
+    (key, outer_doc_count, term_key, doc_count, *sub_aggs)."""
+    from pyspark.sql.window import Window
+
+    grouped = (
+        df.filter(F.col(outer_col).isNotNull() & F.col(term_col).isNotNull())
+        .groupBy(
+            F.col(outer_col).alias("key"), F.col(term_col).alias("term_key")
+        )
+        .agg(F.count(F.lit(1)).alias("doc_count"), *_sub_agg_exprs(sub_aggs))
+    )
+    tot = grouped.withColumn(
+        "outer_doc_count", F.sum("doc_count").over(Window.partitionBy("key"))
+    )
+    w_outer = Window.orderBy(F.desc("outer_doc_count"), F.asc("key"))
+    w_inner = Window.partitionBy("key").orderBy(
+        F.desc("doc_count"), F.asc("term_key")
+    )
+    return (
+        tot.withColumn("_or", F.dense_rank().over(w_outer))
+        .filter(F.col("_or") <= outer_size)
+        .withColumn("_ir", F.row_number().over(w_inner))
+        .filter(F.col("_ir") <= size_per_bucket)
+        .drop("_or", "_ir")
+        .select("key", "outer_doc_count", "term_key", "doc_count",
+                *[c for c in (sub_aggs or {})])
+        .orderBy(
+            F.desc("outer_doc_count"),
+            F.asc("key"),
+            F.desc("doc_count"),
+            F.asc("term_key"),
+        )
     )
 
 

@@ -19,9 +19,9 @@ Supported kinds (the documented set, aggregation.md:90-103):
   metric: ``avg``, ``value_count``, ``max``, ``min``, ``sum``, ``stats``
 
 Nesting: metric children under any bucket ride the same groupBy (one
-shuffle). One bucket-in-bucket shape is supported — ``terms`` inside
-``date_histogram`` (the log-analytics staple) — via
-:func:`~quickwit_spark.operators.aggs.date_histogram_terms`. A ``stats``
+shuffle). Bucket-in-bucket is supported as a ``terms`` child inside a
+``histogram``, ``date_histogram`` or ``terms`` parent (one shuffle on the
+(outer bucket, term) pair plus a windowed per-bucket top-k). A ``stats``
 child expands to ``<name>_count/min/max/sum/avg/stddev`` columns.
 
 Differences from the JSON response shape (documented, not silent): results
@@ -131,10 +131,25 @@ def compile_one(name: str, spec: dict, field_map=None):
     sub = _children(spec)
     metrics = _metric_children(sub, field_map)
     buckets = _bucket_children(sub)
-    if buckets and kind != "date_histogram":
-        raise ValueError(
-            f"bucket-in-bucket under {kind!r} is not supported "
-            "(supported nesting: terms inside date_histogram)"
+    nested = None
+    if buckets:
+        if kind not in ("date_histogram", "histogram", "terms"):
+            raise ValueError(
+                f"bucket-in-bucket under {kind!r} is not supported "
+                "(supported parents: histogram, date_histogram, terms; "
+                "child: terms)"
+            )
+        if len(buckets) > 1:
+            raise ValueError("one nested bucket aggregation per parent")
+        (tname, tspec) = next(iter(buckets.items()))
+        if _agg_kind(tspec, tname) != "terms":
+            raise ValueError(
+                "only a terms bucket may nest inside a bucket aggregation"
+            )
+        nested = (
+            _field(tspec["terms"], field_map, "terms"),
+            int(tspec["terms"].get("size", 10)),
+            _metric_children(_children(tspec), field_map) or None,
         )
 
     if kind in _METRIC_KINDS:
@@ -150,6 +165,22 @@ def compile_one(name: str, spec: dict, field_map=None):
         mdc = int(params.get("min_doc_count", 0))
         hard = _bounds(params.get("hard_bounds"), "hard_bounds")
         ext = _bounds(params.get("extended_bounds"), "extended_bounds")
+        if nested is not None:
+            if hard or ext:
+                raise ValueError(
+                    "hard/extended_bounds with a nested terms child is not "
+                    "supported"
+                )
+            tcol, tsize, tmetrics = nested
+            return lambda df: A.histogram_terms(
+                df,
+                col,
+                interval,
+                tcol,
+                size_per_bucket=tsize,
+                offset=offset,
+                sub_aggs=tmetrics,
+            )
         return lambda df: A.histogram(
             df,
             col,
@@ -174,24 +205,15 @@ def compile_one(name: str, spec: dict, field_map=None):
                 f"fixed_interval {params['fixed_interval']!r} must be a "
                 "whole positive number of seconds"
             )
-        if buckets:
-            if len(buckets) > 1:
-                raise ValueError("one nested bucket aggregation per parent")
-            (tname, tspec) = next(iter(buckets.items()))
-            if _agg_kind(tspec, tname) != "terms":
-                raise ValueError(
-                    "only a terms bucket may nest inside date_histogram"
-                )
-            tcol = _field(tspec["terms"], field_map, "terms")
-            tsize = int(tspec["terms"].get("size", 10))
-            tmetrics = _metric_children(_children(tspec), field_map)
+        if nested is not None:
+            tcol, tsize, tmetrics = nested
             return lambda df: A.date_histogram_terms(
                 df,
                 col,
                 int(seconds),
                 tcol,
                 size_per_bucket=tsize,
-                sub_aggs=tmetrics or None,
+                sub_aggs=tmetrics,
             )
         return lambda df: A.date_histogram(
             df, col, int(seconds), sub_aggs=metrics or None
@@ -213,6 +235,21 @@ def compile_one(name: str, spec: dict, field_map=None):
     col = _field(params, field_map, "terms")
     size = int(params.get("size", 10))
     mdc = int(params.get("min_doc_count", 1))
+    if nested is not None:
+        if params.get("order") or mdc != 1:
+            raise ValueError(
+                "order / min_doc_count with a nested terms child is not "
+                "supported (outer buckets rank by total doc count)"
+            )
+        tcol, tsize, tmetrics = nested
+        return lambda df: A.terms_terms(
+            df,
+            col,
+            tcol,
+            outer_size=size,
+            size_per_bucket=tsize,
+            sub_aggs=tmetrics,
+        )
     order_by, order_dir = "count", None
     order = params.get("order")
     if order:

@@ -135,7 +135,7 @@ def test_json_request_validation(ev):
     with pytest.raises(ValueError, match="not supported"):
         run_agg_request(
             ev,
-            {"x": {"terms": {"field": "kind"},
+            {"x": {"range": {"field": "value", "ranges": [{"to": 10.0}]},
                    "aggs": {"y": {"terms": {"field": "kind"}}}}},
         )
     with pytest.raises(ValueError, match="order target"):
@@ -193,3 +193,50 @@ def test_search_aggs_query_restricts_docs(spark, small_index):
         {"per_day": {"date_histogram": {"field": "warc_ts", "fixed_interval": "1d"}}},
     )["per_day"].collect()
     assert sum(r["doc_count"] for r in dh) == n
+
+
+def test_json_histogram_nested_terms(ev):
+    from quickwit_spark.operators.aggs import histogram_terms
+
+    req = {
+        "bands": {
+            "histogram": {"field": "value", "interval": 20.0},
+            "aggs": {"kinds": {"terms": {"field": "kind", "size": 2}}},
+        }
+    }
+    got = run_agg_request(ev, req)["bands"].collect()
+    want = histogram_terms(ev, "value", 20.0, "kind", 2).collect()
+    assert got == want and len(got) > 0
+    # every histogram bucket carries at most 2 inner terms
+    per_bucket: dict = {}
+    for r in got:
+        per_bucket.setdefault(r["key"], []).append(r)
+    assert all(len(v) <= 2 for v in per_bucket.values())
+
+
+def test_json_terms_nested_terms(ev):
+    req = {
+        "kinds": {
+            "terms": {"field": "kind", "size": 2},
+            "aggs": {"bands": {"terms": {"field": "value", "size": 3}}},
+        }
+    }
+    rows = run_agg_request(ev, req)["kinds"].collect()
+    outers = [r["key"] for r in rows]
+    # 2 outer buckets by TOTAL doc count — all three kinds hold exactly 30
+    # docs, so the key-asc tie-break picks t0 and t1
+    assert set(outers) == {"t0", "t1"}
+    assert all(r["outer_doc_count"] == 30 for r in rows)
+    # inner top-3 value terms per outer bucket, count desc
+    inner = [r for r in rows if r["key"] == "t0"]
+    assert len(inner) == 3
+    assert all(
+        inner[i]["doc_count"] >= inner[i + 1]["doc_count"]
+        for i in range(len(inner) - 1)
+    )
+    with pytest.raises(ValueError, match="not supported"):
+        run_agg_request(
+            ev,
+            {"x": {"terms": {"field": "kind", "order": {"_key": "asc"}},
+                   "aggs": {"y": {"terms": {"field": "value"}}}}},
+        )
