@@ -161,6 +161,40 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Search-stream endpoint analog (rest-api.md "Search stream in an
+    index"): all matching values of one fast field, streamed as csv or
+    ClickHouse RowBinary chunks to stdout."""
+    from quickwit_spark.operators.search import (
+        IndexReader,
+        SearchRequest,
+        export_fast_field,
+        format_export_chunks,
+    )
+
+    spark = _spark(args)
+    req = SearchRequest(
+        query=args.query,
+        start_timestamp=args.start_timestamp,
+        end_timestamp=args.end_timestamp,
+        search_fields=tuple(
+            f for f in (args.search_field or "").split(",") if f
+        ),
+    )
+    out = export_fast_field(
+        IndexReader(spark, args.index_dir),
+        req,
+        args.fast_field,
+        partition_by=(args.partition_by_field,) if args.partition_by_field else (),
+    )
+    chunks = format_export_chunks(out, args.fast_field, args.output_format)
+    w = sys.stdout.buffer
+    for row in chunks.toLocalIterator():
+        w.write(row["chunk"])
+    w.flush()
+    return 0
+
+
 def cmd_count(args) -> int:
     from quickwit_spark.operators.search import (
         IndexReader,
@@ -295,6 +329,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--tolerate-failures", action="store_true",
                     help="skip unreadable splits, report them (root.rs:203)")
     sp.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser(
+        "export", help="stream one fast field for all matches (csv/RowBinary)"
+    )
+    common(sp)
+    sp.add_argument("--query", required=True)
+    sp.add_argument("--fast-field", required=True)
+    sp.add_argument("--partition-by-field", default=None)
+    sp.add_argument("--output-format", default="csv",
+                    choices=["csv", "clickHouseRowBinary"])
+    sp.add_argument("--search-field", default=None)
+    sp.add_argument("--start-timestamp")
+    sp.add_argument("--end-timestamp")
+    sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("count", help="count all matches")
     common(sp)

@@ -1551,6 +1551,47 @@ def export_fast_field(
     )
 
 
+def format_export_chunks(
+    df: DataFrame, column: str, output_format: str = "csv"
+) -> DataFrame:
+    """Serialize an export_fast_field result into the reference's stream
+    wire formats (rest-api.md output_format; search_stream's
+    csv/clickHouseRowBinary serializers): one ``chunk: binary`` row per
+    Arrow batch — the DataFrame analog of the HTTP chunked stream, encoded
+    executor-side with no driver funnel.
+
+    ``csv`` is one value per line (the reference's csv has a single column);
+    ``clickHouseRowBinary`` packs i64 values little-endian 8-byte (the
+    ClickHouse RowBinary encoding of Int64/UInt64 — the only types the
+    stream endpoint accepts)."""
+    fmt = {"csv": "csv", "clickhouserowbinary": "clickHouseRowBinary"}.get(
+        output_format.lower()
+    )
+    if fmt is None:
+        raise ValueError(
+            f"output_format {output_format!r} not in ('csv', 'clickHouseRowBinary')"
+        )
+    src = df.select(F.col(column))
+
+    if fmt == "csv":
+
+        def to_csv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf):
+                    data = ("\n".join(pdf[column].astype(str)) + "\n").encode()
+                    yield pd.DataFrame({"chunk": [data]})
+
+        return src.mapInPandas(to_csv, "chunk binary")
+
+    def to_rowbinary(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                vals = pdf[column].to_numpy(dtype="int64")
+                yield pd.DataFrame({"chunk": [vals.astype("<i8").tobytes()]})
+
+    return src.mapInPandas(to_rowbinary, "chunk binary")
+
+
 def probe_split_failures(reader: IndexReader) -> list[str]:
     """Published splits whose postings or docstore files are unreadable.
 

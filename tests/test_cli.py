@@ -173,3 +173,38 @@ def test_cli_search_aggs_and_search_field(spark, small_index, run):
         "--search-field", "text",
     )
     assert sf == base
+
+
+def test_format_export_chunks(spark):
+    import struct
+
+    from quickwit_spark.operators.search import format_export_chunks
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    csv_b = b"".join(
+        r["chunk"] for r in format_export_chunks(df, "v", "csv").collect()
+    )
+    assert sorted(int(x) for x in csv_b.decode().split()) == list(range(100))
+    rb = b"".join(
+        r["chunk"]
+        for r in format_export_chunks(df, "v", "clickHouseRowBinary").collect()
+    )
+    # ClickHouse RowBinary Int64: 8 bytes little-endian per value, no header
+    assert len(rb) == 800
+    assert sorted(struct.unpack("<100q", rb)) == list(range(100))
+    with pytest.raises(ValueError, match="output_format"):
+        format_export_chunks(df, "v", "tsv")
+
+
+def test_cli_export_csv(spark, small_index, capsys):
+    from quickwit_spark import cli
+    from quickwit_spark.operators.search import SearchRequest, count_hits
+
+    n = count_hits(small_index, SearchRequest(query="w0")).collect()[0][0]
+    rc = cli.main(
+        ["export", "--index-dir", small_index.index_dir,
+         "--query", "w0", "--fast-field", "url"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert len([ln for ln in out.splitlines() if ln]) == n > 0
