@@ -271,6 +271,58 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def _task_dict(t) -> dict:
+    return {
+        "opstamp": t.opstamp,
+        "create_timestamp": t.create_timestamp,
+        "state": t.state,
+        "delete_query": {
+            "query": t.query,
+            "start_timestamp": t.start_timestamp,
+            "end_timestamp": t.end_timestamp,
+            "search_fields": list(t.search_fields),
+        },
+        "matched_docs": t.matched_docs,
+        "rewritten_splits": t.rewritten_splits,
+        "dropped_splits": t.dropped_splits,
+    }
+
+
+def cmd_create_delete_task(args) -> int:
+    # metadata-only commit, no Spark session (rest-api.md: the endpoint
+    # "simply appends your delete task to the delete task queue")
+    from quickwit_spark.operators.janitor import create_delete_task
+
+    t = create_delete_task(
+        args.index_dir,
+        args.query,
+        start_timestamp=args.start_timestamp,
+        end_timestamp=args.end_timestamp,
+        search_fields=tuple(
+            f for f in (args.search_field or "").split(",") if f
+        ),
+    )
+    _emit(_task_dict(t))
+    return 0
+
+
+def cmd_list_delete_tasks(args) -> int:
+    from quickwit_spark.operators.janitor import list_delete_tasks
+
+    for t in list_delete_tasks(args.index_dir):
+        _emit(_task_dict(t))
+    return 0
+
+
+def cmd_run_delete_tasks(args) -> int:
+    from quickwit_spark.operators.janitor import run_pending_delete_tasks
+
+    spark = _spark(args)
+    for t in run_pending_delete_tasks(spark, args.index_dir):
+        _emit(_task_dict(t))
+    return 0
+
+
 def cmd_retention(args) -> int:
     from quickwit_spark.operators.janitor import apply_retention
 
@@ -367,6 +419,26 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--query", required=True)
     sp.set_defaults(fn=cmd_delete)
+
+    sp = sub.add_parser(
+        "create-delete-task", help="enqueue a DeleteQuery (metadata only)"
+    )
+    common(sp)
+    sp.add_argument("--query", required=True)
+    sp.add_argument("--start-timestamp")
+    sp.add_argument("--end-timestamp")
+    sp.add_argument("--search-field", default=None)
+    sp.set_defaults(fn=cmd_create_delete_task)
+
+    sp = sub.add_parser("list-delete-tasks", help="list queued delete tasks")
+    common(sp)
+    sp.set_defaults(fn=cmd_list_delete_tasks)
+
+    sp = sub.add_parser(
+        "run-delete-tasks", help="janitor pass: execute pending delete tasks"
+    )
+    common(sp)
+    sp.set_defaults(fn=cmd_run_delete_tasks)
 
     sp = sub.add_parser("retention", help="retire splits older than cutoff")
     common(sp)

@@ -223,6 +223,23 @@ class Manifest:
         """Upsert one split row as-is (compat shim for direct state edits)."""
         self.log.commit([{"op": "upsert", "meta": asdict(meta)}])
 
+    # -- delete-task queue (the reference appends DeleteQuery tasks to the
+    # metastore and the janitor executes them eventually — rest-api.md
+    # "Create a delete task"; opstamp = the claiming commit's version)
+    def append_delete_task(self, task: dict) -> dict:
+        v = self.log.commit(
+            [{"op": "delete_task", "task": {**task, "opstamp": None}}]
+        )
+        return {**task, "opstamp": v}
+
+    def delete_tasks(self) -> "dict[str, dict]":
+        return dict(self.log.state().get("delete_tasks") or {})
+
+    def update_delete_task(self, opstamp: int, **changes) -> None:
+        self.log.commit(
+            [{"op": "delete_task_update", "opstamp": opstamp, "set": changes}]
+        )
+
     # -- index-level config (the reference keeps IndexConfig/DocMapper in the
     # metastore; searchers must use the index's own tokenizer and fields) ---
     def save_index_config(self, cfg: dict) -> None:

@@ -123,13 +123,13 @@ class TransactionLog:
             if v <= base:
                 continue
             with open(self._commit_path(v)) as f:
-                self._apply(state, json.load(f)["actions"])
+                self._apply(state, json.load(f)["actions"], version=v)
         self._cache_version = latest
         self._cache_state = state
         return state
 
     @staticmethod
-    def _apply(state: dict, actions: list[dict]) -> None:
+    def _apply(state: dict, actions: list[dict], version: int = 0) -> None:
         for a in actions:
             op = a["op"]
             if op == "upsert":
@@ -144,6 +144,21 @@ class TransactionLog:
                     rec.pop(str(pid), None)
             elif op == "config":
                 state["config"] = a["config"]
+            elif op == "delete_task":
+                # opstamp = the commit's claimed version: unique and ordered
+                # even under concurrent writers (the reference metastore's
+                # opstamp allocation, delete_task.proto analog); checkpoints
+                # persist the resolved value
+                t = dict(a["task"])
+                if t.get("opstamp") is None:
+                    t["opstamp"] = version
+                state.setdefault("delete_tasks", {})[str(t["opstamp"])] = t
+            elif op == "delete_task_update":
+                cur = state.setdefault("delete_tasks", {}).get(
+                    str(a["opstamp"])
+                )
+                if cur is not None:
+                    cur.update(a.get("set") or {})
             else:  # forward-compat: ignore unknown ops
                 continue
 

@@ -72,9 +72,15 @@ def delete_by_query(
     index_dir: str,
     query: str,
     text_field: str = "text",  # kept for API compat; docstore text is "text"
+    start_timestamp: str | None = None,
+    end_timestamp: str | None = None,
+    search_fields: tuple[str, ...] = (),
 ) -> DeleteMetrics:
     """Apply a delete query: rewrite every split containing matches without
-    those docs; drop splits left empty. Publish is atomic per split."""
+    those docs; drop splits left empty. Publish is atomic per split.
+    ``start/end_timestamp`` and ``search_fields`` mirror the reference's
+    DeleteQuery payload (rest-api.md): the time window restricts matches
+    semi-open [start, end); unqualified terms expand over search_fields."""
     t0 = time.time()
     reader = IndexReader(spark, index_dir)
     manifest = reader.manifest
@@ -85,9 +91,24 @@ def delete_by_query(
     with_pos = icfg.get("record", "freq") == "position"
     extra_text_fields = tuple(icfg.get("extra_text_fields", []) or [])
     ast = parse_query(query)
-    published = {m.split_id: m for m in manifest.list_published()}
+    if search_fields:
+        from quickwit_spark.plans.query import expand_default_fields
+
+        for f_ in search_fields:
+            if searcher._ns_prefix(f_) is None:
+                raise ValueError(
+                    f"search_field {f_!r} is not an indexed text field"
+                )
+        ast = expand_default_fields(ast, tuple(search_fields))
+    # manifest time-pruning limits the rewrite scan to splits overlapping
+    # the window; matching() then applies the per-doc [start, end) check
+    # (docs outside the window inside an overlapping split survive)
+    published = {
+        m.split_id: m
+        for m in manifest.list_published(start_timestamp, end_timestamp)
+    }
     matches = (
-        searcher.matching(ast, list(published))
+        searcher.matching(ast, list(published), start_timestamp, end_timestamp)
         .select("split_id", "docid")
         .cache()
     )
@@ -242,3 +263,112 @@ def delete_by_query(
     matches.unpersist()
     metrics.elapsed_sec = time.time() - t0
     return metrics
+
+
+# --- durable delete-task queue (rest-api.md "Delete API") ------------------
+# The reference appends DeleteQuery tasks to the metastore queue and the
+# janitor executes them eventually (delete_task_planner.rs); creation is a
+# metadata-only commit with an opstamp, execution is decoupled.
+
+
+@dataclass
+class DeleteTask:
+    """DeleteTask response shape (rest-api.md: opstamp, create_timestamp,
+    delete_query fields)."""
+
+    opstamp: int
+    create_timestamp: float
+    query: str
+    start_timestamp: str | None = None
+    end_timestamp: str | None = None
+    search_fields: tuple[str, ...] = ()
+    state: str = "pending"  # pending | done
+    rewritten_splits: list[str] = field(default_factory=list)
+    dropped_splits: list[str] = field(default_factory=list)
+    matched_docs: int = 0
+
+
+def _task_from_dict(d: dict) -> DeleteTask:
+    return DeleteTask(
+        opstamp=int(d["opstamp"]),
+        create_timestamp=float(d["create_timestamp"]),
+        query=d["query"],
+        start_timestamp=d.get("start_timestamp"),
+        end_timestamp=d.get("end_timestamp"),
+        search_fields=tuple(d.get("search_fields") or ()),
+        state=d.get("state", "pending"),
+        rewritten_splits=list(d.get("rewritten_splits") or []),
+        dropped_splits=list(d.get("dropped_splits") or []),
+        matched_docs=int(d.get("matched_docs") or 0),
+    )
+
+
+def create_delete_task(
+    index_dir: str,
+    query: str,
+    start_timestamp: str | None = None,
+    end_timestamp: str | None = None,
+    search_fields: tuple[str, ...] = (),
+) -> DeleteTask:
+    """Append a DeleteQuery to the index's durable task queue (one metadata
+    commit, no Spark job). The query is parse-validated up front so a bad
+    query fails at enqueue time, not at janitor time."""
+    parse_query(query)  # fail fast
+    manifest = Manifest(index_dir)
+    stamped = manifest.append_delete_task(
+        {
+            "create_timestamp": time.time(),
+            "query": query,
+            "start_timestamp": start_timestamp,
+            "end_timestamp": end_timestamp,
+            "search_fields": list(search_fields),
+            "state": "pending",
+        }
+    )
+    return _task_from_dict(stamped)
+
+
+def list_delete_tasks(index_dir: str) -> list[DeleteTask]:
+    tasks = Manifest(index_dir).delete_tasks()
+    return sorted(
+        (_task_from_dict(t) for t in tasks.values()), key=lambda t: t.opstamp
+    )
+
+
+def get_delete_task(index_dir: str, opstamp: int) -> DeleteTask:
+    tasks = Manifest(index_dir).delete_tasks()
+    d = tasks.get(str(opstamp))
+    if d is None:
+        raise KeyError(f"no delete task with opstamp {opstamp}")
+    return _task_from_dict(d)
+
+
+def run_pending_delete_tasks(
+    spark: SparkSession, index_dir: str
+) -> list[DeleteTask]:
+    """Janitor pass: execute every pending delete task in opstamp order
+    (the reference applies them oldest-first so split delete_opstamps stay
+    monotonic) and mark each done with its outcome. Returns the executed
+    tasks with updated state."""
+    manifest = Manifest(index_dir)
+    done: list[DeleteTask] = []
+    for task in list_delete_tasks(index_dir):
+        if task.state != "pending":
+            continue
+        m = delete_by_query(
+            spark,
+            index_dir,
+            task.query,
+            start_timestamp=task.start_timestamp,
+            end_timestamp=task.end_timestamp,
+            search_fields=task.search_fields,
+        )
+        manifest.update_delete_task(
+            task.opstamp,
+            state="done",
+            rewritten_splits=m.rewritten_splits,
+            dropped_splits=m.dropped_splits,
+            matched_docs=m.matched_docs,
+        )
+        done.append(get_delete_task(index_dir, task.opstamp))
+    return done

@@ -208,3 +208,22 @@ def test_cli_export_csv(spark, small_index, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert len([ln for ln in out.splitlines() if ln]) == n > 0
+
+
+def test_cli_delete_task_lifecycle(spark, pages_small, tmp_path, run):
+    from quickwit_spark.operators.build import IndexConfig, build_index
+
+    idx = str(tmp_path / "dt")
+    build_index(spark, pages_small, idx, IndexConfig(index_id="pages", num_splits=3))
+    created = run("create-delete-task", "--index-dir", idx, "--query", "needleone")
+    assert created[0]["state"] == "pending"
+    assert created[0]["delete_query"]["query"] == "needleone"
+    listed = run("list-delete-tasks", "--index-dir", idx)
+    assert [t["opstamp"] for t in listed] == [created[0]["opstamp"]]
+    done = run("run-delete-tasks", "--index-dir", idx)
+    assert done[0]["state"] == "done" and done[0]["matched_docs"] > 0
+    assert run("count", "--index-dir", idx, "--query", "needleone") == [
+        {"num_hits": 0}
+    ]
+    # queue drained: a second janitor pass is a no-op
+    assert run("run-delete-tasks", "--index-dir", idx) == []

@@ -273,3 +273,90 @@ def test_search_with_failures_skips_corrupt_split(spark, pages_small, tmp_path):
     rows = res.collect()
     assert rows, "readable splits still serve hits"
     assert all(r["split_id"] != victim for r in rows)
+
+
+def test_delete_task_queue_metadata_only(tmp_path):
+    """Enqueue/list/get are metastore commits with monotonic opstamps — no
+    Spark session involved (rest-api.md: 'simply appends your delete task
+    to the delete task queue')."""
+    import pytest
+
+    from quickwit_spark.operators.janitor import (
+        create_delete_task,
+        get_delete_task,
+        list_delete_tasks,
+    )
+
+    d = str(tmp_path / "q")
+    t1 = create_delete_task(d, "body:trash")
+    t2 = create_delete_task(
+        d, "spam", start_timestamp="2023-01-01", end_timestamp="2023-02-01"
+    )
+    assert t2.opstamp > t1.opstamp
+    tasks = list_delete_tasks(d)
+    assert [t.opstamp for t in tasks] == [t1.opstamp, t2.opstamp]
+    assert all(t.state == "pending" for t in tasks)
+    got = get_delete_task(d, t2.opstamp)
+    assert got.query == "spam" and got.start_timestamp == "2023-01-01"
+    with pytest.raises(KeyError):
+        get_delete_task(d, 999999)
+    # a syntactically broken query fails at enqueue time, not janitor time
+    with pytest.raises(ValueError):
+        create_delete_task(d, "[1 TO 2]")  # range without a field
+
+
+def test_delete_tasks_executed_by_janitor(spark, pages_small, tmp_path):
+    from quickwit_spark.operators.janitor import (
+        create_delete_task,
+        get_delete_task,
+        list_delete_tasks,
+        run_pending_delete_tasks,
+    )
+    from quickwit_spark.operators.search import count_hits
+
+    d = str(tmp_path / "dq")
+    build_index(spark, pages_small, d, IndexConfig(index_id="pages", num_splits=3))
+    t = create_delete_task(d, "needleone")
+    before = count_hits(
+        IndexReader(spark, d), SearchRequest(query="needleone")
+    ).collect()[0][0]
+    assert before > 0
+    executed = run_pending_delete_tasks(spark, d)
+    assert [e.opstamp for e in executed] == [t.opstamp]
+    assert executed[0].state == "done"
+    assert executed[0].matched_docs == before
+    assert executed[0].rewritten_splits or executed[0].dropped_splits
+    after = count_hits(
+        IndexReader(spark, d), SearchRequest(query="needleone")
+    ).collect()[0][0]
+    assert after == 0
+    # second janitor pass: nothing pending, outcome persisted
+    assert run_pending_delete_tasks(spark, d) == []
+    assert get_delete_task(d, t.opstamp).state == "done"
+
+
+def test_delete_by_query_timestamp_window(spark, pages_small, tmp_path):
+    """DeleteQuery start/end (semi-open) restricts the deletion — docs with
+    the same term outside the window survive."""
+    d = str(tmp_path / "delwin")
+    build_index(spark, pages_small, d, IndexConfig(index_id="pages", num_splits=3))
+    from quickwit_spark.operators.search import export_fast_field
+
+    reader = IndexReader(spark, d)
+    rows = export_fast_field(
+        reader, SearchRequest(query="w0 w3"), "ts"
+    ).collect()
+    tss = sorted(r["ts"] for r in rows)
+    assert len(tss) >= 3
+    # window covering roughly the older half of the matches
+    lo, hi = tss[0].isoformat(), tss[len(tss) // 2].isoformat()
+    m = delete_by_query(
+        spark, d, "w0 w3", start_timestamp=lo, end_timestamp=hi
+    )
+    in_window = sum(1 for t in tss if lo <= t.isoformat() < hi)
+    assert m.matched_docs == in_window
+    reader = IndexReader(spark, d)
+    left = export_fast_field(
+        reader, SearchRequest(query="w0 w3"), "ts"
+    ).count()
+    assert left == len(tss) - in_window > 0
