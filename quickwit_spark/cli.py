@@ -271,6 +271,125 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_describe(args) -> int:
+    """Index-metadata endpoint analog (rest-api.md GET /indexes/<id>):
+    persisted config + checkpoint lineage + split/doc totals. Metadata only
+    — no Spark session."""
+    from quickwit_spark.index.manifest import Manifest
+
+    m = Manifest(args.index_dir)
+    cfg = m.load_index_config()
+    published = m.list_published()
+    state = m.log.state()
+    _emit(
+        {
+            "index_config": cfg,
+            "checkpoint": state.get("lineage") or {},
+            "create_timestamp": min(
+                (s.create_timestamp for s in published), default=None
+            ),
+            "num_published_splits": len(published),
+            "num_docs": sum(s.num_docs for s in published),
+            "pending_delete_tasks": sum(
+                1
+                for t in (state.get("delete_tasks") or {}).values()
+                if t.get("state") == "pending"
+            ),
+        }
+    )
+    return 0
+
+
+def cmd_list_indexes(args) -> int:
+    """All-indexes endpoint analog: every index directory under a root."""
+    import glob as _glob
+
+    from quickwit_spark.index.manifest import Manifest
+
+    for txn in sorted(_glob.glob(os.path.join(args.root, "*", "manifest", "_txn"))):
+        d = os.path.dirname(os.path.dirname(txn))
+        try:
+            m = Manifest(d)
+            cfg = m.load_index_config()
+            pub = m.list_published()
+        except Exception as e:  # unreadable index dir: report, keep listing
+            _emit({"index_dir": d, "error": str(e)})
+            continue
+        _emit(
+            {
+                "index_dir": d,
+                "index_id": cfg.get("index_id"),
+                "num_published_splits": len(pub),
+                "num_docs": sum(s.num_docs for s in pub),
+            }
+        )
+    return 0
+
+
+def cmd_clear(args) -> int:
+    """`index clear` analog: drop every Published split and reset checkpoint
+    lineage (the next ingest of the same source re-processes it), then
+    reclaim the files; the index config survives."""
+    from quickwit_spark.index.manifest import Manifest
+    from quickwit_spark.operators.merge import garbage_collect
+
+    cleared = Manifest(args.index_dir).clear()
+    removed = garbage_collect(args.index_dir)
+    _emit({"cleared_splits": cleared, "removed_splits": removed})
+    return 0
+
+
+def cmd_describe_split(args) -> int:
+    from quickwit_spark.index.manifest import Manifest
+
+    for m in Manifest(args.index_dir).list_all():
+        if m.split_id == args.split:
+            _emit(dataclasses.asdict(m))
+            return 0
+    _emit({"error": f"no split {args.split!r}"})
+    return 1
+
+
+def cmd_mark_split_for_deletion(args) -> int:
+    from quickwit_spark.index.manifest import Manifest
+
+    m = Manifest(args.index_dir)
+    known = {s.split_id for s in m.list_all()}
+    if args.split not in known:
+        _emit({"error": f"no split {args.split!r}"})
+        return 1
+    m.publish([], replaced=[args.split])
+    _emit({"marked_for_deletion": args.split})
+    return 0
+
+
+def cmd_delete_index(args) -> int:
+    """Delete-index endpoint analog: returns the removed split files with
+    their sizes (the reference's response shape), then removes the index
+    directory."""
+    import shutil
+
+    from quickwit_spark.index.manifest import Manifest
+
+    Manifest(args.index_dir).load_index_config()  # refuse non-index dirs
+    removed = []
+    for sub in ("postings", "docstore"):
+        base = os.path.join(args.index_dir, sub)
+        for dirpath, _dirs, files in os.walk(base):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                removed.append(
+                    {
+                        "file_name": os.path.relpath(p, args.index_dir),
+                        "file_size_in_bytes": os.path.getsize(p),
+                    }
+                )
+    shutil.rmtree(args.index_dir)
+    for r in removed:
+        _emit(r)
+    return 0
+
+
 def _task_dict(t) -> dict:
     return {
         "opstamp": t.opstamp,
@@ -419,6 +538,38 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--query", required=True)
     sp.set_defaults(fn=cmd_delete)
+
+    sp = sub.add_parser("describe", help="index metadata (config + totals)")
+    common(sp)
+    sp.set_defaults(fn=cmd_describe)
+
+    sp = sub.add_parser(
+        "clear", help="drop all splits + reset checkpoints, keep the config"
+    )
+    common(sp)
+    sp.set_defaults(fn=cmd_clear)
+
+    sp = sub.add_parser("describe-split", help="one split's full metadata")
+    common(sp)
+    sp.add_argument("--split", required=True)
+    sp.set_defaults(fn=cmd_describe_split)
+
+    sp = sub.add_parser(
+        "mark-split-for-deletion", help="retire one split (gc reclaims it)"
+    )
+    common(sp)
+    sp.add_argument("--split", required=True)
+    sp.set_defaults(fn=cmd_mark_split_for_deletion)
+
+    sp = sub.add_parser("list-indexes", help="all indexes under a root dir")
+    sp.add_argument("--root", required=True)
+    sp.set_defaults(fn=cmd_list_indexes)
+
+    sp = sub.add_parser(
+        "delete-index", help="remove an index dir, reporting its split files"
+    )
+    common(sp)
+    sp.set_defaults(fn=cmd_delete_index)
 
     sp = sub.add_parser(
         "create-delete-task", help="enqueue a DeleteQuery (metadata only)"

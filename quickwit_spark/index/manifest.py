@@ -223,6 +223,28 @@ class Manifest:
         """Upsert one split row as-is (compat shim for direct state edits)."""
         self.log.commit([{"op": "upsert", "meta": asdict(meta)}])
 
+    # -- clear (the reference's `index clear`: drop all splits AND reset the
+    # source checkpoint so the next ingest re-processes from scratch)
+    def clear(self) -> list[str]:
+        state = self.log.state()
+        published = [
+            sid
+            for sid, d in state["splits"].items()
+            if d.get("state") == "Published"
+        ]
+        actions: list[dict] = []
+        for sid in published:
+            d = dict(state["splits"][sid])
+            d["state"] = "MarkedForDeletion"
+            actions.append({"op": "upsert", "meta": d})
+        for gen, rec in (state.get("lineage") or {}).items():
+            actions.append(
+                {"op": "lineage", "generation": int(gen), "drop": list(rec)}
+            )
+        if actions:
+            self.log.commit(actions)  # one atomic clear
+        return published
+
     # -- delete-task queue (the reference appends DeleteQuery tasks to the
     # metastore and the janitor executes them eventually — rest-api.md
     # "Create a delete task"; opstamp = the claiming commit's version)

@@ -227,3 +227,54 @@ def test_cli_delete_task_lifecycle(spark, pages_small, tmp_path, run):
     ]
     # queue drained: a second janitor pass is a no-op
     assert run("run-delete-tasks", "--index-dir", idx) == []
+
+
+def test_cli_index_management(spark, small_index, tmp_path, run):
+    import os
+    import shutil
+
+    out = run("describe", "--index-dir", small_index.index_dir)
+    assert out[0]["index_config"]["index_id"] == "pages"
+    assert out[0]["num_docs"] == 600 and out[0]["num_published_splits"] == 3
+    assert out[0]["pending_delete_tasks"] == 0
+
+    root = os.path.dirname(small_index.index_dir)
+    listed = run("list-indexes", "--root", root)
+    assert any(
+        e.get("index_id") == "pages" and e["num_docs"] == 600 for e in listed
+    )
+
+    scratch = str(tmp_path / "copy")
+    shutil.copytree(small_index.index_dir, scratch)
+    removed = run("delete-index", "--index-dir", scratch)
+    assert removed and all(r["file_size_in_bytes"] > 0 for r in removed)
+    assert any(r["file_name"].startswith("postings") for r in removed)
+    assert not os.path.exists(scratch)
+
+
+def test_cli_clear_and_split_commands(spark, pages_small, tmp_path, run):
+    from quickwit_spark.operators.build import IndexConfig, build_index
+
+    idx = str(tmp_path / "clr")
+    cfg = IndexConfig(index_id="pages", num_splits=3)
+    build_index(spark, pages_small, idx, cfg)
+    pub = [
+        s["split_id"]
+        for s in run("list-splits", "--index-dir", idx)
+        if s["state"] == "Published"
+    ]
+    d = run("describe-split", "--index-dir", idx, "--split", pub[0])
+    assert d[0]["split_id"] == pub[0] and d[0]["num_docs"] > 0
+
+    m = run("mark-split-for-deletion", "--index-dir", idx, "--split", pub[0])
+    assert m == [{"marked_for_deletion": pub[0]}]
+
+    out = run("clear", "--index-dir", idx)
+    assert set(out[0]["cleared_splits"]) == set(pub) - {pub[0]}
+    after = run("describe", "--index-dir", idx)
+    assert after[0]["num_docs"] == 0
+    assert after[0]["index_config"]["index_id"] == "pages"
+    # checkpoint lineage was reset: re-ingesting the SAME source is a full
+    # rebuild, not a resume no-op (`index clear` semantics, cli.md:157-171)
+    m2 = build_index(spark, pages_small, idx, cfg)
+    assert m2.num_docs == 600 and m2.skipped_partitions == 0
