@@ -42,6 +42,56 @@ def enqueue(queue_dir: str, records: list[dict]) -> str:
     return final
 
 
+def enqueue_es_bulk(
+    queue_root: str, payload: str
+) -> "dict[str, int]":
+    """Elasticsearch-compatible `_bulk` ingest (rest-api.md "Ingest data
+    with Elasticsearch compatible API", elasticsearch_compatible_api): NDJSON
+    of action lines and source lines. Only the ``create`` action ingests —
+    ``index``/``update`` are ignored (their source line is still consumed,
+    per the bulk framing), ``delete`` carries no source line. Documents are
+    routed to ``<queue_root>/<_index>`` queues and appended durably per
+    index. Returns {index_id: num_docs_for_processing}; malformed action or
+    source lines are skipped (the reference reports errors only in logs).
+    """
+    per_index: dict[str, list[dict]] = {}
+    lines = [ln for ln in payload.splitlines() if ln.strip()]
+    i = 0
+    while i < len(lines):
+        try:
+            action = json.loads(lines[i])
+        except json.JSONDecodeError:
+            i += 1
+            continue
+        if not isinstance(action, dict) or len(action) != 1:
+            i += 1
+            continue
+        (verb, meta), = action.items()
+        i += 1
+        if verb == "delete":
+            continue  # no source line
+        if i >= len(lines):
+            break
+        src_line, i = lines[i], i + 1
+        if verb != "create":
+            continue  # index/update ignored, source consumed
+        try:
+            doc = json.loads(src_line)
+        except json.JSONDecodeError:
+            continue
+        if not isinstance(doc, dict):
+            continue
+        index_id = (meta or {}).get("_index")
+        if not index_id:
+            continue
+        per_index.setdefault(index_id, []).append(doc)
+    counts: dict[str, int] = {}
+    for index_id, docs in per_index.items():
+        enqueue(os.path.join(queue_root, index_id), docs)
+        counts[index_id] = len(docs)
+    return counts
+
+
 def drain_queue(
     spark: SparkSession,
     queue_dir: str,
@@ -61,4 +111,4 @@ def drain_queue(
     return sink
 
 
-__all__ = ["enqueue", "drain_queue", "index_stream_available_now"]
+__all__ = ["enqueue", "enqueue_es_bulk", "drain_queue", "index_stream_available_now"]

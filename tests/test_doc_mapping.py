@@ -278,3 +278,50 @@ def test_terms_agg_min_doc_count(spark):
     assert [(r["key"], r["doc_count"]) for r in out] == [("a", 5), ("b", 3)]
     # the dropped 'c' bucket still counts toward sum_other (ES accounting)
     assert all(r["sum_other_doc_count"] == 1 for r in out)
+
+
+def test_es_bulk_ingest(spark, tmp_path):
+    """ES `_bulk` compatibility: only `create` ingests; `index`/`update`
+    ignored with their source line consumed; `delete` has no source line;
+    docs route to per-index queues and drain through the streaming path."""
+    import json as _json
+    import os
+
+    from quickwit_spark.operators.build import IndexConfig
+    from quickwit_spark.operators.search import IndexReader, SearchRequest, count_hits
+    from quickwit_spark.sources.ingest_queue import drain_queue, enqueue_es_bulk
+
+    root = str(tmp_path / "q")
+    payload = "\n".join(
+        [
+            _json.dumps({"create": {"_index": "wiki", "_id": "1"}}),
+            _json.dumps({"url": "u1", "text": "alpha beta", "lang": "en",
+                         "warc_ts": "2023-01-01T00:00:00"}),
+            _json.dumps({"index": {"_index": "wiki"}}),          # ignored
+            _json.dumps({"url": "uX", "text": "IGNORED", "lang": "en",
+                         "warc_ts": "2023-01-01T00:00:00"}),
+            _json.dumps({"delete": {"_index": "wiki", "_id": "9"}}),  # no src
+            _json.dumps({"create": {"_index": "wiki"}}),
+            _json.dumps({"url": "u2", "text": "beta gamma", "lang": "de",
+                         "warc_ts": "2023-01-02T00:00:00"}),
+            _json.dumps({"create": {"_index": "other"}}),
+            _json.dumps({"url": "u3", "text": "delta", "lang": "fr",
+                         "warc_ts": "2023-01-03T00:00:00"}),
+            "not json at all",
+        ]
+    )
+    counts = enqueue_es_bulk(root, payload)
+    assert counts == {"wiki": 2, "other": 1}
+
+    idx = str(tmp_path / "wiki_idx")
+    drain_queue(
+        spark,
+        os.path.join(root, "wiki"),
+        idx,
+        str(tmp_path / "ckpt"),
+        "url string, text string, lang string, warc_ts timestamp",
+        IndexConfig(index_id="wiki", num_splits=1),
+    )
+    reader = IndexReader(spark, idx)
+    assert count_hits(reader, SearchRequest(query="beta")).collect()[0][0] == 2
+    assert count_hits(reader, SearchRequest(query="IGNORED")).collect()[0][0] == 0
