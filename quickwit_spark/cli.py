@@ -77,6 +77,8 @@ def cmd_create(args) -> int:
 
 
 def cmd_ingest(args) -> int:
+    if getattr(args, "source", None):
+        return _ingest_from_source(args)
     spark = _spark(args)
     cfg = _load_cfg(args.index_dir, args.config)
     if args.stream:
@@ -116,6 +118,108 @@ def cmd_ingest(args) -> int:
             else None,
         }
     )
+    return 0
+
+
+def _ingest_from_source(args) -> int:
+    """`ingest --source <id>`: consume a REGISTERED source config (the
+    reference's per-source indexing pipeline). file -> batch/stream build;
+    ingest-api -> drain the durable queue; broker types are registered but
+    need a broker to consume."""
+    from quickwit_spark.index.manifest import Manifest
+
+    manifest = Manifest(args.index_dir)
+    src = manifest.get_source(args.source)
+    if not src.get("enabled", True):
+        raise SystemExit(f"source {args.source!r} is disabled")
+    params = src.get("params") or {}
+    stype = src["source_type"]
+    spark = _spark(args)
+    cfg = _load_cfg(args.index_dir, args.config)
+    if stype == "file":
+        if params.get("streaming"):
+            from quickwit_spark.streaming.indexer import (
+                index_stream_available_now,
+            )
+
+            sink = index_stream_available_now(
+                spark,
+                params["input"],
+                args.index_dir,
+                params["checkpoint_dir"],
+                cfg,
+            )
+            for bid, m in sink.batch_metrics:
+                _emit({"batch": bid, "num_docs": m.num_docs,
+                       "num_splits": m.num_splits})
+            return 0
+        from quickwit_spark.operators.build import build_index
+
+        m = build_index(
+            spark, spark.read.parquet(params["input"]), args.index_dir, cfg,
+            resume=True,
+        )
+        _emit({"num_docs": m.num_docs, "num_splits": m.num_splits,
+               "skipped_partitions": m.skipped_partitions})
+        return 0
+    if stype == "ingest-api":
+        from quickwit_spark.sources.ingest_queue import drain_queue
+
+        sink = drain_queue(
+            spark,
+            params["queue_dir"],
+            args.index_dir,
+            params["checkpoint_dir"],
+            params["schema_ddl"],
+            cfg,
+        )
+        for bid, m in sink.batch_metrics:
+            _emit({"batch": bid, "num_docs": m.num_docs,
+                   "num_splits": m.num_splits})
+        return 0
+    raise SystemExit(
+        f"source type {stype!r} needs a running broker — use the library "
+        "constructors in quickwit_spark.streaming.kafka"
+    )
+
+
+def cmd_source(args) -> int:
+    from quickwit_spark.index.manifest import Manifest
+
+    m = Manifest(args.index_dir)
+    act = args.source_action
+    if act == "create":
+        src = m.add_source(json.loads(args.payload))
+        _emit(src)
+    elif act == "list":
+        for s in sorted(m.list_sources().values(), key=lambda s: s["source_id"]):
+            _emit(s)
+    elif act == "describe":
+        _emit(m.get_source(args.source))
+    elif act == "delete":
+        m.remove_source(args.source)
+        _emit({"deleted_source": args.source})
+    elif act in ("enable", "disable"):
+        _emit(m.set_source_enabled(args.source, act == "enable"))
+    elif act == "reset-checkpoint":
+        # the reference wipes the source's checkpoint so consumption restarts
+        # from the beginning (cli.md "source reset-checkpoint"); for our
+        # file/queue sources that position IS the streaming checkpoint dir
+        import shutil
+
+        src = m.get_source(args.source)
+        ckpt = (src.get("params") or {}).get("checkpoint_dir")
+        if not ckpt:
+            raise SystemExit(
+                f"source {args.source!r} has no checkpoint_dir param"
+            )
+        shutil.rmtree(ckpt, ignore_errors=True)
+        # our positions live in TWO places: the Spark streaming checkpoint
+        # (file-source offsets) and the manifest's lineage fingerprints —
+        # both must reset for re-consumption; the (generation, partition)
+        # retirement rule then REPLACES the old splits, no duplicates
+        m.reset_checkpoints()
+        _emit({"reset_checkpoint": args.source, "checkpoint_dir": ckpt})
     return 0
 
 
@@ -475,11 +579,26 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument("--input", help="parquet path")
     src.add_argument("--table",
                      help="catalog table name (Iceberg/Delta/Hive/managed)")
+    src.add_argument("--source",
+                     help="registered source id (see `source create`)")
     sp.add_argument("--config")
     sp.add_argument("--stream", action="store_true",
                     help="availableNow streaming ingest (incremental files)")
     sp.add_argument("--checkpoint-dir")
     sp.set_defaults(fn=cmd_ingest)
+
+    sp = sub.add_parser(
+        "source", help="manage registered source configs (metastore CRUD)"
+    )
+    common(sp)
+    sp.add_argument(
+        "source_action",
+        choices=["create", "list", "describe", "delete", "enable",
+                 "disable", "reset-checkpoint"],
+    )
+    sp.add_argument("--payload", help="source config JSON (create)")
+    sp.add_argument("--source", help="source id (all actions but create/list)")
+    sp.set_defaults(fn=cmd_source)
 
     sp = sub.add_parser("search", help="BM25 top-k search")
     common(sp)

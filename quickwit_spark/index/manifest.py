@@ -245,6 +245,63 @@ class Manifest:
             self.log.commit(actions)  # one atomic clear
         return published
 
+    def reset_checkpoints(self) -> None:
+        """Forget ALL consumption positions without dropping data: the next
+        ingest of the same source re-processes it, and the (generation,
+        partition) retirement rule REPLACES the old splits — the `source
+        reset-checkpoint` semantics. Positions live in two places, both
+        cleared in one atomic commit: the lineage sidecar, and the
+        source_fingerprint carried on live original splits (the
+        published_fingerprints fallback)."""
+        state = self.log.state()
+        actions = [
+            {"op": "lineage", "generation": int(g), "drop": list(rec)}
+            for g, rec in (state.get("lineage") or {}).items()
+            if rec
+        ]
+        for d in state["splits"].values():
+            if (
+                d.get("state") == "Published"
+                and not d.get("num_merge_ops")
+                and d.get("source_fingerprint")
+            ):
+                actions.append(
+                    {"op": "upsert", "meta": {**d, "source_fingerprint": None}}
+                )
+        if actions:
+            self.log.commit(actions)
+
+    # -- source-config registry (rest-api.md "Create a source" /
+    # quickwit-config/src/source_config.rs: named per-index source configs
+    # kept in the metastore; enable/disable toggles consumption)
+    def add_source(self, source: dict) -> dict:
+        sid = source.get("source_id")
+        if not sid:
+            raise ValueError("source config requires source_id")
+        if not source.get("source_type"):
+            raise ValueError("source config requires source_type")
+        src = {"enabled": True, **source}
+        self.log.commit([{"op": "source", "source": src}])
+        return src
+
+    def list_sources(self) -> "dict[str, dict]":
+        return dict(self.log.state().get("sources") or {})
+
+    def get_source(self, source_id: str) -> dict:
+        src = self.list_sources().get(source_id)
+        if src is None:
+            raise KeyError(f"no source {source_id!r}")
+        return src
+
+    def remove_source(self, source_id: str) -> None:
+        self.get_source(source_id)  # raise on unknown
+        self.log.commit([{"op": "source_remove", "source_id": source_id}])
+
+    def set_source_enabled(self, source_id: str, enabled: bool) -> dict:
+        src = {**self.get_source(source_id), "enabled": enabled}
+        self.log.commit([{"op": "source", "source": src}])
+        return src
+
     # -- delete-task queue (the reference appends DeleteQuery tasks to the
     # metastore and the janitor executes them eventually — rest-api.md
     # "Create a delete task"; opstamp = the claiming commit's version)

@@ -144,6 +144,14 @@ class TransactionLog:
                     rec.pop(str(pid), None)
             elif op == "config":
                 state["config"] = a["config"]
+            elif op == "source":
+                # source-config registry (rest-api.md "Create a source";
+                # source_config.md shapes) — upsert by source_id
+                state.setdefault("sources", {})[
+                    a["source"]["source_id"]
+                ] = a["source"]
+            elif op == "source_remove":
+                state.setdefault("sources", {}).pop(a["source_id"], None)
             elif op == "delete_task":
                 # opstamp = the commit's claimed version: unique and ordered
                 # even under concurrent writers (the reference metastore's

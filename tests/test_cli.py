@@ -278,3 +278,66 @@ def test_cli_clear_and_split_commands(spark, pages_small, tmp_path, run):
     # rebuild, not a resume no-op (`index clear` semantics, cli.md:157-171)
     m2 = build_index(spark, pages_small, idx, cfg)
     assert m2.num_docs == 600 and m2.skipped_partitions == 0
+
+
+def test_cli_source_registry(spark, pages_small, tmp_path, run):
+    """Source-config CRUD in the metastore + `ingest --source` consuming a
+    registered file source; reset-checkpoint makes a streaming source
+    re-process from the beginning (cli.md source reset-checkpoint)."""
+    import json as _json
+    import os
+
+    idx = str(tmp_path / "srcidx")
+    cfgp = str(tmp_path / "cfg.json")
+    with open(cfgp, "w") as f:
+        _json.dump({"index_id": "pages", "num_splits": 3}, f)
+    run("create", "--index-dir", idx, "--config", cfgp)
+
+    src_dir = str(tmp_path / "in")
+    pages_small.write.mode("overwrite").parquet(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+    payload = _json.dumps(
+        {
+            "version": "0.5",
+            "source_id": "files",
+            "source_type": "file",
+            "params": {"input": src_dir, "streaming": True,
+                       "checkpoint_dir": ckpt},
+        }
+    )
+    created = run("source", "create", "--index-dir", idx, "--payload", payload)
+    assert created[0]["source_id"] == "files" and created[0]["enabled"]
+    assert [s["source_id"] for s in run("source", "list", "--index-dir", idx)] == ["files"]
+
+    out = run("ingest", "--index-dir", idx, "--source", "files")
+    assert sum(b["num_docs"] for b in out) == 600
+
+    # checkpointed: nothing new to consume
+    again = run("ingest", "--index-dir", idx, "--source", "files")
+    assert sum(b["num_docs"] for b in again) == 0
+
+    # reset-checkpoint -> full re-consumption (new generation splits)
+    r = run("source", "reset-checkpoint", "--index-dir", idx, "--source", "files")
+    assert r[0]["checkpoint_dir"] == ckpt and not os.path.exists(ckpt)
+    reingested = run("ingest", "--index-dir", idx, "--source", "files")
+    assert sum(b["num_docs"] for b in reingested) == 600
+    # the (generation, partition) retirement rule REPLACED the old splits —
+    # re-consumption after a reset never duplicates docs
+    assert run("count", "--index-dir", idx, "--query", "*") == [
+        {"num_hits": 600}
+    ]
+
+    # disable blocks consumption; enable restores it
+    disabled = run("source", "disable", "--index-dir", idx, "--source", "files")
+    assert disabled[0]["enabled"] is False
+    import pytest
+
+    from quickwit_spark import cli as _cli
+
+    with pytest.raises(SystemExit, match="disabled"):
+        _cli.main(["ingest", "--index-dir", idx, "--source", "files"])
+    run("source", "enable", "--index-dir", idx, "--source", "files")
+    d = run("source", "describe", "--index-dir", idx, "--source", "files")
+    assert d[0]["enabled"] is True
+    run("source", "delete", "--index-dir", idx, "--source", "files")
+    assert run("source", "list", "--index-dir", idx) == []
