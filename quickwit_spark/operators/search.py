@@ -1171,10 +1171,16 @@ class Searcher:
                 "split_id", "docid", F.lit(0.0).alias("score")
             )
 
-        # per-(split, field) avgdl as a tiny broadcast relation
+        # per-(split, field) avgdl as a tiny broadcast relation. A split
+        # with no docs carrying this field has no avgdl entry — legal, and
+        # it can't produce matches; if it somehow DOES (stats/manifest
+        # inconsistency), fail loudly instead of scoring with a default
+        # (the kernels at :390/:562 raise KeyError for the same condition).
         amap = self._avgdl_map(split_ids)
         fld = pre[:-1] if pre else ""
-        avg_rows = [(sid, amap.get((sid, fld), 1.0)) for sid in split_ids]
+        avg_rows = [
+            (sid, amap[(sid, fld)]) for sid in split_ids if (sid, fld) in amap
+        ]
         avg_df = F.broadcast(
             self.reader.spark.createDataFrame(
                 avg_rows, "split_id string, avgdl double"
@@ -1186,7 +1192,21 @@ class Searcher:
             + F.lit(BM25_K1)
             * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
         )
-        return pf_df.join(avg_df, "split_id").select(
+        return (
+            pf_df.join(avg_df, "split_id", "left")
+            .withColumn(
+                "avgdl",
+                F.when(F.col("avgdl").isNotNull(), F.col("avgdl")).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("missing avgdl for split "),
+                            F.col("split_id"),
+                            F.lit(f" field {fld!r} — stats inconsistency"),
+                        )
+                    )
+                ),
+            )
+        ).select(
             "split_id",
             "docid",
             (F.col("idf_sum") * tf_norm).alias("score"),

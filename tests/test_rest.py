@@ -1,0 +1,134 @@
+"""REST endpoint-body analogs: the api/v1 search envelope and the
+ES-compatible `_search` parameter surface (quickwit_spark/rest.py)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from quickwit_spark.operators.search import SearchRequest, count_hits, search
+from quickwit_spark.rest import es_search_endpoint, search_endpoint
+
+
+def test_search_envelope_matches_operators(small_index):
+    """The envelope is a faithful wrapper: num_hits == count_hits, hits ==
+    the top-k fetch in order, elapsed/errors present (rest-api.md:73-81)."""
+    body = search_endpoint(
+        small_index, {"query": "w30", "max_hits": "5"}
+    )
+    req = SearchRequest(query="w30", max_hits=5)
+    n = count_hits(small_index, req).collect()[0]["num_hits"]
+    top = search(small_index, req, fetch_fields=("url",)).collect()
+    assert body["num_hits"] == n > 5
+    assert [h["url"] for h in body["hits"]] == [r["url"] for r in top]
+    assert body["errors"] == []
+    assert isinstance(body["elapsed_time_micros"], int)
+    # the hit is the USER's doc: stored fields present, internals absent
+    h = body["hits"][0]
+    assert {"url", "text", "lang", "warc_ts"} <= set(h)
+    assert "docid" not in h and "norm_len" not in h and "doc_len" not in h
+    # ts column renamed back to the configured timestamp field
+    assert "ts" not in h
+
+
+def test_search_envelope_count_only_and_aggs(small_index):
+    """max_hits=0 + aggs is the canonical analytics request
+    (aggregation.md:39-59): hits stays [], aggs render in the ES JSON
+    response shape (aggregation.md:502-620)."""
+    aggs = {
+        "langs": {"terms": {"field": "lang", "size": 3}},
+        "len_stats": {"stats": {"field": "doc_len"}},
+    }
+    body = search_endpoint(
+        small_index,
+        {"query": "*", "max_hits": 0, "aggs": json.dumps(aggs)},
+    )
+    assert body["hits"] == [] and body["num_hits"] == 600
+    langs = body["aggs"]["langs"]
+    assert langs["doc_count_error_upper_bound"] == 0
+    assert sum(b["doc_count"] for b in langs["buckets"]) + langs[
+        "sum_other_doc_count"
+    ] == 600
+    assert all({"key", "doc_count"} <= set(b) for b in langs["buckets"])
+    st = body["aggs"]["len_stats"]
+    assert st["count"] == 600 and st["min"] <= st["avg"] <= st["max"]
+
+
+def test_search_envelope_metric_child_rendering(small_index):
+    """Metric children re-nest as {"value": v} inside buckets — the ES
+    response contract (aggregation.md:509-517)."""
+    aggs = {
+        "by_lang": {
+            "terms": {"field": "lang", "size": 2},
+            "aggs": {"avg_len": {"avg": {"field": "doc_len"}}},
+        }
+    }
+    body = search_endpoint(
+        small_index, {"query": "*", "max_hits": 0, "aggs": aggs}
+    )
+    b0 = body["aggs"]["by_lang"]["buckets"][0]
+    assert isinstance(b0["avg_len"], dict) and "value" in b0["avg_len"]
+    assert b0["avg_len"]["value"] > 0
+
+
+def test_search_envelope_snippets_and_sort(small_index):
+    body = search_endpoint(
+        small_index,
+        {
+            "query": "w40",
+            "max_hits": 3,
+            "snippet_fields": "text",
+            "sort_by_field": "-warc_ts",
+        },
+    )
+    hits = body["hits"]
+    assert len(hits) == 3
+    assert all("w40" in h["_snippets"]["text"].lower() for h in hits)
+    ts = [h["warc_ts"] for h in hits]
+    assert ts == sorted(ts, reverse=True)
+
+
+def test_search_endpoint_requires_query(small_index):
+    with pytest.raises(ValueError, match="query"):
+        search_endpoint(small_index, {"max_hits": 5})
+
+
+def test_es_search_envelope(small_index):
+    """ES param surface (api_specs.rs:31-140) -> ES hits envelope; ranking
+    identical to the native search path."""
+    body = es_search_endpoint(
+        small_index, {"q": "w30 w40", "size": "4", "from": "0"}
+    )
+    assert body["timed_out"] is False
+    assert body["hits"]["total"]["relation"] == "eq"
+    req = SearchRequest(query="w30 w40", max_hits=4)
+    top = search(small_index, req, fetch_fields=("url",)).collect()
+    got = body["hits"]["hits"]
+    assert [h["_source"]["url"] for h in got] == [r["url"] for r in top]
+    assert [h["_score"] for h in got] == [r["score"] for r in top]
+    assert body["hits"]["max_score"] == got[0]["_score"]
+    assert got[0]["_index"] == "pages"
+    # pagination: from=2 drops the first two
+    page2 = es_search_endpoint(
+        small_index, {"q": "w30 w40", "size": "2", "from": "2"}
+    )
+    assert [h["_id"] for h in page2["hits"]["hits"]] == [
+        h["_id"] for h in got[2:4]
+    ]
+
+
+def test_es_search_source_includes(small_index):
+    body = es_search_endpoint(
+        small_index,
+        {"q": "w30", "size": 2, "_source_includes": "url,lang"},
+    )
+    for h in body["hits"]["hits"]:
+        assert set(h["_source"]) == {"url", "lang"}
+
+
+def test_es_search_rejects_or_operator(small_index):
+    with pytest.raises(ValueError, match="default_operator"):
+        es_search_endpoint(
+            small_index, {"q": "a", "default_operator": "OR"}
+        )
