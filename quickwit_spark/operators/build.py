@@ -174,6 +174,11 @@ class IndexConfig:
     # canonical 16-byte hex form by DocMapper): searchers must rewrite query
     # constants on these fields into that domain (mapping_tree.rs:90-99)
     ip_fields: tuple[str, ...] = ()
+    # search_settings.default_search_fields (index_config/mod.rs:198): the
+    # text fields UNQUALIFIED query terms search when the request carries no
+    # search_field list (rest-api.md search_field default). Empty = the
+    # index's single default text field.
+    default_search_fields: tuple[str, ...] = ()
     # VRL-subset ingest transform run before indexing (the reference's
     # per-source `transform:` block, doc_processor.rs:369-399; compiled to
     # Column expressions by functions/vrl.py). Rows failing a `!`-marked
@@ -767,6 +772,8 @@ def build_index(
         ),
         "routing_col": cfg.routing_col,
         "ip_fields": list(cfg.ip_fields),
+        # a search SETTING, not a layout invariant — rebuilds may change it
+        "default_search_fields": list(cfg.default_search_fields),
         "split_num_docs_target": cfg.split_num_docs_target,
         "split_memory_budget_bytes": cfg.split_memory_budget_bytes,
     }

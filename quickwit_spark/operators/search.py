@@ -25,7 +25,7 @@ documented PartialHit contract (search_api.proto:207-218).
 from __future__ import annotations
 
 from collections.abc import Iterator
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 import numpy as np
 import pandas as pd
@@ -626,6 +626,12 @@ class Searcher:
         # ip-typed fast fields store the canonical 16-byte hex form; query
         # constants on them must be rewritten into that domain
         self.ip_fields = set(icfg.get("ip_fields", []) or [])
+        # search_settings.default_search_fields (index_config/mod.rs:198):
+        # the per-request search_field list overrides it; empty means the
+        # single default text field (no expansion)
+        self.default_search_fields = tuple(
+            icfg.get("default_search_fields", []) or []
+        )
 
     def _ip_const(self, field: str, value: str) -> str:
         from quickwit_spark.functions.ip import ip_canon_py
@@ -1413,9 +1419,14 @@ def _with_search_fields(
 ) -> Node:
     """Apply the request's ``search_field`` list (rest-api.md): unqualified
     terms expand to a per-term disjunction over the named text fields. Every
-    named field must be indexed text (default or extra_text_fields)."""
-    if not request.search_fields:
+    named field must be indexed text (default or extra_text_fields). When
+    the request names none, the index's persisted
+    ``search_settings.default_search_fields`` applies (the rest-api.md
+    parameter default; index_config/mod.rs:198)."""
+    fields = request.search_fields or searcher.default_search_fields
+    if not fields:
         return ast
+    request = replace(request, search_fields=tuple(fields))
     for f_ in request.search_fields:
         if searcher._ns_prefix(f_) is None:
             raise ValueError(

@@ -291,7 +291,20 @@ def render_aggs(request: dict, results: dict) -> dict:
             if has_terms_child:
                 out[name] = {"buckets": _nest_terms_child(spec, rows)}
                 continue
-            body: dict = {"buckets": _bucket_rows(spec, rows)}
+            buckets = _bucket_rows(spec, rows)
+            # `keyed: true` (aggregation.md histogram/range parameters)
+            # returns buckets as an object keyed by bucket key
+            if spec[kind].get("keyed") and kind in (
+                "histogram", "date_histogram", "range"
+            ):
+                keyed = {}
+                for b in buckets:
+                    k = b.pop("key")
+                    keyed[str(k)] = b
+                body: dict = {"buckets": keyed}
+                out[name] = body
+                continue
+            body = {"buckets": buckets}
             if kind == "terms":
                 soc = 0
                 if rows and "sum_other_doc_count" in rows[0]:

@@ -199,3 +199,44 @@ def test_search_fields_must_be_text_fields(mf_index):
             SearchRequest(query="common", search_fields=("url",)),
             fetch_fields=(),
         ).collect()
+
+
+def test_index_level_default_search_fields(spark, tmp_path):
+    """search_settings.default_search_fields (index_config/mod.rs:198):
+    persisted at build, applied when the request names no search_field,
+    overridden when it does."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.operators.build import IndexConfig, build_index
+    from quickwit_spark.operators.search import (
+        IndexReader,
+        SearchRequest,
+        search,
+    )
+    from quickwit_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, 200, partitions=2).withColumn(
+        "title", F.concat(F.lit("zebra title "), F.col("url"))
+    )
+    idx = str(tmp_path / "dsf_idx")
+    build_index(
+        spark,
+        pages,
+        idx,
+        IndexConfig(
+            index_id="dsf",
+            num_splits=2,
+            extra_text_fields=("title",),
+            default_search_fields=("text", "title"),
+        ),
+    )
+    reader = IndexReader(spark, idx)
+    # "zebra" lives only in title; with the index default it matches
+    by_default = search(reader, SearchRequest(query="zebra", max_hits=5))
+    assert by_default.count() == 5
+    # an explicit request list overrides the index default
+    text_only = search(
+        reader,
+        SearchRequest(query="zebra", max_hits=5, search_fields=("text",)),
+    )
+    assert text_only.count() == 0

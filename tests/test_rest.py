@@ -132,3 +132,20 @@ def test_es_search_rejects_or_operator(small_index):
         es_search_endpoint(
             small_index, {"q": "a", "default_operator": "OR"}
         )
+
+
+def test_keyed_histogram_rendering(small_index):
+    """`keyed: true` returns buckets as an object keyed by bucket key
+    (aggregation.md histogram **keyed** parameter)."""
+    aggs = {
+        "lens": {
+            "histogram": {"field": "doc_len", "interval": 500, "keyed": True}
+        }
+    }
+    body = search_endpoint(
+        small_index, {"query": "*", "max_hits": 0, "aggs": aggs}
+    )
+    buckets = body["aggs"]["lens"]["buckets"]
+    assert isinstance(buckets, dict) and len(buckets) >= 2
+    assert sum(b["doc_count"] for b in buckets.values()) == 600
+    assert all("key" not in b for b in buckets.values())
