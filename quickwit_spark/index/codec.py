@@ -47,24 +47,52 @@ def bitpack(vals: np.ndarray, width: int) -> bytes:
 
 
 def _pack_ragged(rows: list[np.ndarray], widths: list[int]) -> list[bytes]:
-    """Batched bitpack: rows grouped by width, one shift+packbits matrix op
-    per distinct width instead of one per row. Identical bytes to
-    ``bitpack(row, width)`` per row (zero padding to the byte boundary).
-
-    The per-block python-allocation storm was the build kernel's hot spot —
-    a split has tens of thousands of 128-entry blocks but only a handful of
-    distinct bit widths, so batching turns ~3 numpy allocations per block
-    into ~3 per width."""
+    """Batched bitpack of independent row arrays: identical bytes to
+    ``bitpack(row, width)`` per row. Thin wrapper over :func:`_pack_blocks`
+    (rows are concatenated once so the block packer sees one global array).
+    """
     k = len(rows)
-    out: list[bytes] = [b""] * k
     if k == 0:
-        return out
+        return []
     if k <= 3:
         # short posting lists (the Zipf tail: most terms) — the grouping
         # machinery costs more than it saves below a few blocks
         return [bitpack(r, w) for r, w in zip(rows, widths)]
+    lens = np.fromiter((len(r) for r in rows), dtype=np.int64, count=k)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    values = (
+        np.concatenate([np.asarray(r, dtype=np.int64) for r in rows])
+        if ends[-1]
+        else np.zeros(0, dtype=np.int64)
+    )
+    return _pack_blocks(values, starts, ends, np.asarray(widths, np.int64))
+
+
+def _pack_blocks(
+    values: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    widths: np.ndarray,
+) -> list[bytes]:
+    """Bitpack the slices ``values[starts[i]:ends[i]]`` (one per block), each
+    at ``widths[i]`` bits — byte-identical to per-slice ``bitpack``, without
+    ever materializing per-block row arrays (a split has tens of thousands
+    of blocks; the python slice objects alone used to dominate the kernel).
+
+    Word-level packing: 8 values of width w are EXACTLY w bytes of the
+    big-endian bit stream, assembled in ceil(w/8) uint64 lanes by shift-OR —
+    ~1 vector op per value at uint64 width vs the old bit-matrix expansion's
+    w ops per value (and its rows x lmax x w intermediate). Trailing zero
+    VALUES in a padded 8-group contribute zero BITS, which is bitpack's own
+    zero padding; per-row truncation to ceil(len*w/8) bytes is unchanged."""
+    k = len(starts)
+    out: list[bytes] = [b""] * k
+    if k == 0:
+        return out
     warr = np.asarray(widths, dtype=np.int64)
-    lens_all = np.fromiter((len(r) for r in rows), dtype=np.int64, count=k)
+    starts = np.asarray(starts, dtype=np.int64)
+    lens_all = (np.asarray(ends, dtype=np.int64) - starts).astype(np.int64)
     for w in np.unique(warr):
         if w == 0:
             continue
@@ -72,7 +100,6 @@ def _pack_ragged(rows: list[np.ndarray], widths: list[int]) -> list[bytes]:
         # sort by length and chunk so rows*max_len stays bounded — one
         # outlier-length row must not inflate the whole group's pad matrix
         idx = idx[np.argsort(lens_all[idx], kind="stable")]
-        shifts = np.arange(w - 1, -1, -1, dtype=np.uint64)
         start = 0
         budget = 4_000_000  # padded elements per chunk
         while start < len(idx):
@@ -88,36 +115,37 @@ def _pack_ragged(rows: list[np.ndarray], widths: list[int]) -> list[bytes]:
                 start = end
                 continue
             lens = lens_all[sub]
-            # narrowest dtype that holds values < 2^w: the bit expansion
-            # below allocates (rows x lmax x w) — doing it in uint64 was an
-            # 8x memory-traffic storm
-            if w <= 8:
-                dt = np.uint8
-            elif w <= 16:
-                dt = np.uint16
-            elif w <= 32:
-                dt = np.uint32
-            else:
-                dt = np.uint64
-            # scatter-fill the padded matrix in one vectorized assignment
-            flat = np.concatenate([rows[i] for i in sub]).astype(dt)
+            lmax8 = (lmax + 7) & ~7  # pad rows to whole 8-value groups
             tot = int(lens.sum())
             cum = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            dest = (
-                np.repeat(np.arange(len(sub), dtype=np.int64) * lmax - cum, lens)
-                + np.arange(tot, dtype=np.int64)
-            )
-            mat = np.zeros(len(sub) * lmax, dtype=dt)
-            mat[dest] = flat
-            mat = mat.reshape(len(sub), lmax)
-            sh = shifts.astype(dt)
-            bits = (
-                ((mat[:, :, None] >> sh[None, None, :]) & dt(1)).astype(
-                    np.uint8, copy=False
-                )
-            ).reshape(len(sub), -1)
-            packed = np.packbits(bits, axis=1)
-            nbytes = (lens * int(w) + 7) // 8
+            # position of each value within its block, shared by the
+            # source gather and the padded-matrix scatter
+            pos = np.arange(tot, dtype=np.int64) - np.repeat(cum, lens)
+            src = np.repeat(starts[sub], lens) + pos
+            dest = np.repeat(
+                np.arange(len(sub), dtype=np.int64) * lmax8, lens
+            ) + pos
+            mat = np.zeros(len(sub) * lmax8, dtype=np.uint64)
+            mat[dest] = values[src].astype(np.uint64)
+            grp = mat.reshape(-1, 8)  # row-major: a row's groups contiguous
+            w_i = int(w)
+            n_lanes = (w_i + 7) // 8
+            lanes = np.zeros((len(grp), n_lanes), dtype=np.uint64)
+            for j in range(8):
+                v = grp[:, j]
+                b1 = (j + 1) * w_i  # stream bit past value j (MSB-first)
+                k0 = (j * w_i) // 64
+                k1 = (b1 - 1) // 64
+                if k0 == k1:
+                    lanes[:, k0] |= v << np.uint64(64 * (k0 + 1) - b1)
+                else:  # value straddles two lanes (wraparound drops the
+                    # hi bits already placed in lane k0)
+                    lanes[:, k0] |= v >> np.uint64(b1 - 64 * (k0 + 1))
+                    lanes[:, k1] |= v << np.uint64(64 * (k1 + 1) - b1)
+            # lane uint64s -> big-endian bytes; each group keeps w of them
+            gbytes = lanes.byteswap().view(np.uint8)[:, :w_i]
+            packed = np.ascontiguousarray(gbytes).reshape(len(sub), -1)
+            nbytes = (lens * w_i + 7) // 8
             for j, i in enumerate(sub):
                 out[i] = packed[j, : nbytes[j]].tobytes()
             start = end

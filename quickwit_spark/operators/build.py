@@ -58,7 +58,7 @@ from quickwit_spark import BLOCK_SIZE
 from quickwit_spark.functions.fieldnorm import quantize_len_expr
 from quickwit_spark.functions.tokenize import analyzer_expr, tokenize_expr
 from quickwit_spark.index.codec import (
-    _pack_ragged,
+    _pack_blocks,
     _width,
     encode_position_blocks,
     encode_postings,
@@ -450,10 +450,11 @@ def _encode_arrow_split(batches: list, with_positions: bool = False) -> "pa.Reco
     tf_cum = np.concatenate([[0], np.cumsum(tf)])
     if with_positions:
         # per-posting position gaps, resets (+1 shift) at posting starts —
-        # computed once for the whole split
-        g_all = pos_sorted.copy()
+        # computed once for the whole split, no copy pass
+        g_all = np.empty(total, dtype=np.int64)
         if total:
-            g_all[1:] -= pos_sorted[:-1]
+            g_all[0] = 0
+            np.subtract(pos_sorted[1:], pos_sorted[:-1], out=g_all[1:])
             g_all[idx] = pos_sorted[idx] + 1
     # vectorized block boundaries: ceil(df / BLOCK_SIZE) blocks per term,
     # all starts/ends computed in one pass (the per-term python loop used
@@ -465,10 +466,6 @@ def _encode_arrow_split(batches: list, with_positions: bool = False) -> "pa.Reco
     within = np.arange(tot_b, dtype=np.int64) - np.repeat(nb_cum[:-1], nb)
     s_arr = np.repeat(bounds[:-1], nb) + within * BLOCK_SIZE
     e_arr = np.minimum(s_arr + BLOCK_SIZE, np.repeat(bounds[1:], nb))
-    gap_rows = [gaps_global[s + 1 : e] for s, e in zip(s_arr, e_arr)]
-    tf_rows = [tfm1[s:e] for s, e in zip(s_arr, e_arr)]
-    if with_positions:
-        pos_rows = [g_all[tf_cum[s] : tf_cum[e]] for s, e in zip(s_arr, e_arr)]
 
     # vectorized per-block maxima/widths (reduceat + frexp); the excluded
     # cross-block gap at each block start is zeroed so it never raises a max
@@ -477,22 +474,30 @@ def _encode_arrow_split(batches: list, with_positions: bool = False) -> "pa.Reco
         return np.maximum(w, 1).astype(np.int64)
 
     sarr = s_arr
-    g2 = gaps_global.copy()
-    g2[sarr] = 0
-    gmax = np.maximum.reduceat(g2, sarr) if len(sarr) else np.zeros(0, np.int64)
+    # block-start gaps (cross-term deltas can even be negative) are excluded
+    # from both the block max and the packed payload — zero them IN PLACE
+    # (gaps_global has no other reader past this point)
+    gaps_global[sarr] = 0
+    gmax = (
+        np.maximum.reduceat(gaps_global, sarr)
+        if len(sarr)
+        else np.zeros(0, np.int64)
+    )
     tmax = np.maximum.reduceat(tfm1, sarr) if len(sarr) else np.zeros(0, np.int64)
     maxtf = np.maximum.reduceat(tf, sarr) if len(sarr) else np.zeros(0, np.int64)
-    gws = _widths_of(gmax).tolist()
-    tws = _widths_of(tmax).tolist()
-    gap_bytes = _pack_ragged(gap_rows, gws)
-    tf_bytes = _pack_ragged(tf_rows, tws)
+    gws = _widths_of(gmax)
+    tws = _widths_of(tmax)
+    # payloads packed straight out of the global arrays — per-block slices
+    # never materialize (the python slice objects used to dominate)
+    gap_bytes = _pack_blocks(gaps_global, s_arr + 1, e_arr, gws)
+    tf_bytes = _pack_blocks(tfm1, s_arr, e_arr, tws)
     if with_positions:
         pstarts = tf_cum[sarr]
         pmax = (
             np.maximum.reduceat(g_all, pstarts) if len(sarr) else np.zeros(0, np.int64)
         )
-        pws = _widths_of(pmax).tolist()
-        pos_bytes = _pack_ragged(pos_rows, pws)
+        pws = _widths_of(pmax)
+        pos_bytes = _pack_blocks(g_all, pstarts, tf_cum[e_arr], pws)
 
     # columnar output assembly: block structs built directly from the numpy
     # arrays (StructArray + ListArray with the per-term block-count offsets)
