@@ -26,6 +26,7 @@ from quickwit_spark.entry_helpers import (
     N_GATE_SPLITS,
     ORACLE_PRELUDE,
     ORACLE_PRELUDE_STEM,
+    SHINGLES,
     TOKENIZE,
     _sql_list,
     bm25_and_sql,
@@ -589,6 +590,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), threshold=0.46
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
+    def pipeline_clean_corpus(s: SparkSession, d: str) -> DataFrame:
+        # lang/quality gate -> exact dedup keep-first -> trigram near-dup
+        # removal, end-to-end (operators/pipeline.py clean_corpus)
+        from quickwit_spark.operators.pipeline import clean_corpus
+
+        return clean_corpus(
+            docs_df(s, d), langs=("en", "de"), min_quality=0.5,
+            jaccard_threshold=0.8,
+        )
+
+    q["pipeline_clean_corpus"] = pipeline_clean_corpus
+
     def sim_topk(s: SparkSession, d: str) -> DataFrame:
         emb = _emb(s, d)
         qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -944,6 +957,46 @@ SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM f GROUP BY 1
 """
     o["dedup_ngram_pairs"] = ngram_jaccard_sql(0.8)
+    o["pipeline_clean_corpus"] = f"""
+WITH t AS (SELECT doc_id, text, {TOKENIZE} AS toks FROM documents),
+s AS (SELECT doc_id, toks,
+  CASE
+    WHEN regexp_matches(text, '[一-鿿㐀-䶿]') THEN 'zh'
+    WHEN {mx} = 0 THEN 'und'
+    WHEN {hits['de']} = {mx} THEN 'de'
+    WHEN {hits['en']} = {mx} THEN 'en'
+    WHEN {hits['es']} = {mx} THEN 'es'
+    ELSE 'fr' END AS lang_pred,
+  round((CASE WHEN len(toks) > 0 THEN
+      0.4 * least(1.0, len(toks)::DOUBLE / 100.0)
+    + 0.3 * least(1.0,
+        (len(list_filter(toks, x -> list_contains({all_stop}, x)))::DOUBLE
+         / len(toks)::DOUBLE) * 5.0)
+    + 0.3 * least(1.0,
+        (list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+         / len(toks)::DOUBLE) / 8.0)
+    ELSE 0.0 END) + 1e-9, 4) AS quality,
+  md5(array_to_string(toks, ' ')) AS fp
+FROM t),
+kept AS (SELECT * FROM s
+         WHERE lang_pred IN ('en', 'de') AND quality >= 0.5),
+ex AS (SELECT k.* FROM kept k
+       JOIN (SELECT fp, min(doc_id) AS keep FROM kept GROUP BY fp) g
+         ON k.fp = g.fp AND k.doc_id = g.keep),
+sh AS (SELECT doc_id, unnest({SHINGLES}) AS sh FROM ex),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+          FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+dropped AS (SELECT DISTINCT i.id_b AS doc_id
+            FROM inter i
+            JOIN sz sa ON i.id_a = sa.doc_id
+            JOIN sz sb ON i.id_b = sb.doc_id
+            WHERE i.n / (sa.s + sb.s - i.n) >= 0.8)
+SELECT doc_id, lang_pred, quality FROM ex
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY doc_id
+"""
     o["dedup_minhash_pairs"] = minhash_lsh_sql(0.8)
     o["dedup_simhash"] = simhash_sql(16)
     o["dedup_emb_pairs"] = """

@@ -233,6 +233,29 @@ def cmd_search(args) -> int:
 
     spark = _spark(args)
     reader = IndexReader(spark, args.index_dir)
+    if getattr(args, "envelope", False):
+        # the reference CLI emits the full search JSON envelope — its docs
+        # pipe `quickwit index search ... | jq '.hits[].title'` (cli.md:385)
+        from quickwit_spark.rest import search_endpoint
+
+        params = {
+            "query": args.query,
+            "max_hits": args.max_hits,
+            "start_offset": args.start_offset,
+            "start_timestamp": args.start_timestamp,
+            "end_timestamp": args.end_timestamp,
+            "search_field": args.search_field,
+            "snippet_fields": args.snippet_fields,
+            "sort_by_field": args.sort_by,
+        }
+        if args.aggs:
+            params["aggs"] = json.loads(args.aggs)
+        _emit(
+            search_endpoint(
+                reader, params, tolerate_failures=args.tolerate_failures
+            )
+        )
+        return 0
     req = SearchRequest(
         query=args.query,
         max_hits=args.max_hits,
@@ -616,6 +639,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--aggs", default=None,
                     help="ES-JSON aggregations object run over the matching "
                          "docs (aggregation.md format)")
+    sp.add_argument("--envelope", action="store_true",
+                    help="emit the full search JSON envelope (hits/num_hits/"
+                         "elapsed_time_micros/aggs) like the reference CLI")
+    sp.add_argument("--snippet-fields", default=None,
+                    help="comma-separated fields to snippet (envelope mode)")
     sp.add_argument("--tolerate-failures", action="store_true",
                     help="skip unreadable splits, report them (root.rs:203)")
     sp.set_defaults(fn=cmd_search)

@@ -53,14 +53,11 @@ def token_count(df: DataFrame, text_col: str = "text",
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
-    """Heuristic language ID: CJK-codepoint presence => 'zh', else the
-    language whose stopword list has the highest hit ratio (ties broken by
-    language code, no hits => 'und'). Deterministic, SQL-expressible."""
-    toks = tokenize_expr(F.col(text_col))
-    df = df.select(F.col(id_col), toks.alias("_toks"), F.col(text_col))
-    hit_cols = {lang: _stop_hits(F.col("_toks"), lang) for lang in STOPWORDS}
+def lang_pred_expr(text: Column, toks: Column) -> Column:
+    """Heuristic language-ID expression: CJK-codepoint presence => 'zh',
+    else the language whose stopword list has the highest hit count (ties
+    broken by language code, no hits => 'und')."""
+    hit_cols = {lang: _stop_hits(toks, lang) for lang in STOPWORDS}
     best = F.lit("und")
     best_hits = F.lit(0)
     for lang in sorted(STOPWORDS):
@@ -69,10 +66,18 @@ def lang_id(df: DataFrame, text_col: str = "text",
         cond = hit_cols[lang] > best_hits
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_hits = F.when(cond, hit_cols[lang]).otherwise(best_hits)
-    has_cjk = F.col(text_col).rlike(r"[一-鿿㐀-䶿]")
+    has_cjk = text.rlike(r"[一-鿿㐀-䶿]")
+    return F.when(has_cjk, F.lit("zh")).otherwise(best)
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID per document. Deterministic, SQL-expressible."""
+    toks = tokenize_expr(F.col(text_col))
+    df = df.select(F.col(id_col), toks.alias("_toks"), F.col(text_col))
     return df.select(
         F.col(id_col),
-        F.when(has_cjk, F.lit("zh")).otherwise(best).alias("lang_pred"),
+        lang_pred_expr(F.col(text_col), F.col("_toks")).alias("lang_pred"),
     )
 
 
@@ -89,15 +94,22 @@ def quality_score(df: DataFrame, text_col: str = "text",
     """
     toks = tokenize_expr(F.col(text_col))
     df = df.select(F.col(id_col), toks.alias("_toks"))
-    n = F.size("_toks").cast("double")
+    return df.select(
+        F.col(id_col), quality_expr(F.col("_toks")).alias("quality")
+    )
+
+
+def quality_expr(toks: Column) -> Column:
+    """The quality heuristic as a reusable expression over a token array."""
+    n = F.size(toks).cast("double")
     stop_all = F.array(
         *[F.lit(w) for w in sorted({w for ws in STOPWORDS.values() for w in ws})]
     )
     n_stop = F.size(
-        F.filter(F.col("_toks"), lambda t: F.array_contains(stop_all, t))
+        F.filter(toks, lambda t: F.array_contains(stop_all, t))
     ).cast("double")
     tok_chars = F.aggregate(
-        F.col("_toks"), F.lit(0), lambda acc, t: acc + F.length(t)
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
     ).cast("double")
     mean_len = F.when(n > 0, tok_chars / n).otherwise(F.lit(0.0))
     stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
@@ -106,13 +118,10 @@ def quality_score(df: DataFrame, text_col: str = "text",
         + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * F.lit(5.0))
         + F.lit(0.3) * F.least(F.lit(1.0), mean_len / F.lit(8.0))
     )
-    return df.select(
-        F.col(id_col),
-        # +1e-9 before rounding: the score can land within 1 ulp of a
-        # .00005 boundary where Spark and an independent engine (the DuckDB
-        # oracle applies the same bias) would round apart
-        F.round(q + F.lit(1e-9), 4).alias("quality"),
-    )
+    # +1e-9 before rounding: the score can land within 1 ulp of a .00005
+    # boundary where Spark and an independent engine (the DuckDB oracle
+    # applies the same bias) would round apart
+    return F.round(q + F.lit(1e-9), 4)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",

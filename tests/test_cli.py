@@ -341,3 +341,16 @@ def test_cli_source_registry(spark, pages_small, tmp_path, run):
     assert d[0]["enabled"] is True
     run("source", "delete", "--index-dir", idx, "--source", "files")
     assert run("source", "list", "--index-dir", idx) == []
+
+
+def test_cli_search_envelope(spark, small_index, run):
+    """`search --envelope` emits the reference CLI's JSON response shape
+    (cli.md:385 pipes `.hits[].title` through jq)."""
+    out = run(
+        "search", "--index-dir", small_index.index_dir, "--query", "w30",
+        "--max-hits", "3", "--envelope", "--snippet-fields", "text",
+    )
+    body = out[0]
+    assert body["num_hits"] > 3 and len(body["hits"]) == 3
+    assert all("w30" in h["_snippets"]["text"] for h in body["hits"])
+    assert body["errors"] == [] and "elapsed_time_micros" in body

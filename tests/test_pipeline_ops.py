@@ -279,3 +279,35 @@ def test_metadata_warm_mode(spark, small_index):
     hits = search(small_index, SearchRequest(query="w0", max_hits=5))
     assert hits.count() > 0
     small_index.refresh()
+
+
+def test_clean_corpus_pipeline(spark):
+    """clean_corpus end-to-end semantics on a hand-built corpus: lang gate,
+    quality gate, exact keep-first, greedy near-dup drop."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.operators.pipeline import clean_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs to the river "
+        "with a friend of the family in a warm morning " * 3
+    )
+    near = good.replace("warm morning", "cold morning")
+    rows = [
+        (1, good),                      # survives
+        (2, good),                      # exact dup of 1 -> dropped
+        (3, near),                      # near-dup of 1 (jaccard high) -> dropped
+        (4, "le la les de des et est un une du que qui dans pour " * 8),  # fr
+        (5, "zz qq xx " * 2),           # low quality (short, no stopwords)
+        (6, "completely different english text the and of to in a is that "
+            "for it was on are with as be at by this have done " * 3),  # survives
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus(
+        df, langs=("en",), min_quality=0.5, jaccard_threshold=0.6
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {1, 6}
+    # survivors carry their lang/quality columns
+    r1 = out.filter(F.col("doc_id") == 1).first()
+    assert r1["lang_pred"] == "en" and r1["quality"] >= 0.5
