@@ -658,13 +658,18 @@ class Searcher:
 
     # ---- term universe --------------------------------------------------
     def _collect_text_terms(
-        self, node: Node, include_phrases: bool = True
+        self, node: Node, include_phrases: bool = True,
+        skip_must_not: bool = False,
     ) -> list[str]:
         """STORAGE terms (namespaced for extra text fields) feeding the
         scored-terms table. Multi-token phrases are excluded when the
         positions path will handle them (their postings would be decoded
         twice otherwise); single-token phrases degrade to term queries and
-        always stay in."""
+        always stay in. ``skip_must_not`` collects only terms appearing in
+        a POSITIVE context — must_not-only terms are anti-join membership
+        tests whose scores are discarded, so their postings take the
+        docids-only decode (no tf unpack, no fieldnorms — the
+        collector.rs:413-421 opt-out applied per-clause)."""
         out: list[str] = []
 
         def walk(n: Node) -> None:
@@ -686,7 +691,10 @@ class Searcher:
             elif isinstance(n, Boost):
                 walk(n.child)
             elif isinstance(n, Bool):
-                for c in n.must + n.should + n.must_not:
+                kids = n.must + n.should
+                if not skip_must_not:
+                    kids = kids + n.must_not
+                for c in kids:
                     walk(c)
 
         walk(node)
@@ -772,14 +780,7 @@ class Searcher:
         # ^ explicit projection: the positions column must stay pruned out of
         # the parquet scan on the term/WAND hot path
         if not self.scoring:
-            # docids-only decode: no tf unpack, no fieldnorm cache, no avgdl
-            # map, no split-stats broadcast join — matches stay score-0
-            matched = post.select("split_id", "term", "blocks").mapInPandas(
-                _make_decode_postings_docids_rows(), MATCHED_SCHEMA
-            )
-            return matched.select(
-                "term", "split_id", "docid", F.lit(0.0).alias("score")
-            )
+            return self.matched_zero_terms(terms, split_ids)
         decoded = post.mapInPandas(
             _make_decode_postings_rows(
                 self.reader.index_dir,
@@ -789,6 +790,28 @@ class Searcher:
             DECODED_SCHEMA,
         )
         return self._score_decoded(decoded, split_ids)
+
+    def matched_zero_terms(
+        self, terms: list[str], split_ids: list[str]
+    ) -> DataFrame:
+        """Docids-only term membership: no tf unpack, no fieldnorm cache,
+        no avgdl map, no split-stats broadcast join — matches stay score-0
+        (collector.rs:413-421 scoring opt-out). Used whole-query when
+        ``scoring=False`` and per-clause for must_not-only terms."""
+        spark = self.reader.spark
+        if not terms:
+            return spark.createDataFrame(
+                [], "term string, split_id string, docid long, score double"
+            )
+        post = self.reader.postings().filter(
+            F.col("term").isin(terms) & F.col("split_id").isin(split_ids)
+        ).select("split_id", "term", "blocks")
+        matched = post.mapInPandas(
+            _make_decode_postings_docids_rows(), MATCHED_SCHEMA
+        )
+        return matched.select(
+            "term", "split_id", "docid", F.lit(0.0).alias("score")
+        )
 
     # ---- tag pruning (quickwit-doc-mapper/src/tag_pruning.rs analog) -----
     def extract_tags(self, node: Node) -> set[str] | None:
@@ -1000,7 +1023,22 @@ class Searcher:
         # split to store positions (a mixed-source merge degrades)
         positions_path = self.record == "position" and self._splits_have_positions()
         terms = self._collect_text_terms(node, include_phrases=not positions_path)
-        scored = self.scored_terms(terms, split_ids)
+        if not self.scoring:
+            scored = self.scored_terms(terms, split_ids)  # docids-only, 1 scan
+        else:
+            pos = self._collect_text_terms(
+                node, include_phrases=not positions_path, skip_must_not=True
+            )
+            # must_not-ONLY terms are pure membership tests (their scores
+            # are discarded by the anti-join): decode their postings
+            # docids-only — `NOT <stopword>` must never unpack millions of
+            # tfs + fieldnorms
+            neg_only = sorted(set(terms) - set(pos))
+            scored = self.scored_terms(pos, split_ids)
+            if neg_only:
+                scored = scored.unionByName(
+                    self.matched_zero_terms(neg_only, split_ids)
+                )
         docs = self.reader.docstore().filter(F.col("split_id").isin(split_ids))
         if start_ts is not None:
             docs = docs.filter(F.col("ts") >= F.lit(start_ts).cast("timestamp"))

@@ -87,6 +87,24 @@ def main() -> None:
     ]
     sections.append(("count query (scoring opt-out)", p3, checks3))
 
+    import re
+
+    neg = search(
+        reader, SearchRequest(query="w2 -w5", max_hits=10), fetch_fields=()
+    )
+    p3n = plan_of(neg)
+    checks3n = [
+        # must_not-only terms are membership tests: their decode kernel is
+        # the 3-arg docids-only one (split_id, term, blocks -> no doc_freq,
+        # no tf, no dl/avgdl), the per-clause collector.rs:413-421 opt-out
+        ("negated term decodes docids-only (3-arg kernel)",
+         re.search(r"kernel\(split_id#\d+, term#\d+, blocks#\d+\)", p3n)
+         is not None),
+        ("positive term still scored (dl/avgdl kernel)", "avgdl#" in p3n),
+        ("exclusion is an anti-join", "LeftAnti" in p3n),
+    ]
+    sections.append(("NOT query (per-clause scoring opt-out)", p3n, checks3n))
+
     from quickwit_spark.operators.search import search_aggs
 
     ag = search_aggs(
