@@ -428,7 +428,6 @@ def _encode_arrow_split(batches: list, with_positions: bool = False) -> "pa.Reco
     new[1:] = key[1:] != key[:-1]
     idx = np.flatnonzero(new)
     tf = np.diff(np.append(idx, total))
-    idx_ext = np.append(idx, total)
     ukey = key[idx]
     ucode = (ukey >> np.int64(32)).astype(np.int64)
     ud = ukey & np.int64(0xFFFFFFFF)
@@ -436,18 +435,6 @@ def _encode_arrow_split(batches: list, with_positions: bool = False) -> "pa.Reco
         [[0], np.flatnonzero(ucode[1:] != ucode[:-1]) + 1, [len(ukey)]]
     )
 
-    # split-level batched encode: gather every block's payload rows across
-    # ALL terms, bitpack each payload kind in ONE _pack_ragged call (grouped
-    # by width inside), then assemble per-term dicts. The per-term
-    # encode_postings loop used to dominate the kernel on realistic vocab
-    # (tens of thousands of short posting lists per split).
-    n_post = len(ukey)
-    gaps_global = np.empty(n_post, dtype=np.int64)
-    if n_post:
-        gaps_global[0] = 0
-        gaps_global[1:] = ud[1:] - ud[:-1]
-    tfm1 = tf - 1
-    tf_cum = np.concatenate([[0], np.cumsum(tf)])
     if with_positions:
         # per-posting position gaps, resets (+1 shift) at posting starts —
         # computed once for the whole split, no copy pass
@@ -456,6 +443,55 @@ def _encode_arrow_split(batches: list, with_positions: bool = False) -> "pa.Reco
             g_all[0] = 0
             np.subtract(pos_sorted[1:], pos_sorted[:-1], out=g_all[1:])
             g_all[idx] = pos_sorted[idx] + 1
+    else:
+        g_all = None
+    dfs, sums, blocks_arr, pos_arr = _assemble_blocks(ud, tf, bounds, g_all)
+    n_terms = len(bounds) - 1
+    terms_arr = pc.take(
+        enc.dictionary, pa.array(ucode[bounds[:-1]], type=pa.int64())
+    ).cast(pa.string())
+    if pos_arr is None:
+        pos_arr = pa.array([None] * n_terms, type=pa.list_(PA_POS_BLOCK))
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([pid] * n_terms, type=pa.int32()),
+            terms_arr,
+            pa.array(dfs, type=pa.int64()),
+            pa.array(sums, type=pa.int64()),
+            blocks_arr,
+            pos_arr,
+        ],
+        schema=PA_ENC_SCHEMA,
+    )
+
+
+def _assemble_blocks(
+    ud: np.ndarray,
+    tf: np.ndarray,
+    bounds: np.ndarray,
+    g_all: "np.ndarray | None",
+):
+    """Posting arrays -> encoded per-term block columns.
+
+    Inputs: ``ud``/``tf`` one entry per (term, doc) posting, docids ascending
+    within each term; ``bounds`` = per-term posting-run boundaries
+    (len(terms)+1); ``g_all`` = per-occurrence position gaps (delta within a
+    posting, value+1 at posting starts) or None for positions-less.
+
+    Returns (doc_freq per term, sum_tf per term, ``blocks`` pa.ListArray,
+    ``pos_blocks`` pa.ListArray or None). Shared by the build kernel and the
+    merge executor: gather every block's payload rows across ALL terms,
+    bitpack each payload kind in ONE batched `_pack_blocks` call (grouped by
+    width inside), then assemble columns directly from the numpy arrays — no
+    per-block python dicts, no per-term python lists (the per-term
+    encode_postings loop used to dominate on realistic vocabularies)."""
+    n_post = len(ud)
+    gaps_global = np.empty(n_post, dtype=np.int64)
+    if n_post:
+        gaps_global[0] = 0
+        gaps_global[1:] = ud[1:] - ud[:-1]
+    tfm1 = tf - 1
+    tf_cum = np.concatenate([[0], np.cumsum(tf)])
     # vectorized block boundaries: ceil(df / BLOCK_SIZE) blocks per term,
     # all starts/ends computed in one pass (the per-term python loop used
     # to cost ~0.1s per 30k-doc split)
@@ -491,7 +527,7 @@ def _encode_arrow_split(batches: list, with_positions: bool = False) -> "pa.Reco
     # never materialize (the python slice objects used to dominate)
     gap_bytes = _pack_blocks(gaps_global, s_arr + 1, e_arr, gws)
     tf_bytes = _pack_blocks(tfm1, s_arr, e_arr, tws)
-    if with_positions:
+    if g_all is not None:
         pstarts = tf_cum[sarr]
         pmax = (
             np.maximum.reduceat(g_all, pstarts) if len(sarr) else np.zeros(0, np.int64)
@@ -499,15 +535,10 @@ def _encode_arrow_split(batches: list, with_positions: bool = False) -> "pa.Reco
         pws = _widths_of(pmax)
         pos_bytes = _pack_blocks(g_all, pstarts, tf_cum[e_arr], pws)
 
-    # columnar output assembly: block structs built directly from the numpy
-    # arrays (StructArray + ListArray with the per-term block-count offsets)
-    # — no per-block python dicts, no per-term python lists
-    n_terms = len(bounds) - 1
-    terms_arr = pc.take(
-        enc.dictionary, pa.array(ucode[bounds[:-1]], type=pa.int64())
-    ).cast(pa.string())
     dfs = term_lens.astype(np.int64)
-    sums = np.add.reduceat(tf, bounds[:-1]).astype(np.int64)
+    sums = np.add.reduceat(tf, bounds[:-1]).astype(np.int64) if len(tf) else (
+        np.zeros(0, dtype=np.int64)
+    )
     offsets = pa.array(nb_cum.astype(np.int32), type=pa.int32())
     blocks_arr = pa.ListArray.from_arrays(
         offsets,
@@ -525,7 +556,8 @@ def _encode_arrow_split(batches: list, with_positions: bool = False) -> "pa.Reco
             fields=list(PA_BLOCK),
         ),
     )
-    if with_positions:
+    pos_arr = None
+    if g_all is not None:
         pos_arr = pa.ListArray.from_arrays(
             offsets,
             pa.StructArray.from_arrays(
@@ -540,19 +572,7 @@ def _encode_arrow_split(batches: list, with_positions: bool = False) -> "pa.Reco
                 fields=list(PA_POS_BLOCK),
             ),
         )
-    else:
-        pos_arr = pa.array([None] * n_terms, type=pa.list_(PA_POS_BLOCK))
-    return pa.RecordBatch.from_arrays(
-        [
-            pa.array([pid] * n_terms, type=pa.int32()),
-            terms_arr,
-            pa.array(dfs, type=pa.int64()),
-            pa.array(sums, type=pa.int64()),
-            blocks_arr,
-            pos_arr,
-        ],
-        schema=PA_ENC_SCHEMA,
-    )
+    return dfs, sums, blocks_arr, pos_arr
 
 
 def _make_arrow_stream_kernel(with_positions: bool):

@@ -32,7 +32,6 @@ import time
 from dataclasses import dataclass, field
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -40,8 +39,6 @@ from quickwit_spark import BLOCK_SIZE
 from quickwit_spark.index.codec import (
     decode_positions,
     decode_postings,
-    encode_position_blocks,
-    encode_postings,
 )
 from quickwit_spark.index.manifest import Manifest, SplitMetadata
 from quickwit_spark.index.merge_policy import (
@@ -49,7 +46,137 @@ from quickwit_spark.index.merge_policy import (
     StableLogMergePolicy,
     combine_partition_ids,
 )
-from quickwit_spark.operators.build import POSTINGS_SCHEMA
+from quickwit_spark.operators.build import (
+    PA_BLOCK,
+    PA_POS_BLOCK,
+    POSTINGS_SCHEMA,
+    _assemble_blocks,
+)
+
+import pyarrow as pa
+from pyspark.sql import types as T
+
+# merged postings rows carry no split_id column — the writer targets the
+# merged split's own hive partition directory directly
+MERGED_POSTINGS_SCHEMA = T.StructType(
+    [f_ for f_ in POSTINGS_SCHEMA.fields if f_.name != "split_id"]
+)
+PA_MERGED_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("doc_freq", pa.int64()),
+        ("sum_tf", pa.int64()),
+        ("blocks", pa.list_(PA_BLOCK)),
+        ("pos_blocks", pa.list_(PA_POS_BLOCK)),
+    ]
+)
+
+
+def _merge_rows(rows: list[dict]):
+    """Complete term runs (sorted by (term, _off)) -> encoded RecordBatches.
+
+    Decodes each source row once, applies its docid offset, then re-encodes
+    ALL terms of the batch through the build kernel's `_assemble_blocks`
+    (batched bitpacking, columnar assembly) — the per-term encode_postings +
+    pandas groupby-apply used to cost ~100 µs of overhead per TERM, which
+    dominates a merge of realistic vocabularies. A term stores positions in
+    the merged split iff EVERY source row has them (a mixed-record merge
+    degrades that term, exactly like the old per-term path)."""
+    runs: list[tuple[str, list[dict]]] = []
+    i = 0
+    while i < len(rows):
+        j = i
+        t = rows[i]["term"]
+        while j < len(rows) and rows[j]["term"] == t:
+            j += 1
+        runs.append((t, rows[i:j]))
+        i = j
+    for want_pos in (True, False):
+        term_names: list[str] = []
+        counts: list[int] = []
+        ud_parts: list[np.ndarray] = []
+        tf_parts: list[np.ndarray] = []
+        pos_parts: list[np.ndarray] = []
+        for t, rr in runs:
+            has_pos = all(r.get("pos_blocks") is not None for r in rr)
+            if has_pos != want_pos:
+                continue
+            n_term = 0
+            for r in rr:
+                blocks = list(r["blocks"])
+                if want_pos:
+                    # positions are doc-local token indices — unchanged by
+                    # the docid re-base
+                    d, tfv, flat = decode_positions(
+                        blocks, list(r["pos_blocks"])
+                    )
+                    pos_parts.append(flat)
+                else:
+                    d, tfv = decode_postings(blocks)
+                ud_parts.append(d + int(r["_off"]))
+                tf_parts.append(tfv)
+                n_term += len(d)
+            term_names.append(t)
+            counts.append(n_term)
+        if not term_names:
+            continue
+        ud = np.concatenate(ud_parts)
+        tf = np.concatenate(tf_parts)
+        bounds = np.concatenate([[0], np.cumsum(counts, dtype=np.int64)])
+        g_all = None
+        if want_pos:
+            flat = (
+                np.concatenate(pos_parts)
+                if pos_parts
+                else np.zeros(0, np.int64)
+            )
+            total = len(flat)
+            starts = np.concatenate([[0], np.cumsum(tf)])[:-1]
+            g_all = np.empty(total, dtype=np.int64)
+            if total:
+                g_all[0] = 0
+                np.subtract(flat[1:], flat[:-1], out=g_all[1:])
+                g_all[starts] = flat[starts] + 1
+        dfs, sums, blocks_arr, pos_arr = _assemble_blocks(ud, tf, bounds, g_all)
+        if pos_arr is None:
+            pos_arr = pa.array(
+                [None] * len(term_names), type=pa.list_(PA_POS_BLOCK)
+            )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(term_names, type=pa.string()),
+                pa.array(dfs, type=pa.int64()),
+                pa.array(sums, type=pa.int64()),
+                blocks_arr,
+                pos_arr,
+            ],
+            schema=PA_MERGED_SCHEMA,
+        )
+
+
+def _make_merge_postings_kernel():
+    """mapInArrow kernel: term-sorted (term, _off, blocks, pos_blocks) rows
+    -> merged per-term postings. Buffers the trailing term run across Arrow
+    batch boundaries (a term's <=merge_factor rows must merge together)."""
+
+    def kernel(batches):
+        held: list[dict] = []
+        for rb in batches:
+            rows = rb.to_pylist()
+            if not rows:
+                continue
+            rows = held + rows
+            last_term = rows[-1]["term"]
+            cut = len(rows)
+            while cut > 0 and rows[cut - 1]["term"] == last_term:
+                cut -= 1
+            held = rows[cut:]
+            if cut:
+                yield from _merge_rows(rows[:cut])
+        if held:
+            yield from _merge_rows(held)
+
+    return kernel
 
 
 @dataclass
@@ -136,54 +263,18 @@ def execute_merge(
         .parquet(*[f"{post_base}/split_id={sid}" for sid in src_ids])
         .join(off_df, "split_id")
     )
-    def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_off", kind="stable")
-        has_pos = (
-            "pos_blocks" in pdf.columns
-            and all(p is not None for p in pdf["pos_blocks"])
-        )
-        docid_parts: list[np.ndarray] = []
-        tf_parts: list[np.ndarray] = []
-        pos_parts: list[np.ndarray] = []
-        for _, row in pdf.iterrows():
-            blocks = list(row["blocks"])
-            if has_pos:
-                # positions are doc-local token indices — unchanged by the
-                # docid re-base
-                d, t, flat = decode_positions(blocks, list(row["pos_blocks"]))
-                pos_parts.append(flat)
-            else:
-                d, t = decode_postings(blocks)
-            docid_parts.append(d + int(row["_off"]))
-            tf_parts.append(t)
-        docids = np.concatenate(docid_parts)
-        tfs = np.concatenate(tf_parts)
-        return pd.DataFrame(
-            {
-                "split_id": [new_id],
-                "term": [pdf["term"].iloc[0]],
-                "doc_freq": [len(docids)],
-                "sum_tf": [int(tfs.sum())],
-                "blocks": [encode_postings(docids, tfs, BLOCK_SIZE)],
-                "pos_blocks": [
-                    encode_position_blocks(
-                        tfs, np.concatenate(pos_parts), BLOCK_SIZE
-                    )
-                    if has_pos
-                    else None
-                ],
-            }
-        )
-
-    merged = post.groupBy("term").applyInPandas(_merge_term, POSTINGS_SCHEMA)
+    merged = (
+        # range-partition + sort by (term, _off): a term's <=12 source rows
+        # arrive contiguous and in split order, so the kernel is a single
+        # partition-local pass; the term sort ALSO gives the written parquet
+        # tight min/max stats for term pruning (same property the per-split
+        # sorted write gives fresh splits)
+        post.repartitionByRange(max(2, len(src_ids) // 2), "term")
+        .sortWithinPartitions("term", "_off")
+        .mapInArrow(_make_merge_postings_kernel(), MERGED_POSTINGS_SCHEMA)
+    )
     (
-        # range-partition + sort by term so parquet min/max stats give tight
-        # term pruning on the merged split (same property the per-split sorted
-        # write gives fresh splits)
-        merged.drop("split_id")
-        .repartitionByRange(max(2, len(src_ids) // 2), "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
+        merged.write.mode("overwrite")
         .parquet(f"{post_base}/split_id={new_id}")
     )
 

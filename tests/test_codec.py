@@ -57,3 +57,39 @@ def test_postings_roundtrip(pairs):
 def test_empty():
     d, t = decode_postings([])
     assert len(d) == 0 and len(t) == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=63),        # width
+            st.integers(min_value=0, max_value=300),       # block length
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_pack_blocks_matches_bitpack(specs, rnd):
+    """_pack_blocks (word-level lane packing over one global array) is
+    byte-identical to per-slice bitpack for every width 1..63, ragged
+    lengths, and values up to the width's maximum."""
+    from quickwit_spark.index.codec import _pack_blocks, bitpack
+
+    rows = []
+    for w, l in specs:
+        hi = min((1 << w) - 1, 2**62)
+        rows.append(
+            np.array([rnd.randint(0, hi) for _ in range(l)], dtype=np.int64)
+        )
+    widths = np.array([w for w, _ in specs], dtype=np.int64)
+    lens = np.array([len(r) for r in rows], dtype=np.int64)
+    ends = np.cumsum(lens) if len(lens) else np.zeros(0, dtype=np.int64)
+    starts = ends - lens
+    values = (
+        np.concatenate(rows) if rows and ends[-1] else np.zeros(0, np.int64)
+    )
+    got = _pack_blocks(values, starts, ends, widths)
+    for r, (w, _), g in zip(rows, specs, got):
+        assert g == bitpack(r, w)
