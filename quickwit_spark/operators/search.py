@@ -1023,6 +1023,9 @@ class Searcher:
         # split to store positions (a mixed-source merge degrades)
         positions_path = self.record == "position" and self._splits_have_positions()
         terms = self._collect_text_terms(node, include_phrases=not positions_path)
+        self._pos_terms: set = set(terms)
+        self._neg_terms: set = set()
+        self._neg_scored = None
         if not self.scoring:
             scored = self.scored_terms(terms, split_ids)  # docids-only, 1 scan
         else:
@@ -1032,12 +1035,17 @@ class Searcher:
             # must_not-ONLY terms are pure membership tests (their scores
             # are discarded by the anti-join): decode their postings
             # docids-only — `NOT <stopword>` must never unpack millions of
-            # tfs + fieldnorms
+            # tfs + fieldnorms. They live in a SEPARATE relation picked per
+            # must_not clause in _bool_tail (a union here would make every
+            # term filter expand both branches: two extra no-op scans +
+            # python workers per query).
             neg_only = sorted(set(terms) - set(pos))
+            self._pos_terms = set(pos)
+            self._neg_terms = set(neg_only)
             scored = self.scored_terms(pos, split_ids)
             if neg_only:
-                scored = scored.unionByName(
-                    self.matched_zero_terms(neg_only, split_ids)
+                self._neg_scored = self.matched_zero_terms(
+                    neg_only, split_ids
                 )
         docs = self.reader.docstore().filter(F.col("split_id").isin(split_ids))
         if start_ts is not None:
@@ -1403,7 +1411,19 @@ class Searcher:
                     .drop("s_score")
                 )
         for child in node.must_not:
-            neg = self._eval(child, scored, docs).select("split_id", "docid")
+            rel = scored
+            neg_scored = getattr(self, "_neg_scored", None)
+            if neg_scored is not None:
+                # route this clause to the relation(s) actually carrying its
+                # terms: neg-only clauses (the common `-term`) touch ONLY the
+                # docids-only relation; a clause mixing positive-context and
+                # neg-only terms needs both
+                ct = set(self._collect_text_terms(child))
+                if ct and ct <= self._neg_terms:
+                    rel = neg_scored
+                elif not (ct <= self._pos_terms):
+                    rel = scored.unionByName(neg_scored)
+            neg = self._eval(child, rel, docs).select("split_id", "docid")
             base = base.join(neg, ["split_id", "docid"], "left_anti")
         return base
 
