@@ -57,12 +57,7 @@ from pyspark.sql import types as T
 from quickwit_spark import BLOCK_SIZE
 from quickwit_spark.functions.fieldnorm import quantize_len_expr
 from quickwit_spark.functions.tokenize import analyzer_expr, tokenize_expr
-from quickwit_spark.index.codec import (
-    _pack_blocks,
-    _width,
-    encode_position_blocks,
-    encode_postings,
-)
+from quickwit_spark.index.codec import _pack_blocks
 from quickwit_spark.index.manifest import Manifest, SplitMetadata
 
 BLOCK_STRUCT = T.StructType(
@@ -296,48 +291,60 @@ def _make_doc_tf_kernel(with_positions: bool):
     return kernel
 
 
-def _encode_sorted_slice(
-    pdf: pd.DataFrame, with_salt: bool, with_positions: bool
-) -> pd.DataFrame:
-    """Encode a slice of rows already sorted by (partition, term[, salt],
-    docid): group boundaries found vectorized, one encode_postings call per
-    group."""
-    pid = pdf["partition_id"].to_numpy()
-    term = pdf["term"].to_numpy()
-    change = (pid[1:] != pid[:-1]) | (term[1:] != term[:-1])
-    if with_salt:
-        salt = pdf["salt"].to_numpy()
-        change = change | (salt[1:] != salt[:-1])
-    bounds = np.concatenate(
-        [[0], np.flatnonzero(change) + 1, [len(pdf)]]
+def _encode_sorted_arrow(tbl: "pa.Table", with_positions: bool) -> "pa.RecordBatch":
+    """Arrow rows already sorted by (partition, term, salt, docid) -> one
+    encoded row per (partition, term, salt) group, via the shared
+    `_assemble_blocks` batch encoder (the old per-group encode_postings loop
+    cost ~100 µs of python per group; a salted build has a group per
+    (term, salt) — millions on a realistic vocabulary)."""
+    batch = tbl.combine_chunks().to_batches()[0]
+    names = batch.schema.names
+    pid = batch.column(names.index("partition_id")).to_numpy().astype(np.int64)
+    salt = batch.column(names.index("salt")).to_numpy().astype(np.int64)
+    docid = batch.column(names.index("docid")).to_numpy().astype(np.int64)
+    tf = batch.column(names.index("tf")).to_numpy().astype(np.int64)
+    enc_t = pc.dictionary_encode(batch.column(names.index("term")))
+    codes = enc_t.indices.to_numpy().astype(np.int64)
+    n = len(pid)
+    change = (
+        (pid[1:] != pid[:-1])
+        | (codes[1:] != codes[:-1])
+        | (salt[1:] != salt[:-1])
     )
-    docid_all = pdf["docid"].to_numpy().astype(np.int64)
-    tf_all = pdf["tf"].to_numpy().astype(np.int64)
-    pos_all = pdf["positions"].to_numpy() if with_positions else None
-    salt_all = pdf["salt"].to_numpy() if with_salt else None
-    rows = []
-    for a, b in zip(bounds[:-1], bounds[1:]):
-        tfs = tf_all[a:b]
-        row = {
-            "partition_id": int(pid[a]),
-            "term": term[a],
-            "doc_freq": int(b - a),
-            "sum_tf": int(tfs.sum()),
-            "blocks": encode_postings(docid_all[a:b], tfs, BLOCK_SIZE),
-        }
-        if with_positions:
-            flat = (
-                np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_all[a:b]])
-                if b > a
-                else np.zeros(0, dtype=np.int64)
-            )
-            row["pos_blocks"] = encode_position_blocks(tfs, flat, BLOCK_SIZE)
-        else:
-            row["pos_blocks"] = None
-        if with_salt:
-            row["salt"] = int(salt_all[a])
-        rows.append(row)
-    return pd.DataFrame(rows)
+    bounds = np.concatenate([[0], np.flatnonzero(change) + 1, [n]])
+    g_all = None
+    if with_positions:
+        # rows ARE postings: the list column's offsets give per-posting
+        # position runs directly (no per-row python flattening)
+        ls = batch.column(names.index("positions"))
+        flat = ls.flatten().to_numpy().astype(np.int64)
+        offs = ls.offsets.to_numpy().astype(np.int64)
+        starts = offs[:-1] - offs[0]
+        total = len(flat)
+        g_all = np.empty(total, dtype=np.int64)
+        if total:
+            g_all[0] = 0
+            np.subtract(flat[1:], flat[:-1], out=g_all[1:])
+            g_all[starts] = flat[starts] + 1
+    dfs, sums, blocks_arr, pos_arr = _assemble_blocks(docid, tf, bounds, g_all)
+    n_groups = len(bounds) - 1
+    if pos_arr is None:
+        pos_arr = pa.array([None] * n_groups, type=pa.list_(PA_POS_BLOCK))
+    terms_arr = pc.take(
+        enc_t.dictionary, pa.array(codes[bounds[:-1]], type=pa.int64())
+    ).cast(pa.string())
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(pid[bounds[:-1]].astype(np.int32), type=pa.int32()),
+            terms_arr,
+            pa.array(dfs, type=pa.int64()),
+            pa.array(sums, type=pa.int64()),
+            blocks_arr,
+            pos_arr,
+            pa.array(salt[bounds[:-1]].astype(np.int32), type=pa.int32()),
+        ],
+        schema=PA_ENC_SALTED_SCHEMA,
+    )
 
 
 PA_BLOCK = pa.struct(
@@ -370,6 +377,10 @@ PA_ENC_SCHEMA = pa.schema(
         ("blocks", pa.list_(PA_BLOCK)),
         ("pos_blocks", pa.list_(PA_POS_BLOCK)),
     ]
+)
+
+PA_ENC_SALTED_SCHEMA = pa.schema(
+    list(PA_ENC_SCHEMA) + [pa.field("salt", pa.int32())]
 )
 
 
@@ -613,53 +624,117 @@ def _make_arrow_stream_kernel(with_positions: bool):
 _arrow_stream_kernel = _make_arrow_stream_kernel(False)
 
 
-def _make_encode_stream(with_salt: bool, with_positions: bool):
-    """mapInPandas kernel over a partition hash-clustered by (partition, term
-    [, salt]) and sorted by (key, docid). A group may straddle Arrow batch
+def _trailing_group_cut(cols: list[np.ndarray]) -> int:
+    """Index where the trailing key-group starts (rows sorted by the keys)."""
+    n = len(cols[0])
+    mask = np.ones(n, dtype=bool)
+    for col in cols:
+        mask &= col == col[-1]
+    # rows equal to the last key are exactly its trailing contiguous run
+    return int(n - mask.sum())
+
+
+def _make_salted_encode_kernel(with_positions: bool):
+    """mapInArrow kernel over a partition hash-clustered by (partition, term,
+    salt) and sorted by (key, docid). A group may straddle Arrow batch
     boundaries; the trailing group of each batch is carried into the next."""
-    keycols = ["partition_id", "term"] + (["salt"] if with_salt else [])
 
     def kernel(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
+        held: "pa.Table | None" = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if held is not None and held.num_rows:
+                tbl = pa.concat_tables([held, tbl]).combine_chunks()
+            if not tbl.num_rows:
                 continue
-            mask = np.ones(len(pdf), dtype=bool)
-            for c in keycols:
-                col = pdf[c].to_numpy()
-                mask &= col == col[-1]
-            carry = pdf.iloc[np.flatnonzero(mask)]
-            body = pdf.iloc[np.flatnonzero(~mask)]
-            if len(body):
-                yield _encode_sorted_slice(body, with_salt, with_positions)
-        if carry is not None and len(carry):
-            yield _encode_sorted_slice(carry, with_salt, with_positions)
+            keys = [
+                tbl.column(c).to_numpy(zero_copy_only=False)
+                for c in ("partition_id", "term", "salt")
+            ]
+            cut = _trailing_group_cut(keys)
+            held = tbl.slice(cut)
+            if cut:
+                yield _encode_sorted_arrow(tbl.slice(0, cut), with_positions)
+        if held is not None and held.num_rows:
+            yield _encode_sorted_arrow(held, with_positions)
 
     return kernel
 
 
-def _concat_salted(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Stage 2: concatenate a term's partial rows in salt (= docid-range)
-    order. Inputs are already-encoded blocks (~2 bytes/posting), so even a
-    stopword's full list is a few MB here, not millions of rows."""
-    pdf = pdf.sort_values("salt", kind="stable")
-    blocks = [b for row in pdf["blocks"] for b in row]
-    has_pos = pdf["pos_blocks"].iloc[0] is not None
-    pos_blocks = (
-        [b for row in pdf["pos_blocks"] for b in row] if has_pos else None
+def _concat_salted_rows(tbl: "pa.Table") -> "pa.RecordBatch":
+    """Stage 2: concatenate each term's partial rows in salt (= docid-range)
+    order. Blocks are already encoded (~2 bytes/posting), so the whole merge
+    is LIST-OFFSET SURGERY: the concatenated block list of a group is the
+    flattened child array sliced by the group-boundary offsets — no block is
+    touched, copied or re-encoded (the old per-term pandas apply paid ~100 µs
+    of groupby overhead per term)."""
+    batch = tbl.combine_chunks().to_batches()[0]
+    names = batch.schema.names
+    pid = batch.column(names.index("partition_id")).to_numpy().astype(np.int64)
+    enc_t = pc.dictionary_encode(batch.column(names.index("term")))
+    codes = enc_t.indices.to_numpy().astype(np.int64)
+    dfreq = batch.column(names.index("doc_freq")).to_numpy().astype(np.int64)
+    sumtf = batch.column(names.index("sum_tf")).to_numpy().astype(np.int64)
+    n = len(pid)
+    change = (pid[1:] != pid[:-1]) | (codes[1:] != codes[:-1])
+    bounds = np.concatenate([[0], np.flatnonzero(change) + 1, [n]])
+    starts = bounds[:-1]
+
+    def regroup(col_name: str) -> "pa.ListArray":
+        ls = batch.column(names.index(col_name))
+        offs = ls.offsets.to_numpy().astype(np.int64)
+        group_offs = offs[bounds] - offs[0]
+        return pa.ListArray.from_arrays(
+            pa.array(group_offs.astype(np.int32), type=pa.int32()),
+            ls.flatten(),
+        )
+
+    blocks_arr = regroup("blocks")
+    pos_col = batch.column(names.index("pos_blocks"))
+    if pos_col.null_count == n:
+        pos_arr = pa.array([None] * (len(bounds) - 1), type=pa.list_(PA_POS_BLOCK))
+    else:
+        pos_arr = regroup("pos_blocks")
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(pid[starts].astype(np.int32), type=pa.int32()),
+            pc.take(
+                enc_t.dictionary, pa.array(codes[starts], type=pa.int64())
+            ).cast(pa.string()),
+            pa.array(np.add.reduceat(dfreq, starts), type=pa.int64()),
+            pa.array(np.add.reduceat(sumtf, starts), type=pa.int64()),
+            blocks_arr,
+            pos_arr,
+        ],
+        schema=PA_ENC_SCHEMA,
     )
-    return pd.DataFrame(
-        {
-            "partition_id": [int(pdf["partition_id"].iloc[0])],
-            "term": [pdf["term"].iloc[0]],
-            "doc_freq": [int(pdf["doc_freq"].sum())],
-            "sum_tf": [int(pdf["sum_tf"].sum())],
-            "blocks": [blocks],
-            "pos_blocks": [pos_blocks],
-        }
-    )
+
+
+def _make_salted_concat_kernel():
+    """mapInArrow kernel for stage 2, over rows hash-clustered by
+    (partition, term) and sorted by (partition, term, salt); buffers the
+    trailing term group across Arrow batch boundaries."""
+
+    def kernel(batches):
+        held: "pa.Table | None" = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if held is not None and held.num_rows:
+                tbl = pa.concat_tables([held, tbl]).combine_chunks()
+            if not tbl.num_rows:
+                continue
+            keys = [
+                tbl.column(c).to_numpy(zero_copy_only=False)
+                for c in ("partition_id", "term")
+            ]
+            cut = _trailing_group_cut(keys)
+            held = tbl.slice(cut)
+            if cut:
+                yield _concat_salted_rows(tbl.slice(0, cut))
+        if held is not None and held.num_rows:
+            yield _concat_salted_rows(held)
+
+    return kernel
 
 
 def split_id_for(index_id: str, partition_id: int, generation: int = 0) -> str:
@@ -932,9 +1007,11 @@ def build_index(
             "partition_id", "term", "salt"
         ).sortWithinPartitions(
             "partition_id", "term", "salt", "docid"
-        ).mapInPandas(_make_encode_stream(True, with_pos), ENC_SALTED_SCHEMA)
-        encoded = partial.groupBy("partition_id", "term").applyInPandas(
-            _concat_salted, ENC_SCHEMA
+        ).mapInArrow(_make_salted_encode_kernel(with_pos), ENC_SALTED_SCHEMA)
+        encoded = (
+            partial.repartition("partition_id", "term")
+            .sortWithinPartitions("partition_id", "term", "salt")
+            .mapInArrow(_make_salted_concat_kernel(), ENC_SCHEMA)
         )
     else:
         # default: per-split single-pass build, zero intermediate shuffle
