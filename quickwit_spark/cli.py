@@ -247,6 +247,7 @@ def cmd_search(args) -> int:
             "search_field": args.search_field,
             "snippet_fields": args.snippet_fields,
             "sort_by_field": args.sort_by,
+            "sort_order": args.sort_order,
         }
         if args.aggs:
             params["aggs"] = json.loads(args.aggs)

@@ -35,7 +35,6 @@ import numpy as np
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from quickwit_spark import BLOCK_SIZE
 from quickwit_spark.index.codec import (
     decode_positions,
     decode_postings,
@@ -274,7 +273,12 @@ def execute_merge(
         .mapInArrow(_make_merge_postings_kernel(), MERGED_POSTINGS_SCHEMA)
     )
     (
-        merged.write.mode("overwrite")
+        # re-sort the (one-row-per-term, cheap) encoded output: a
+        # mixed-record merge emits positions-bearing terms before degraded
+        # ones per batch, which would otherwise widen the parquet min/max
+        # term stats the searcher's row-group pruning depends on
+        merged.sortWithinPartitions("term")
+        .write.mode("overwrite")
         .parquet(f"{post_base}/split_id={new_id}")
     )
 

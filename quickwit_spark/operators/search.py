@@ -774,13 +774,13 @@ class Searcher:
             return spark.createDataFrame(
                 [], "term string, split_id string, docid long, score double"
             )
+        if not self.scoring:
+            return self.matched_zero_terms(terms, split_ids)
         post = self.reader.postings().filter(
             F.col("term").isin(terms) & F.col("split_id").isin(split_ids)
         ).select("split_id", "term", "doc_freq", "blocks")
         # ^ explicit projection: the positions column must stay pruned out of
         # the parquet scan on the term/WAND hot path
-        if not self.scoring:
-            return self.matched_zero_terms(terms, split_ids)
         decoded = post.mapInPandas(
             _make_decode_postings_rows(
                 self.reader.index_dir,
@@ -1744,6 +1744,13 @@ def search_with_failures(
     (root.rs:203-217). Callers decide whether partial results are
     acceptable; the default `search` keeps all-or-nothing semantics
     (Spark task retry already covers transient failures)."""
+    return _with_failures(search, reader, request, **kwargs)
+
+
+def _with_failures(fn, reader: IndexReader, request: SearchRequest, **kwargs):
+    """Shared failure-tolerance harness: probe both stores with
+    ignoreCorruptFiles, then run ``fn`` against the tolerant scans with the
+    unreadable splits excluded."""
     published = [m.split_id for m in reader.manifest.list_published()]
     stores: dict[str, DataFrame | None] = {}
     ok: set[str] | None = None
@@ -1753,18 +1760,16 @@ def search_with_failures(
         ok = present if ok is None else (ok & present)
     failed = sorted(s for s in published if s not in (ok or set()))
     if not failed:
-        return search(reader, request, **kwargs), []
+        return fn(reader, request, **kwargs), []
     # corrupt footers also break the reader's own plan-time schema
-    # inference, so build the search plan against the tolerant scans; the
-    # returned (lazy) plan captures these DataFrames, so restoring the
-    # reader afterwards is safe and later normal searches keep
-    # all-or-nothing semantics
+    # inference, so build the plan against the tolerant scans; the returned
+    # (lazy) plan captures these DataFrames, so restoring the reader
+    # afterwards is safe and later normal queries keep all-or-nothing
+    # semantics
     saved = (reader._postings, reader._docstore)
     reader._postings, reader._docstore = stores["postings"], stores["docstore"]
     try:
-        res = search(
-            reader, request, exclude_split_ids=tuple(failed), **kwargs
-        )
+        res = fn(reader, request, exclude_split_ids=tuple(failed), **kwargs)
     finally:
         reader._postings, reader._docstore = saved
     return res, failed
@@ -1828,7 +1833,11 @@ def search_aggs(
     return run_agg_request(docs, aggs, field_map=fmap)
 
 
-def count_hits(reader: IndexReader, request: SearchRequest) -> DataFrame:
+def count_hits(
+    reader: IndexReader,
+    request: SearchRequest,
+    exclude_split_ids: tuple[str, ...] = (),
+) -> DataFrame:
     """num_hits counts ALL matches (collector.rs:226) — single aggregate,
     over the docids-only (no tf/norms/stats) matching plan."""
     ast = parse_query(request.query)
@@ -1839,10 +1848,23 @@ def count_hits(reader: IndexReader, request: SearchRequest) -> DataFrame:
         request.end_timestamp,
         tags=searcher.extract_tags(ast),
     )
+    split_ids = [s.split_id for s in splits]
+    if exclude_split_ids:
+        bad = set(exclude_split_ids)
+        split_ids = [s for s in split_ids if s not in bad]
     m = searcher.matching(
         ast,
-        [s.split_id for s in splits],
+        split_ids,
         request.start_timestamp,
         request.end_timestamp,
     )
     return m.agg(F.count(F.lit(1)).alias("num_hits"))
+
+
+def count_hits_with_failures(
+    reader: IndexReader, request: SearchRequest
+) -> "tuple[DataFrame, list[str]]":
+    """Failure-tolerant num_hits: (count over the readable splits, failed
+    split ids) — the count-side twin of search_with_failures, so a partial
+    response's num_hits is consistent with its hit set."""
+    return _with_failures(count_hits, reader, request)

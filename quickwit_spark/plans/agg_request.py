@@ -133,6 +133,14 @@ def compile_one(name: str, spec: dict, field_map=None):
     buckets = _bucket_children(sub)
     nested = None
     if buckets:
+        if metrics:
+            # the nested-bucket plans thread sub_aggs to the CHILD buckets;
+            # outer metric siblings would be silently dropped — reject loudly
+            raise ValueError(
+                "metric sub-aggregations alongside a nested bucket child "
+                "are not supported (put them under the child, or run them "
+                "as a separate named aggregation)"
+            )
         if kind not in ("date_histogram", "histogram", "terms"):
             raise ValueError(
                 f"bucket-in-bucket under {kind!r} is not supported "

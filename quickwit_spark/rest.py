@@ -34,6 +34,7 @@ from quickwit_spark.operators.search import (
     IndexReader,
     SearchRequest,
     count_hits,
+    count_hits_with_failures,
     search,
     search_aggs,
     search_with_failures,
@@ -78,6 +79,20 @@ def _as_list(params: dict, key: str) -> tuple[str, ...]:
     return tuple(v)
 
 
+def _ts_param(params: dict, key: str):
+    """rest-api.md documents start/end_timestamp IN SECONDS regardless of
+    field precision; the engine's SearchRequest takes ISO strings — convert
+    epoch-second values (int, or an all-digit string) to UTC ISO (the
+    session timezone is pinned to UTC in session.py)."""
+    v = params.get(key)
+    if v is None or v == "":
+        return None
+    if isinstance(v, (int, float)) or (isinstance(v, str) and v.lstrip("-").isdigit()):
+        dt = _dt.datetime.fromtimestamp(int(v), tz=_dt.timezone.utc)
+        return dt.strftime("%Y-%m-%d %H:%M:%S")
+    return v
+
+
 def _request_from_params(params: dict) -> SearchRequest:
     if not params.get("query"):
         raise ValueError("missing required parameter: query")
@@ -94,8 +109,8 @@ def _request_from_params(params: dict) -> SearchRequest:
         start_offset=_as_int(params, "start_offset", 0),
         sort_by_field=sort_by,
         sort_order=sort_order,
-        start_timestamp=params.get("start_timestamp"),
-        end_timestamp=params.get("end_timestamp"),
+        start_timestamp=_ts_param(params, "start_timestamp"),
+        end_timestamp=_ts_param(params, "end_timestamp"),
         search_fields=_as_list(params, "search_field"),
     )
 
@@ -176,12 +191,30 @@ def search_endpoint(
     aggs = params.get("aggs")
     if isinstance(aggs, str):
         aggs = json.loads(aggs)
+
+    failed: list = []
+    if tolerate_failures:
+        # the failure probe runs ONCE here; num_hits / hits / aggs must all
+        # exclude the same unreadable splits or the response is internally
+        # inconsistent (num_hits over all splits vs hits over readable ones)
+        cnt_df, failed = count_hits_with_failures(reader, req)
+        body["errors"] = failed
+    else:
+        cnt_df = count_hits(reader, req)
+
     if aggs:
+        # aggs run over the full index; under tolerate_failures with actual
+        # failures this would fail too — surface that explicitly instead of
+        # returning numbers inconsistent with `errors`
+        if failed:
+            raise ValueError(
+                f"aggregations cannot run with unreadable splits: {failed}"
+            )
         body["aggs"] = render_aggs(
             aggs, search_aggs(reader, req, aggs)
         )
 
-    n = count_hits(reader, req).collect()[0]["num_hits"]
+    n = cnt_df.collect()[0]["num_hits"]
     body["num_hits"] = int(n)
 
     if req.max_hits > 0 and n > 0:
@@ -215,9 +248,15 @@ def search_endpoint(
 _METRIC_KINDS = ("avg", "value_count", "max", "min", "sum")
 
 
+def _children_of(spec: dict) -> dict:
+    """Named sub-aggregations: ES accepts both ``aggs`` and
+    ``aggregations`` (mirrors plans/agg_request._children)."""
+    return spec.get("aggs", spec.get("aggregations")) or {}
+
+
 def _agg_kind(spec: dict) -> str:
     for k in spec:
-        if k != "aggs":
+        if k not in ("aggs", "aggregations"):
             return k
     raise ValueError("aggregation spec carries no kind")
 
@@ -225,7 +264,7 @@ def _agg_kind(spec: dict) -> str:
 def _bucket_rows(spec: dict, rows: list[dict]) -> list[dict]:
     """(key, doc_count, <metric cols>) rows -> ES bucket objects, metric
     children re-nested as {"value": v} / stats dicts."""
-    sub = spec.get("aggs") or {}
+    sub = _children_of(spec)
     metric_children = {
         name: _agg_kind(child)
         for name, child in sub.items()
@@ -254,7 +293,11 @@ def _nest_terms_child(spec: dict, rows: list[dict]) -> list[dict]:
     the terms child's buckets. The outer doc_count is the sum over the
     RENDERED children — exact when the child's size covers every term,
     a lower bound otherwise (the DataFrame form carries the exact rows)."""
-    (tname, tspec), = (spec.get("aggs") or {}).items()
+    # the terms child drives nesting; compile_one rejects metric siblings
+    (tname, tspec), = (
+        (n, s) for n, s in _children_of(spec).items()
+        if _agg_kind(s) == "terms"
+    )
     outer: dict = {}
     for r in rows:
         o = outer.setdefault(
@@ -262,14 +305,21 @@ def _nest_terms_child(spec: dict, rows: list[dict]) -> list[dict]:
         )
         child = {"key": _json_safe(r["term_key"]),
                  "doc_count": int(r["doc_count"])}
-        for name, sub2 in (tspec.get("aggs") or {}).items():
+        for name, sub2 in _children_of(tspec).items():
             if _agg_kind(sub2) in _METRIC_KINDS:
                 child[name] = {"value": _json_safe(r.get(name))}
         o["buckets"].append(child)
         o["doc_count"] += child["doc_count"]
+
+    def _key_order(k):
+        # numeric outer keys (histogram/date_histogram) sort numerically,
+        # string keys (terms parents) lexically — str() on floats would put
+        # 10.0 before 2.0
+        return (0, float(k), "") if isinstance(k, (int, float)) else (1, 0.0, str(k))
+
     return [
         {"key": k, "doc_count": v["doc_count"], tname: {"buckets": v["buckets"]}}
-        for k, v in sorted(outer.items(), key=lambda kv: str(kv[0]))
+        for k, v in sorted(outer.items(), key=lambda kv: _key_order(kv[0]))
     ]
 
 
@@ -286,7 +336,7 @@ def render_aggs(request: dict, results: dict) -> dict:
             out[name] = {k: _json_safe(v) for k, v in rows[0].items()} if rows else {}
         else:
             has_terms_child = any(
-                _agg_kind(c) == "terms" for c in (spec.get("aggs") or {}).values()
+                _agg_kind(c) == "terms" for c in _children_of(spec).values()
             )
             if has_terms_child:
                 out[name] = {"buckets": _nest_terms_child(spec, rows)}

@@ -149,3 +149,102 @@ def test_keyed_histogram_rendering(small_index):
     assert isinstance(buckets, dict) and len(buckets) >= 2
     assert sum(b["doc_count"] for b in buckets.values()) == 600
     assert all("key" not in b for b in buckets.values())
+
+
+def test_epoch_second_timestamps(small_index):
+    """rest-api.md documents start/end_timestamp IN SECONDS; epoch values
+    must filter like their ISO equivalents, not cast to NULL and match 0."""
+    import datetime as dt
+
+    # pages_small spans ~2 hours from 2023-01-01T00:00 — use a sub-range
+    iso = search_endpoint(
+        small_index,
+        {"query": "*", "max_hits": 0,
+         "start_timestamp": "2023-01-01 00:10:00",
+         "end_timestamp": "2023-01-01 01:00:00"},
+    )["num_hits"]
+    assert iso > 0
+    s = int(dt.datetime(2023, 1, 1, 0, 10, tzinfo=dt.timezone.utc).timestamp())
+    e = int(dt.datetime(2023, 1, 1, 1, 0, tzinfo=dt.timezone.utc).timestamp())
+    epoch = search_endpoint(
+        small_index,
+        {"query": "*", "max_hits": 0, "start_timestamp": str(s),
+         "end_timestamp": e},
+    )["num_hits"]
+    assert epoch == iso
+
+
+def test_envelope_sort_order_param(small_index):
+    asc = search_endpoint(
+        small_index,
+        {"query": "w40", "max_hits": 3, "sort_by_field": "warc_ts",
+         "sort_order": "asc"},
+    )["hits"]
+    ts = [h["warc_ts"] for h in asc]
+    assert ts == sorted(ts)
+
+
+def test_metric_sibling_of_nested_terms_rejected(small_index):
+    """A metric sibling beside a nested terms child would be silently
+    dropped by the nested plan — the compiler must reject it loudly."""
+    aggs = {
+        "h": {
+            "histogram": {"field": "doc_len", "interval": 500},
+            "aggs": {
+                "by_lang": {"terms": {"field": "lang", "size": 2}},
+                "avg_len": {"avg": {"field": "doc_len"}},
+            },
+        }
+    }
+    with pytest.raises(ValueError, match="metric sub-aggregations"):
+        search_endpoint(
+            small_index, {"query": "*", "max_hits": 0, "aggs": aggs}
+        )
+
+
+def test_aggregations_alias_key(small_index):
+    """ES accepts `aggregations` as an alias of `aggs` — the renderer must
+    nest metric children found under either key."""
+    aggs = {
+        "by_lang": {
+            "terms": {"field": "lang", "size": 2},
+            "aggregations": {"avg_len": {"avg": {"field": "doc_len"}}},
+        }
+    }
+    body = search_endpoint(
+        small_index, {"query": "*", "max_hits": 0, "aggs": aggs}
+    )
+    b0 = body["aggs"]["by_lang"]["buckets"][0]
+    assert b0["avg_len"]["value"] > 0
+
+
+def test_envelope_tolerates_corrupt_split(spark, tmp_path):
+    """tolerate_failures must protect num_hits too: a corrupt split lands in
+    `errors`, num_hits counts only readable splits, and the endpoint does
+    not raise."""
+    import glob
+    import os
+
+    from quickwit_spark.operators.build import IndexConfig, build_index
+    from quickwit_spark.operators.search import IndexReader
+    from quickwit_spark.sources.pages import synth_pages
+
+    d = str(tmp_path / "rest_tol_idx")
+    build_index(
+        spark, synth_pages(spark, 300, partitions=3), d,
+        IndexConfig(index_id="pages", num_splits=3),
+    )
+    reader = IndexReader(spark, d)
+    pub = sorted(m.split_id for m in reader.manifest.list_published())
+    victim = pub[0]
+    files = glob.glob(os.path.join(d, "postings", f"split_id={victim}", "*.parquet"))
+    with open(files[0], "wb") as f:
+        f.write(b"\x00corrupt\x00" * 64)
+
+    body = search_endpoint(
+        reader, {"query": "w30", "max_hits": 100}, tolerate_failures=True
+    )
+    assert body["errors"] == [victim]
+    # num_hits counts ALL readable matches; hits is the (possibly smaller)
+    # fetched page — both must exclude the corrupt split and not raise
+    assert body["num_hits"] >= len(body["hits"]) > 0
