@@ -83,7 +83,11 @@ def unix_timestamp_expr(col: Column) -> Column:
         av < F.lit(100_000_000_000_000), F.timestamp_millis(v)
     ).when(
         av < F.lit(100_000_000_000_000_000), F.timestamp_micros(v)
-    ).otherwise(F.timestamp_micros((v / F.lit(1000)).cast("long")))
+    ).otherwise(
+        # integer division: epoch-nanos (~1.7e18) exceed a double's 53-bit
+        # mantissa, so `/ 1000` as double can flip a microsecond boundary
+        F.timestamp_micros(F.floor(v.cast("decimal(38,0)") / 1000).cast("long"))
+    )
 
 
 # RFC 2822 arrives with or without the optional day-of-week (Spark's

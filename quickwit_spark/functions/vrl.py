@@ -183,14 +183,14 @@ class _Parser:
         if t.kind == "number":
             return ("lit", float(t.text) if "." in t.text else int(t.text))
         if t.kind == "string":
-            body = t.text[1:-1]
-            return (
-                "lit",
-                body.replace(r"\"", '"')
-                .replace(r"\n", "\n")
-                .replace(r"\t", "\t")
-                .replace("\\\\", "\\"),
+            # one left-to-right pass: sequential .replace() calls would turn
+            # the two-char sequence `\\` + `n` into backslash-newline
+            body = re.sub(
+                r"\\(.)",
+                lambda m: {"n": "\n", "t": "\t"}.get(m.group(1), m.group(1)),
+                t.text[1:-1],
             )
+            return ("lit", body)
         if t.kind == "path":
             return ("field", t.text.lstrip(".").split("."))
         if t.kind == "ident":
@@ -315,10 +315,15 @@ _BIN = {
 
 class _Compiler:
     """Compiles one statement's expr; collects ``!``-marked subexpressions
-    so the caller can fold them into the row's transform-error condition."""
+    so the caller can fold them into the row's transform-error condition.
 
-    def __init__(self) -> None:
+    ``schema`` (the DataFrame's schema AT this statement, i.e. reflecting
+    prior assignments) lets ``+`` resolve VRL's string-concat overload for
+    field operands, not just literals."""
+
+    def __init__(self, schema=None) -> None:
         self.fallible: list[Column] = []
+        self.schema = schema
 
     def expr(self, node: tuple) -> Column:
         kind = node[0]
@@ -334,8 +339,11 @@ class _Compiler:
             left, right = self.expr(ln), self.expr(rn)
             if op == "+":
                 # VRL `+` is both arithmetic and string concat; let the
-                # string case win when either literal side is a string
-                if _is_stringy(ln) or _is_stringy(rn):
+                # string case win when either side is string-typed (literal,
+                # string-producing call, or a string column per the schema —
+                # without the schema check, field+field on strings would be
+                # numeric `+` and silently yield NULLs)
+                if _is_stringy(ln, self.schema) or _is_stringy(rn, self.schema):
                     return F.concat(
                         left.try_cast("string"), right.try_cast("string")
                     )
@@ -351,7 +359,7 @@ class _Compiler:
         raise AssertionError(node)
 
 
-def _is_stringy(node: tuple) -> bool:
+def _is_stringy(node: tuple, schema=None) -> bool:
     if node[0] == "lit":
         return isinstance(node[1], str)
     if node[0] == "call":
@@ -360,8 +368,17 @@ def _is_stringy(node: tuple) -> bool:
             "to_string", "replace", "join", "md5", "sha256",
             "format_timestamp",
         )
-    if node[0] == "bin" and node[1] == "+":
-        return _is_stringy(node[2]) or _is_stringy(node[3])
+    if node[0] == "field" and schema is not None:
+        from pyspark.sql import types as T
+
+        cur = schema
+        for seg in node[1]:
+            if not isinstance(cur, T.StructType) or seg not in cur.fieldNames():
+                return False
+            cur = cur[seg].dataType
+        return isinstance(cur, T.StringType)
+    if node[0] == "bin" and node[1] in ("+", "??"):
+        return _is_stringy(node[2], schema) or _is_stringy(node[3], schema)
     return False
 
 
@@ -397,6 +414,10 @@ def _validate(node: tuple) -> None:
             )
         for p in lit_pos:
             _lit_str(args[p], name)
+        if name == "round" and len(args) == 2 and not (
+            args[1][0] == "lit" and isinstance(args[1][1], int)
+        ):
+            raise VrlCompileError("round() precision must be an int literal")
         for a in args:
             _validate(a)
     elif kind == "bin":
@@ -435,7 +456,7 @@ class VrlTransform:
                 out = out.drop(st[1][0])
                 continue
             _, path, expr = st
-            comp = _Compiler()
+            comp = _Compiler(schema=out.schema)
             value = comp.expr(expr)
             if comp.fallible:
                 cond = comp.fallible[0].isNull()

@@ -253,3 +253,19 @@ def test_ip_term_and_range_queries(spark, tmp_path):
     assert urls("addr:[2001:db8:: TO 2001:db8::ff]") == ["u4"]
     with pytest.raises(ValueError, match="invalid ip"):
         urls("addr:[zzz TO 10.0.0.1]")
+
+
+def test_unix_timestamp_nanos_exact_integer_division(spark):
+    """Epoch-nanos exceed a double's 53-bit mantissa: 1700000000000000896 ns
+    divided as double gives ...001 µs instead of the true ...000 µs. The
+    nanos branch must divide as integers (date_time_format.rs
+    parse_unix_timestamp truncates exactly)."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.functions.datetime_fmt import unix_timestamp_expr
+
+    ns = 1_700_000_000_000_000_896
+    df = spark.createDataFrame([(ns,)], "v long").select(
+        F.unix_micros(unix_timestamp_expr(F.col("v"))).alias("us")
+    )
+    assert df.first()["us"] == ns // 1000

@@ -145,3 +145,44 @@ def test_transform_feeds_build(spark, tmp_path, docs):
         fetch_fields=("url",),
     ).collect()
     assert {h["url"] for h in hits} == {"alice", "bob"}
+
+
+def test_string_field_plus_field_concats(spark, docs):
+    """VRL `+` on two string-typed FIELDS is concat, resolved from the
+    DataFrame schema (not just literal operands) — numeric `+` on strings
+    would silently produce NULLs."""
+    t = compile_vrl(".both = .message + .username")
+    out, _ = t.apply(docs)
+    r = {x["username"]: x["both"] for x in out.collect()}
+    assert r["alice"] == "A Dogalice"
+    # and a field assigned earlier in the program is seen as string too
+    t2 = compile_vrl(
+        """
+        .m2 = downcase(.message)
+        .both = .m2 + .username
+        """
+    )
+    out2, _ = t2.apply(docs)
+    assert {x["both"] for x in out2.collect()} >= {"a dogalice"}
+
+
+def test_numeric_plus_stays_arithmetic(spark):
+    df = spark.createDataFrame([(2, 3)], "a long, b long")
+    out, _ = compile_vrl(".s = .a + .b").apply(df)
+    assert out.first()["s"] == 5
+
+
+def test_escaped_backslash_before_n_is_not_newline():
+    t = compile_vrl(r'.x = "a\\nb"')
+    assert t._stmts[0][2] == ("lit", "a\\nb".replace("\\\\", "\\"))
+    # i.e. backslash + 'n', NOT a newline
+    lit = t._stmts[0][2][1]
+    assert "\n" not in lit and lit == "a\\nb".replace("\\\\", "\\")
+    # plain \n still decodes to a newline
+    t2 = compile_vrl('.x = "a\\nb"')
+    assert t2._stmts[0][2][1] == "a\nb"
+
+
+def test_round_precision_must_be_int_literal():
+    with pytest.raises(VrlCompileError, match="precision"):
+        compile_vrl(".x = round(.a, .b)")
