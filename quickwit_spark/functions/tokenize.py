@@ -153,6 +153,66 @@ def tokenize_sql(expr: str, max_token_len: int = MAX_TOKEN_LEN) -> str:
     )
 
 
+# tokenizers the Arrow-native kernel implements — used by the build to
+# decide whether to ship raw text (tokenize in-kernel, C++ RE2) or
+# pre-tokenized lists (JVM expression) to the postings encoder
+ARROW_TOKENIZERS = ("default", "chinese_compatible")
+
+# RE2 class mirroring _CJK_CLASS_JAVA (RE2 shares Java's \x{...} syntax)
+_CJK_CLASS_RE2 = (
+    "([一-鿿㐀-䶿豈-﫿"
+    r"\x{20000}-\x{2A6DF}\x{2A700}-\x{2B73F}\x{2B740}-\x{2B81F}"
+    r"\x{2B820}-\x{2CEAF}\x{2F800}-\x{2FA1F}])"
+)
+
+
+def arrow_tokenize(
+    arr, tokenizer: str = "default", max_token_len: int = MAX_TOKEN_LEN
+):
+    """``default``/``chinese_compatible`` tokenizer over a pyarrow string
+    Array -> ListArray<string>, entirely in Arrow C++ (utf8_lower + RE2
+    split) plus one numpy pass to drop empty/over-long tokens. Token-for-
+    token identical to :func:`tokenize_expr` / :func:`tokenize_py` (pinned
+    by tests/test_tokenize.py); exists so the postings build can ship TEXT
+    to the encode kernel and tokenize there — no JVM re-tokenize, no
+    token-list Arrow transfer."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import numpy as np
+
+    if tokenizer not in ARROW_TOKENIZERS:
+        raise ValueError(f"no arrow tokenizer for {tokenizer!r}")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if tokenizer == "chinese_compatible":
+        arr = pc.replace_substring_regex(arr, _CJK_CLASS_RE2, r" \1 ")
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), r"[^\pL\pN]+")
+    flat = toks.flatten()
+    offs = toks.offsets.to_numpy().astype(np.int64)
+    row_off = offs - offs[0]
+    if len(flat) == 0:
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(len(toks) + 1, np.int64), type=pa.int32()),
+            pa.array([], type=pa.string()),
+        )
+    tok_lens = pc.utf8_length(flat)
+    keep = pc.fill_null(
+        pc.and_(
+            pc.greater(tok_lens, 0), pc.less_equal(tok_lens, max_token_len)
+        ),
+        False,
+    )
+    keep_np = keep.to_numpy(zero_copy_only=False).astype(bool)
+    csum = np.concatenate([[0], np.cumsum(keep_np)])
+    new_offs = csum[row_off]  # cumulative kept tokens at each row boundary
+    vals = flat.filter(keep)
+    return pa.ListArray.from_arrays(
+        pa.array(new_offs.astype(np.int32), type=pa.int32()),
+        vals.cast(pa.string()),
+    )
+
+
 def tokenize_py(text: str, max_token_len: int = MAX_TOKEN_LEN) -> list[str]:
     """Reference python implementation of the ``default`` tokenizer."""
     if text is None:

@@ -75,10 +75,30 @@ def _pack_blocks(
     ends: np.ndarray,
     widths: np.ndarray,
 ) -> list[bytes]:
+    """Per-block ``bytes`` view of :func:`_pack_blocks_flat` (compat shim for
+    the codec tests / short-list path; the build kernel consumes the flat
+    form directly)."""
+    data, offs = _pack_blocks_flat(values, starts, ends, widths)
+    buf = data.tobytes()
+    return [buf[offs[i] : offs[i + 1]] for i in range(len(starts))]
+
+
+def _pack_blocks_flat(
+    values: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    widths: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
     """Bitpack the slices ``values[starts[i]:ends[i]]`` (one per block), each
     at ``widths[i]`` bits — byte-identical to per-slice ``bitpack``, without
     ever materializing per-block row arrays (a split has tens of thousands
     of blocks; the python slice objects alone used to dominate the kernel).
+
+    Returns ``(data, offsets)``: ONE contiguous uint8 buffer holding every
+    block's payload back-to-back in block order, plus int64 offsets
+    (len(blocks)+1) — exactly an Arrow BinaryArray's layout, so the caller
+    builds the column zero-copy instead of paying a per-block ``tobytes`` +
+    a list-of-bytes re-copy (those two were ~40% of the encode kernel).
 
     Word-level packing: 8 values of width w are EXACTLY w bytes of the
     big-endian bit stream, assembled in ceil(w/8) uint64 lanes by shift-OR —
@@ -87,12 +107,14 @@ def _pack_blocks(
     VALUES in a padded 8-group contribute zero BITS, which is bitpack's own
     zero padding; per-row truncation to ceil(len*w/8) bytes is unchanged."""
     k = len(starts)
-    out: list[bytes] = [b""] * k
-    if k == 0:
-        return out
     warr = np.asarray(widths, dtype=np.int64)
     starts = np.asarray(starts, dtype=np.int64)
     lens_all = (np.asarray(ends, dtype=np.int64) - starts).astype(np.int64)
+    nbytes_all = (lens_all * warr + 7) // 8
+    out_offs = np.concatenate([[0], np.cumsum(nbytes_all)]).astype(np.int64)
+    data = np.zeros(int(out_offs[-1]), dtype=np.uint8)
+    if k == 0 or not len(data):
+        return data, out_offs
     for w in np.unique(warr):
         if w == 0:
             continue
@@ -145,11 +167,19 @@ def _pack_blocks(
             # lane uint64s -> big-endian bytes; each group keeps w of them
             gbytes = lanes.byteswap().view(np.uint8)[:, :w_i]
             packed = np.ascontiguousarray(gbytes).reshape(len(sub), -1)
-            nbytes = (lens * w_i + 7) // 8
-            for j, i in enumerate(sub):
-                out[i] = packed[j, : nbytes[j]].tobytes()
+            # scatter each block's truncated payload into the flat buffer —
+            # two vectorized gathers replace the per-block tobytes loop
+            nb = nbytes_all[sub]
+            bpos = np.arange(int(nb.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(nb)[:-1]]), nb
+            )
+            d_idx = np.repeat(out_offs[sub], nb) + bpos
+            s_idx = np.repeat(
+                np.arange(len(sub), dtype=np.int64) * packed.shape[1], nb
+            ) + bpos
+            data[d_idx] = packed.reshape(-1)[s_idx]
             start = end
-    return out
+    return data, out_offs
 
 
 def bitunpack(data: bytes, n: int, width: int) -> np.ndarray:

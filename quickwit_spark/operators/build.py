@@ -56,8 +56,12 @@ from pyspark.sql import types as T
 
 from quickwit_spark import BLOCK_SIZE
 from quickwit_spark.functions.fieldnorm import quantize_len_expr
-from quickwit_spark.functions.tokenize import analyzer_expr, tokenize_expr
-from quickwit_spark.index.codec import _pack_blocks
+from quickwit_spark.functions.tokenize import (
+    ARROW_TOKENIZERS,
+    analyzer_expr,
+    tokenize_expr,
+)
+from quickwit_spark.index.codec import _pack_blocks_flat
 from quickwit_spark.index.manifest import Manifest, SplitMetadata
 
 BLOCK_STRUCT = T.StructType(
@@ -534,17 +538,27 @@ def _assemble_blocks(
     maxtf = np.maximum.reduceat(tf, sarr) if len(sarr) else np.zeros(0, np.int64)
     gws = _widths_of(gmax)
     tws = _widths_of(tmax)
-    # payloads packed straight out of the global arrays — per-block slices
-    # never materialize (the python slice objects used to dominate)
-    gap_bytes = _pack_blocks(gaps_global, s_arr + 1, e_arr, gws)
-    tf_bytes = _pack_blocks(tfm1, s_arr, e_arr, tws)
+    # payloads packed straight out of the global arrays into ONE flat buffer
+    # per payload kind — per-block slices/bytes never materialize; the flat
+    # (data, offsets) pair IS an Arrow BinaryArray, built zero-copy below
+    def _binary_col(data: np.ndarray, offs: np.ndarray) -> "pa.Array":
+        return pa.Array.from_buffers(
+            pa.binary(),
+            len(offs) - 1,
+            [None, pa.py_buffer(offs.astype(np.int32)), pa.py_buffer(data)],
+        )
+
+    gap_bytes = _binary_col(*_pack_blocks_flat(gaps_global, s_arr + 1, e_arr, gws))
+    tf_bytes = _binary_col(*_pack_blocks_flat(tfm1, s_arr, e_arr, tws))
     if g_all is not None:
         pstarts = tf_cum[sarr]
         pmax = (
             np.maximum.reduceat(g_all, pstarts) if len(sarr) else np.zeros(0, np.int64)
         )
         pws = _widths_of(pmax)
-        pos_bytes = _pack_blocks(g_all, pstarts, tf_cum[e_arr], pws)
+        pos_bytes = _binary_col(
+            *_pack_blocks_flat(g_all, pstarts, tf_cum[e_arr], pws)
+        )
 
     dfs = term_lens.astype(np.int64)
     sums = np.add.reduceat(tf, bounds[:-1]).astype(np.int64) if len(tf) else (
@@ -561,8 +575,8 @@ def _assemble_blocks(
                 pa.array(maxtf.astype(np.int32), type=pa.int32()),
                 pa.array(np.asarray(gws, dtype=np.int32), type=pa.int32()),
                 pa.array(np.asarray(tws, dtype=np.int32), type=pa.int32()),
-                pa.array(gap_bytes, type=pa.binary()),
-                pa.array(tf_bytes, type=pa.binary()),
+                gap_bytes,
+                tf_bytes,
             ],
             fields=list(PA_BLOCK),
         ),
@@ -578,7 +592,7 @@ def _assemble_blocks(
                         (tf_cum[e_arr] - tf_cum[s_arr]).astype(np.int32),
                         type=pa.int32(),
                     ),
-                    pa.array(pos_bytes, type=pa.binary()),
+                    pos_bytes,
                 ],
                 fields=list(PA_POS_BLOCK),
             ),
@@ -586,9 +600,15 @@ def _assemble_blocks(
     return dfs, sums, blocks_arr, pos_arr
 
 
-def _make_arrow_stream_kernel(with_positions: bool):
+def _make_arrow_stream_kernel(with_positions: bool, tokenizer: str | None = None):
     """mapInArrow wrapper over _encode_arrow_split: buffer record batches per
-    split (splits are contiguous within a partition), emit on boundary."""
+    split (splits are contiguous within a partition), emit on boundary.
+
+    With ``tokenizer`` set, input batches carry (partition_id, docid, text)
+    and tokenization runs HERE via :func:`arrow_tokenize` (C++ RE2) — the
+    plan then ships raw text once instead of paying a second JVM tokenize
+    pass plus the token-list Arrow transfer (the docstore leg already
+    tokenized once for doc_len)."""
 
     def kernel(batches):
         # one Arrow compute thread per worker: N workers x default pool (= all
@@ -603,6 +623,20 @@ def _make_arrow_stream_kernel(with_positions: bool):
         for rb in batches:
             if rb.num_rows == 0:
                 continue
+            if tokenizer is not None:
+                from quickwit_spark.functions.tokenize import arrow_tokenize
+
+                rb = pa.RecordBatch.from_arrays(
+                    [
+                        rb.column(rb.schema.get_field_index("partition_id")),
+                        rb.column(rb.schema.get_field_index("docid")),
+                        arrow_tokenize(
+                            rb.column(rb.schema.get_field_index("text")),
+                            tokenizer,
+                        ),
+                    ],
+                    names=["partition_id", "docid", "tokens"],
+                )
             pids = rb.column(rb.schema.get_field_index("partition_id")).to_numpy()
             bounds = np.concatenate(
                 [[0], np.flatnonzero(pids[1:] != pids[:-1]) + 1, [rb.num_rows]]
@@ -1015,25 +1049,37 @@ def build_index(
         )
     else:
         # default: per-split single-pass build, zero intermediate shuffle
-        # (docs are clustered by partition_id from the docid window); token
-        # arrays flow to the Arrow kernel without any per-token explode
-        ex = docs.select(
-            "partition_id",
-            "docid",
-            analyzer_expr(F.col(cfg.text_field), cfg.tokenizer).alias("tokens"),
-        )
-        encoded = ex.mapInArrow(_make_arrow_stream_kernel(with_pos), ENC_SCHEMA)
+        # (docs are clustered by partition_id from the docid window). For
+        # Arrow-implementable tokenizers the kernel receives RAW TEXT and
+        # tokenizes in C++ (no second JVM tokenize, no token-list transfer);
+        # others (en_stem, raw) pre-tokenize JVM/UDF-side as before
+        in_kernel = cfg.tokenizer in ARROW_TOKENIZERS
+
+        def _postings_leg(src_col: str) -> DataFrame:
+            if in_kernel:
+                ex_ = docs.select(
+                    "partition_id",
+                    "docid",
+                    F.col(src_col).cast("string").alias("text"),
+                )
+                return ex_.mapInArrow(
+                    _make_arrow_stream_kernel(with_pos, cfg.tokenizer),
+                    ENC_SCHEMA,
+                )
+            ex_ = docs.select(
+                "partition_id",
+                "docid",
+                analyzer_expr(F.col(src_col), cfg.tokenizer).alias("tokens"),
+            )
+            return ex_.mapInArrow(_make_arrow_stream_kernel(with_pos), ENC_SCHEMA)
+
+        encoded = _postings_leg(cfg.text_field)
         # extra text fields: one kernel pass per field; terms namespaced so
         # every downstream consumer (merge, WAND, pruning) stays field-blind
         for f_ in cfg.extra_text_fields:
-            exf = docs.select(
-                "partition_id",
-                "docid",
-                analyzer_expr(F.col(f_), cfg.tokenizer).alias("tokens"),
+            encf = _postings_leg(f_).withColumn(
+                "term", namespaced_term(f_, F.col("term"))
             )
-            encf = exf.mapInArrow(
-                _make_arrow_stream_kernel(with_pos), ENC_SCHEMA
-            ).withColumn("term", namespaced_term(f_, F.col("term")))
             encoded = encoded.unionByName(encf)
     postings = encoded.withColumn(
         "split_id",

@@ -78,3 +78,49 @@ def test_spark_python_parity(spark, pages_small):
     )
     for r in rows:
         assert list(r["toks"]) == tokenize_py(r["text"])
+
+
+def test_arrow_tokenize_matches_reference(spark):
+    """arrow_tokenize (C++ RE2, used by the in-kernel build path) must be
+    token-for-token identical to the python/JVM tokenizers — doc_len computed
+    JVM-side and postings built kernel-side share one term universe."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.functions.tokenize import (
+        arrow_tokenize,
+        analyzer_expr,
+        chinese_compatible_tokenize_py,
+        tokenize_py,
+    )
+
+    edge = [
+        None, "", "   ", "a" * 41, "a" * 40, "Hello, WORLD!  foo_bar",
+        "中文测试 English words", "𠀀𪛟 ext-B astral", "naïve café ÆØÅ",
+        "123 4.5 ratio", " nbsp em", "🎉 emoji party 🎊",
+        "x" * 39 + "é", "под вопросом", "日本語のテスト", "tail",
+    ]
+    arr = pa.array(edge, type=pa.string())
+    for tok, ref in (
+        ("default", tokenize_py),
+        ("chinese_compatible", chinese_compatible_tokenize_py),
+    ):
+        got = arrow_tokenize(arr, tok).to_pylist()
+        want = [ref(t) for t in edge]
+        assert [g or [] for g in got] == want, tok
+        # and against the JVM expression (the doc_len side). Known skew:
+        # the JVM's Unicode tables reject some astral letters (e.g. U+2A6DF,
+        # CJK Ext-B) that python/RE2/DuckDB accept — those rows' doc_len can
+        # sit ±1 off the postings' token count (norms-only, pre-existing;
+        # query-side and oracle tokenizers agree with arrow). Compare on
+        # the BMP rows.
+        bmp = [t for t in edge if t is None or all(ord(c) < 0x10000 for c in t)]
+        df = spark.createDataFrame([(t,) for t in bmp], "text string")
+        jvm = [
+            r["t"] for r in df.select(
+                analyzer_expr(F.col("text"), tok).alias("t")
+            ).collect()
+        ]
+        got_bmp = arrow_tokenize(pa.array(bmp, type=pa.string()), tok).to_pylist()
+        assert [g or [] for g in got_bmp] == [j or [] for j in jvm], tok
