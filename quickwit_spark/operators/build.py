@@ -295,6 +295,106 @@ def _make_doc_tf_kernel(with_positions: bool):
     return kernel
 
 
+PA_TF_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("docid", pa.int32()),
+        ("term", pa.string()),
+        ("tf", pa.int32()),
+        ("positions", pa.list_(pa.int32())),
+    ]
+)
+
+
+def _make_doc_tf_arrow_kernel(with_positions: bool, tokenizer: str):
+    """Arrow twin of :func:`_make_doc_tf_kernel` for in-kernel tokenizers:
+    (partition_id, docid, text) -> one row per distinct (doc, term) with tf
+    (and ascending positions). Tokenizes via :func:`arrow_tokenize` (C++
+    RE2), factorizes with ``pc.dictionary_encode`` and sorts dictionary
+    codes with the 16-bit radix trick — token strings never become Python
+    objects, unlike the pandas kernel's object-list concatenate."""
+
+    def kernel(batches):
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        except Exception:  # noqa: BLE001
+            pass
+        from quickwit_spark.functions.tokenize import arrow_tokenize
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            toks = arrow_tokenize(
+                rb.column(names.index("text")), tokenizer
+            )
+            offs = toks.offsets.to_numpy().astype(np.int64)
+            lens = np.diff(offs - offs[0])
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            pid_np = rb.column(names.index("partition_id")).to_numpy().astype(np.int64)
+            docid_np = rb.column(names.index("docid")).to_numpy().astype(np.int64)
+            pid_rep = np.repeat(pid_np, lens)
+            docid_rep = np.repeat(docid_np, lens)
+            enc = pc.dictionary_encode(toks.flatten())
+            codes = enc.indices.to_numpy().astype(np.int64)
+            cum = np.concatenate([[0], np.cumsum(lens)])
+            pos_flat = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], lens)
+            # rows arrive clustered by partition and docid-sorted (the docid
+            # window), so (pid, docid) is nondecreasing and a stable sort by
+            # CODE alone equals the full lexsort — done 16 radix bits at a
+            # time (numpy stable argsort is radix only <=16-bit dtypes)
+            key_pd = (pid_rep << np.int64(32)) | docid_rep
+            if np.all(key_pd[1:] >= key_pd[:-1]):
+                order = np.argsort(
+                    (codes & 0xFFFF).astype(np.uint16), kind="stable"
+                )
+                if len(enc.dictionary) > 0xFFFF + 1:
+                    hi = (codes >> np.int64(16)).astype(np.uint16)
+                    order = order[np.argsort(hi[order], kind="stable")]
+            else:
+                order = np.lexsort((codes, docid_rep, pid_rep))
+            pid_s, docid_s = pid_rep[order], docid_rep[order]
+            code_s, pos_s = codes[order], pos_flat[order]
+            new = np.ones(total, dtype=bool)
+            new[1:] = (
+                (pid_s[1:] != pid_s[:-1])
+                | (docid_s[1:] != docid_s[:-1])
+                | (code_s[1:] != code_s[:-1])
+            )
+            starts = np.flatnonzero(new)
+            tf = np.diff(np.append(starts, total))
+            if with_positions:
+                pos_arr = pa.ListArray.from_arrays(
+                    pa.array(
+                        np.append(starts, total).astype(np.int32),
+                        type=pa.int32(),
+                    ),
+                    pa.array(pos_s.astype(np.int32), type=pa.int32()),
+                )
+            else:
+                pos_arr = pa.array(
+                    [None] * len(starts), type=pa.list_(pa.int32())
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(pid_s[starts].astype(np.int32), type=pa.int32()),
+                    pa.array(docid_s[starts].astype(np.int32), type=pa.int32()),
+                    pc.take(
+                        enc.dictionary,
+                        pa.array(code_s[starts], type=pa.int64()),
+                    ).cast(pa.string()),
+                    pa.array(tf.astype(np.int32), type=pa.int32()),
+                    pos_arr,
+                ],
+                schema=PA_TF_SCHEMA,
+            )
+
+    return kernel
+
+
 def _encode_sorted_arrow(tbl: "pa.Table", with_positions: bool) -> "pa.RecordBatch":
     """Arrow rows already sorted by (partition, term, salt, docid) -> one
     encoded row per (partition, term, salt) group, via the shared
@@ -1028,12 +1128,23 @@ def build_index(
     with_pos = cfg.record == "position"
     if cfg.salt_range:
         # shuffled path: per-(doc,term) tf rows, salted by docid range so hot
-        # terms spread across tasks — for splits too big for one task's RAM
-        tf = docs.withColumn(
-            "tokens", analyzer_expr(F.col(cfg.text_field), cfg.tokenizer)
-        ).select("partition_id", "docid", "tokens").mapInPandas(
-            _make_doc_tf_kernel(with_pos), TF_SCHEMA
-        )
+        # terms spread across tasks — for splits too big for one task's RAM.
+        # Arrow-implementable tokenizers tokenize IN the tf kernel (same
+        # rationale as the default path: one tokenize, no object lists)
+        if cfg.tokenizer in ARROW_TOKENIZERS:
+            tf = docs.select(
+                "partition_id",
+                "docid",
+                F.col(cfg.text_field).cast("string").alias("text"),
+            ).mapInArrow(
+                _make_doc_tf_arrow_kernel(with_pos, cfg.tokenizer), TF_SCHEMA
+            )
+        else:
+            tf = docs.withColumn(
+                "tokens", analyzer_expr(F.col(cfg.text_field), cfg.tokenizer)
+            ).select("partition_id", "docid", "tokens").mapInPandas(
+                _make_doc_tf_kernel(with_pos), TF_SCHEMA
+            )
         salted = tf.withColumn(
             "salt", (F.col("docid") / F.lit(cfg.salt_range)).cast("int")
         )
