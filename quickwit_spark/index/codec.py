@@ -237,6 +237,55 @@ def encode_postings(
     return blocks
 
 
+def decode_blocks_arrays(
+    widths: np.ndarray,
+    nvals: np.ndarray,
+    payload_data: np.ndarray,
+    payload_offs: np.ndarray,
+) -> np.ndarray:
+    """Batched bit-unpack of MANY blocks' payloads at once — the decode twin
+    of :func:`_pack_blocks_flat`, for the query-side kernels.
+
+    ``widths``/``nvals`` are per-block (bit width, value count);
+    ``payload_data`` is one uint8 buffer holding every block's payload and
+    ``payload_offs[i]`` the byte offset of block i's payload in it (an Arrow
+    BinaryArray's exact layout, so the kernels pass parquet buffers through
+    untouched). Returns ONE int64 array with the blocks' values
+    back-to-back in block order.
+
+    Blocks sharing (width, count) — every non-final block of a posting list
+    has count=128 — decode in one ``unpackbits`` + matmul over the whole
+    group; a per-block python loop costs ~28 µs/block vs ~3 µs here
+    (measured on a 936k-posting term, 7.3k blocks: 206 ms -> 26 ms)."""
+    widths = np.asarray(widths, dtype=np.int64)
+    nvals = np.asarray(nvals, dtype=np.int64)
+    total = int(nvals.sum())
+    out = np.zeros(total, dtype=np.int64)
+    if total == 0:
+        return out
+    dest = np.concatenate([[0], np.cumsum(nvals)])
+    key = widths * 1000 + nvals  # widths<=64, nvals<=BLOCK_SIZE: collision-free
+    for k in np.unique(key):
+        idx = np.flatnonzero(key == k)
+        w = int(widths[idx[0]])
+        nv = int(nvals[idx[0]])
+        if w == 0 or nv == 0:
+            continue
+        nb = (nv * w + 7) // 8
+        src = np.repeat(payload_offs[idx], nb) + np.tile(
+            np.arange(nb, dtype=np.int64), len(idx)
+        )
+        buf = payload_data[src].reshape(len(idx), nb)
+        bits = np.unpackbits(buf, axis=1)[:, : nv * w]
+        weights = 1 << np.arange(w - 1, -1, -1, dtype=np.int64)
+        vals = bits.reshape(len(idx), nv, w).astype(np.int64) @ weights
+        d = np.repeat(dest[idx], nv) + np.tile(
+            np.arange(nv, dtype=np.int64), len(idx)
+        )
+        out[d] = vals.reshape(-1)
+    return out
+
+
 def decode_block(block: dict) -> tuple[np.ndarray, np.ndarray]:
     docids = decode_block_docids(block)
     n = int(block["count"])

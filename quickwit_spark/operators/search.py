@@ -29,6 +29,8 @@ from dataclasses import dataclass, replace
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -38,7 +40,6 @@ from quickwit_spark import BM25_B, BM25_K1
 from quickwit_spark.functions.tokenize import analyzer_py, tokenize_py, SPLIT_PATTERN_JAVA
 from quickwit_spark.index.codec import (
     decode_block,
-    decode_block_docids,
     decode_positions,
 )
 from quickwit_spark.operators.build import FIELD_SEP
@@ -91,37 +92,166 @@ MATCHED_SCHEMA = T.StructType(
 )
 
 
-def _make_decode_postings_docids_rows():
-    """mapInPandas kernel factory for the scoring opt-out: postings rows ->
-    (split_id, term, docid) only. Unpacks docid gaps and never touches the
-    tf payload, the fieldnorm cache, or the avgdl map — the analog of the
-    reference skipping tf decompression + fieldnorms unless the query sorts
-    by ``_score`` (collector.rs:413-421). This is the plan counts, exports
-    and fast-field-sorted searches should pay."""
+def _binary_np(barr) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow BinaryArray -> (uint8 data buffer, per-entry absolute byte
+    offsets) without materializing python bytes objects (the parquet
+    payload buffer flows straight into the batched bit-unpack)."""
+    import pyarrow as pa  # noqa: F401 (typing only)
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            sids: list = []
-            terms: list = []
-            docids: list = []
-            for sid, term, blocks in zip(
-                pdf["split_id"], pdf["term"], pdf["blocks"]
-            ):
-                row_d = [decode_block_docids(b) for b in blocks]
-                if not row_d:
-                    continue
-                d = np.concatenate(row_d)
-                sids.append(np.full(len(d), sid, dtype=object))
-                terms.append(np.full(len(d), term, dtype=object))
-                docids.append(d)
-            if not docids:
+    bufs = barr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        barr.offset : barr.offset + len(barr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else (
+        np.zeros(0, dtype=np.uint8)
+    )
+    return data, offs[:-1]
+
+
+def _decode_blocks_batch(rb, need_tf: bool):
+    """One Arrow batch of postings rows (split_id, term[, doc_freq], blocks)
+    -> (docids, tfs | None, per-posting row index, per-row posting offsets).
+
+    Fully batched: the blocks ListArray flattens to per-block metadata
+    arrays, every block's gap/tf payload decodes in ONE width-grouped
+    unpackbits+matmul pass (codec.decode_blocks_arrays), and docids come
+    from a single segmented cumsum — no per-block python, no struct->dict
+    conversion (the mapInPandas path paid both)."""
+    from quickwit_spark.index.codec import decode_blocks_arrays
+
+    names = rb.schema.names
+    ls = rb.column(names.index("blocks"))
+    loffs = ls.offsets.to_numpy().astype(np.int64)
+    row_off = loffs - loffs[0]
+    bl = ls.flatten()
+    if len(bl) == 0:
+        return None
+    first = bl.field("first_docid").to_numpy().astype(np.int64)
+    cnt = bl.field("count").to_numpy().astype(np.int64)
+    gw = bl.field("gap_bits").to_numpy().astype(np.int64)
+    gdata, goffs = _binary_np(bl.field("docid_gaps"))
+    gaps = decode_blocks_arrays(gw, cnt - 1, gdata, goffs)
+    total = int(cnt.sum())
+    vstarts = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+    g2 = np.empty(total, dtype=np.int64)
+    mask_first = np.zeros(total, dtype=bool)
+    mask_first[vstarts] = True
+    g2[mask_first] = first
+    g2[~mask_first] = gaps
+    c = np.cumsum(g2)
+    base = c[vstarts] - first  # global cumsum just before each block
+    docids = c - np.repeat(base, cnt)
+    tfs = None
+    if need_tf:
+        tw = bl.field("tf_bits").to_numpy().astype(np.int64)
+        tdata, toffs = _binary_np(bl.field("tfs"))
+        tfs = decode_blocks_arrays(tw, cnt, tdata, toffs) + 1
+    nblocks_per_row = np.diff(row_off)
+    blk_row = np.repeat(
+        np.arange(len(nblocks_per_row), dtype=np.int64), nblocks_per_row
+    )
+    post_row = np.repeat(blk_row, cnt)
+    per_row = np.zeros(len(nblocks_per_row) + 1, dtype=np.int64)
+    np.add.at(per_row, blk_row + 1, cnt)
+    row_post_off = np.cumsum(per_row)
+    return docids, tfs, post_row, row_post_off
+
+
+def _make_decode_postings_docids_rows():
+    """mapInArrow kernel factory for the scoring opt-out: postings rows ->
+    (split_id, term, docid) only. Unpacks docid gaps (batched across ALL
+    blocks of the batch) and never touches the tf payload, the fieldnorm
+    cache, or the avgdl map — the analog of the reference skipping tf
+    decompression + fieldnorms unless the query sorts by ``_score``
+    (collector.rs:413-421). This is the plan counts, exports and
+    fast-field-sorted searches should pay."""
+
+    def kernel(batches):
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        except Exception:  # noqa: BLE001
+            pass
+        for rb in batches:
+            dec = _decode_blocks_batch(rb, need_tf=False)
+            if dec is None:
                 continue
-            yield pd.DataFrame(
-                {
-                    "split_id": np.concatenate(sids),
-                    "term": np.concatenate(terms),
-                    "docid": np.concatenate(docids),
-                }
+            docids, _, post_row, _ = dec
+            names = rb.schema.names
+            take_idx = pa.array(post_row, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(rb.column(names.index("split_id")), take_idx),
+                    pc.take(rb.column(names.index("term")), take_idx),
+                    pa.array(docids, type=pa.int64()),
+                ],
+                names=["split_id", "term", "docid"],
+            )
+
+    return kernel
+
+
+def _make_decode_postings_rows_arrow(
+    index_dir: str, quantize: bool, avgdl_map: dict
+):
+    """mapInArrow kernel: postings rows (split_id, term, doc_freq, blocks)
+    -> exploded (split_id, term, doc_freq, docid, tf, dl, avgdl) rows.
+
+    The Arrow/batched twin of the old mapInPandas decode: per-block payloads
+    decode in ONE width-grouped unpackbits+matmul over the whole batch and
+    the parquet binary buffers flow in without ever becoming python dicts
+    (the struct->dict conversion plus per-block decode_block calls used to
+    dominate hot-term queries). |d| attaches map-side from the executor
+    fieldnorm cache; missing avgdl keys fail loudly (stats inconsistency)."""
+
+    def kernel(batches):
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        except Exception:  # noqa: BLE001
+            pass
+        for rb in batches:
+            dec = _decode_blocks_batch(rb, need_tf=True)
+            if dec is None:
+                continue
+            docids, tfs, post_row, row_post_off = dec
+            names = rb.schema.names
+            sid_col = rb.column(names.index("split_id"))
+            term_col = rb.column(names.index("term"))
+            total = len(docids)
+            dl = np.empty(total, dtype=np.float64)
+            avg = np.empty(total, dtype=np.float64)
+            sids = sid_col.to_pylist()  # one string per (split, term) row
+            terms = term_col.to_pylist()
+            for i in range(rb.num_rows):
+                a, b = int(row_post_off[i]), int(row_post_off[i + 1])
+                if a == b:
+                    continue
+                fld = _term_field(terms[i])
+                dl[a:b] = _norms_for(
+                    index_dir, sids[i], quantize, docids[a:b], fld
+                )
+                try:
+                    avg[a:b] = avgdl_map[(sids[i], fld)]
+                except KeyError:
+                    raise KeyError(
+                        f"no avgdl for split={sids[i]!r} field={fld!r}: "
+                        "manifest field_total_tokens out of sync with postings"
+                    ) from None
+            take_idx = pa.array(post_row, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(sid_col, take_idx),
+                    pc.take(term_col, take_idx),
+                    pc.take(rb.column(names.index("doc_freq")), take_idx),
+                    pa.array(docids, type=pa.int64()),
+                    pa.array(tfs, type=pa.int64()),
+                    pa.array(dl, type=pa.float64()),
+                    pa.array(avg, type=pa.float64()),
+                ],
+                names=[
+                    "split_id", "term", "doc_freq", "docid", "tf", "dl", "avgdl"
+                ],
             )
 
     return kernel
@@ -351,67 +481,6 @@ class IndexReader:
                 rows, "split_id string, n_docs long, avgdl double"
             )
         return self._split_stats
-
-
-def _make_decode_postings_rows(
-    index_dir: str, quantize: bool, avgdl_map: dict[tuple[str, str], float]
-):
-    """mapInPandas kernel factory: postings rows (with compressed blocks) ->
-    (split_id, term, doc_freq, docid, tf, dl, avgdl) exploded rows. numpy
-    inside; |d| attached from the executor-side fieldnorm cache (no norms
-    join); the term's field (namespaced-term prefix) selects the fieldnorm
-    column and the per-(split, field) avgdl."""
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            sids: list = []
-            terms: list = []
-            dfs: list = []
-            docids: list = []
-            tfs: list = []
-            dls: list = []
-            avgs: list = []
-            for sid, term, dfreq, blocks in zip(
-                pdf["split_id"], pdf["term"], pdf["doc_freq"], pdf["blocks"]
-            ):
-                row_d = [decode_block(b) for b in blocks]
-                if not row_d:
-                    continue
-                fld = _term_field(term)
-                d = np.concatenate([x[0] for x in row_d])
-                t = np.concatenate([x[1] for x in row_d])
-                sids.append(np.full(len(d), sid, dtype=object))
-                terms.append(np.full(len(d), term, dtype=object))
-                dfs.append(np.full(len(d), dfreq, dtype=np.int64))
-                docids.append(d)
-                tfs.append(t)
-                dls.append(_norms_for(index_dir, sid, quantize, d, fld))
-                try:
-                    avgdl = avgdl_map[(sid, fld)]
-                except KeyError:
-                    # a missing key means the manifest's field_total_tokens is
-                    # inconsistent with the postings — scoring with a default
-                    # would be silently wrong, so fail loudly instead
-                    raise KeyError(
-                        f"no avgdl for split={sid!r} field={fld!r}: manifest "
-                        "field_total_tokens out of sync with postings"
-                    ) from None
-                avgs.append(np.full(len(d), avgdl))
-            if not docids:
-                continue
-            yield pd.DataFrame(
-                {
-                    "split_id": np.concatenate(sids),
-                    "term": np.concatenate(terms),
-                    "doc_freq": np.concatenate(dfs),
-                    "docid": np.concatenate(docids),
-                    "tf": np.concatenate(tfs),
-                    "dl": np.concatenate(dls),
-                    "avgdl": np.concatenate(avgs),
-                }
-            )
-
-    return kernel
 
 
 BLOCK_ROW_SCHEMA = T.StructType(
@@ -781,8 +850,8 @@ class Searcher:
         ).select("split_id", "term", "doc_freq", "blocks")
         # ^ explicit projection: the positions column must stay pruned out of
         # the parquet scan on the term/WAND hot path
-        decoded = post.mapInPandas(
-            _make_decode_postings_rows(
+        decoded = post.mapInArrow(
+            _make_decode_postings_rows_arrow(
                 self.reader.index_dir,
                 self.quantize_norms,
                 self._avgdl_map(split_ids),
@@ -806,7 +875,7 @@ class Searcher:
         post = self.reader.postings().filter(
             F.col("term").isin(terms) & F.col("split_id").isin(split_ids)
         ).select("split_id", "term", "blocks")
-        matched = post.mapInPandas(
+        matched = post.mapInArrow(
             _make_decode_postings_docids_rows(), MATCHED_SCHEMA
         )
         return matched.select(
