@@ -264,7 +264,7 @@ def decode_blocks_arrays(
     if total == 0:
         return out
     dest = np.concatenate([[0], np.cumsum(nvals)])
-    key = widths * 1000 + nvals  # widths<=64, nvals<=BLOCK_SIZE: collision-free
+    key = (widths << np.int64(32)) | nvals  # collision-free for any counts
     for k in np.unique(key):
         idx = np.flatnonzero(key == k)
         w = int(widths[idx[0]])
@@ -284,6 +284,92 @@ def decode_blocks_arrays(
         )
         out[d] = vals.reshape(-1)
     return out
+
+
+def decode_blocks_ragged(
+    widths: np.ndarray,
+    nvals: np.ndarray,
+    payload_data: np.ndarray,
+    payload_offs: np.ndarray,
+) -> np.ndarray:
+    """Like :func:`decode_blocks_arrays` for blocks whose value counts vary
+    freely (positions payloads: count = the block's sum of tfs). One
+    ``unpackbits`` over the whole buffer, then per width group a single
+    bit-index gather + matmul — no per-block python even when every block
+    has a distinct count."""
+    widths = np.asarray(widths, dtype=np.int64)
+    nvals = np.asarray(nvals, dtype=np.int64)
+    total = int(nvals.sum())
+    out = np.zeros(total, dtype=np.int64)
+    if total == 0 or not len(payload_data):
+        return out
+    allbits = np.unpackbits(payload_data)
+    dest = np.concatenate([[0], np.cumsum(nvals)])
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        idx = np.flatnonzero((widths == w) & (nvals > 0))
+        if not len(idx):
+            continue
+        nv = nvals[idx]
+        tot_v = int(nv.sum())
+        # value j of block i lives at bits [offs[i]*8 + j*w, +w)
+        j = np.arange(tot_v, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(nv)[:-1]]), nv
+        )
+        vbase = np.repeat(payload_offs[idx] * 8, nv) + j * int(w)
+        bits = allbits[vbase[:, None] + np.arange(int(w), dtype=np.int64)]
+        weights = 1 << np.arange(int(w) - 1, -1, -1, dtype=np.int64)
+        vals = bits.astype(np.int64) @ weights
+        d = np.repeat(dest[idx], nv) + j
+        out[d] = vals
+    return out
+
+
+def binary_np(barr) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow BinaryArray -> (uint8 data buffer, per-entry absolute byte
+    offsets) without materializing python bytes objects — the layout
+    :func:`decode_blocks_arrays` / :func:`decode_blocks_ragged` consume."""
+    bufs = barr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        barr.offset : barr.offset + len(barr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    return data, offs[:-1]
+
+
+def decode_struct_blocks(bl, need_tf: bool):
+    """Arrow StructArray of blocks -> (docids, tfs | None, per-block count).
+
+    Gap/tf payloads decode in one width-grouped batched pass
+    (:func:`decode_blocks_arrays`) straight off the parquet binary buffers;
+    docids come from a single segmented cumsum over all blocks. Shared by
+    the query-side decode kernels and the merge executor."""
+    first = bl.field("first_docid").to_numpy().astype(np.int64)
+    cnt = bl.field("count").to_numpy().astype(np.int64)
+    gw = bl.field("gap_bits").to_numpy().astype(np.int64)
+    gdata, goffs = binary_np(bl.field("docid_gaps"))
+    gaps = decode_blocks_arrays(gw, cnt - 1, gdata, goffs)
+    total = int(cnt.sum())
+    vstarts = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+    g2 = np.empty(total, dtype=np.int64)
+    mask_first = np.zeros(total, dtype=bool)
+    mask_first[vstarts] = True
+    g2[mask_first] = first
+    g2[~mask_first] = gaps
+    c = np.cumsum(g2)
+    base = c[vstarts] - first  # global cumsum just before each block
+    docids = c - np.repeat(base, cnt)
+    tfs = None
+    if need_tf:
+        tw = bl.field("tf_bits").to_numpy().astype(np.int64)
+        tdata, toffs = binary_np(bl.field("tfs"))
+        tfs = decode_blocks_arrays(tw, cnt, tdata, toffs) + 1
+    return docids, tfs, cnt
 
 
 def decode_block(block: dict) -> tuple[np.ndarray, np.ndarray]:

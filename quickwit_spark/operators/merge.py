@@ -36,8 +36,9 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from quickwit_spark.index.codec import (
-    decode_positions,
-    decode_postings,
+    binary_np,
+    decode_blocks_ragged,
+    decode_struct_blocks,
 )
 from quickwit_spark.index.manifest import Manifest, SplitMetadata
 from quickwit_spark.index.merge_policy import (
@@ -53,6 +54,7 @@ from quickwit_spark.operators.build import (
 )
 
 import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import types as T
 
 # merged postings rows carry no split_id column — the writer targets the
@@ -71,79 +73,113 @@ PA_MERGED_SCHEMA = pa.schema(
 )
 
 
-def _merge_rows(rows: list[dict]):
-    """Complete term runs (sorted by (term, _off)) -> encoded RecordBatches.
+def _merge_table(tbl: "pa.Table"):
+    """Complete term runs (Arrow table sorted by (term, _off)) -> encoded
+    RecordBatches, fully vectorized:
 
-    Decodes each source row once, applies its docid offset, then re-encodes
-    ALL terms of the batch through the build kernel's `_assemble_blocks`
-    (batched bitpacking, columnar assembly) — the per-term encode_postings +
-    pandas groupby-apply used to cost ~100 µs of overhead per TERM, which
-    dominates a merge of realistic vocabularies. A term stores positions in
-    the merged split iff EVERY source row has them (a mixed-record merge
-    degrades that term, exactly like the old per-term path)."""
-    runs: list[tuple[str, list[dict]]] = []
-    i = 0
-    while i < len(rows):
-        j = i
-        t = rows[i]["term"]
-        while j < len(rows) and rows[j]["term"] == t:
-            j += 1
-        runs.append((t, rows[i:j]))
-        i = j
+    - every source block of the batch decodes in ONE width-grouped batched
+      bit-unpack (codec.decode_struct_blocks / decode_blocks_ragged) straight
+      off the parquet buffers — no struct->dict conversion, no per-block
+      python (rb.to_pylist + per-row decode_postings used to dominate);
+    - docid re-base is one vectorized add of the per-row _off;
+    - positions need NO absolute-value round trip: the stored pos payload is
+      already the delta-with-posting-start-reset form `_assemble_blocks`
+      consumes, and that form is invariant under re-blocking, so merged
+      positions are a pure gather-concat of decoded payload values;
+    - a term stores positions in the merged split iff EVERY source row has
+      them (a mixed-record merge degrades that term, like the reference
+      merging a segment without positions).
+    """
+    batch = tbl.combine_chunks().to_batches()[0]
+    names = batch.schema.names
+    term_col = batch.column(names.index("term"))
+    off = batch.column(names.index("_off")).to_numpy().astype(np.int64)
+    bls = batch.column(names.index("blocks"))
+    pls = batch.column(names.index("pos_blocks"))
+    n = batch.num_rows
+    enc_t = pc.dictionary_encode(term_col)
+    codes = enc_t.indices.to_numpy().astype(np.int64)
+    row_bounds = np.concatenate(
+        [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1, [n]]
+    )
+
+    loffs = bls.offsets.to_numpy().astype(np.int64)
+    row_off = loffs - loffs[0]
+    bl = bls.flatten()
+    docids, tfs, cnt = decode_struct_blocks(bl, need_tf=True)
+    nblocks_per_row = np.diff(row_off)
+    blk_row = np.repeat(np.arange(n, dtype=np.int64), nblocks_per_row)
+    per_row_posts = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(per_row_posts, blk_row + 1, cnt)
+    row_post_off = np.cumsum(per_row_posts)
+    ud_all = docids + np.repeat(off, np.diff(row_post_off))
+    tf_all = tfs
+
+    # positions: decode every pos-bearing row's payload values (g-form)
+    valid = np.asarray(pls.is_valid(), dtype=bool)
+    ploffs = pls.offsets.to_numpy().astype(np.int64)
+    prow_off = ploffs - ploffs[0]
+    pbl = pls.flatten()
+    occ_off = np.zeros(n + 1, dtype=np.int64)
+    g_flat = np.zeros(0, dtype=np.int64)
+    if len(pbl):
+        pws = pbl.field("pos_bits").to_numpy().astype(np.int64)
+        nps = pbl.field("n_pos").to_numpy().astype(np.int64)
+        pdata, poffs = binary_np(pbl.field("positions"))
+        g_flat = decode_blocks_ragged(pws, nps, pdata, poffs)
+        # occurrences per row (0 for pos-less rows): segmented sum of n_pos
+        npb_per_row = np.diff(prow_off) * valid  # null rows: 0 blocks
+        pblk_row = np.repeat(np.arange(n, dtype=np.int64), npb_per_row)
+        per_row_occ = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(per_row_occ, pblk_row + 1, nps)
+        occ_off = np.cumsum(per_row_occ)
+
+    # term groups by positions availability
+    term_haspos = np.array(
+        [
+            bool(valid[a:b].all())
+            for a, b in zip(row_bounds[:-1], row_bounds[1:])
+        ],
+        dtype=bool,
+    ) if len(pbl) else np.zeros(len(row_bounds) - 1, dtype=bool)
+
+    def _gather_ranges(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+        lens = ends - starts
+        tot = int(lens.sum())
+        if tot == 0:
+            return np.zeros(0, dtype=np.int64)
+        pos = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+        )
+        return np.repeat(starts, lens) + pos
+
     for want_pos in (True, False):
-        term_names: list[str] = []
-        counts: list[int] = []
-        ud_parts: list[np.ndarray] = []
-        tf_parts: list[np.ndarray] = []
-        pos_parts: list[np.ndarray] = []
-        for t, rr in runs:
-            has_pos = all(r.get("pos_blocks") is not None for r in rr)
-            if has_pos != want_pos:
-                continue
-            n_term = 0
-            for r in rr:
-                blocks = list(r["blocks"])
-                if want_pos:
-                    # positions are doc-local token indices — unchanged by
-                    # the docid re-base
-                    d, tfv, flat = decode_positions(
-                        blocks, list(r["pos_blocks"])
-                    )
-                    pos_parts.append(flat)
-                else:
-                    d, tfv = decode_postings(blocks)
-                ud_parts.append(d + int(r["_off"]))
-                tf_parts.append(tfv)
-                n_term += len(d)
-            term_names.append(t)
-            counts.append(n_term)
-        if not term_names:
+        tsel = np.flatnonzero(term_haspos == want_pos)
+        if not len(tsel):
             continue
-        ud = np.concatenate(ud_parts)
-        tf = np.concatenate(tf_parts)
-        bounds = np.concatenate([[0], np.cumsum(counts, dtype=np.int64)])
+        # posting index ranges per selected term (contiguous in row order)
+        p_starts = row_post_off[row_bounds[tsel]]
+        p_ends = row_post_off[row_bounds[tsel + 1]]
+        gidx = _gather_ranges(p_starts, p_ends)
+        ud = ud_all[gidx]
+        tf = tf_all[gidx]
+        term_lens = p_ends - p_starts
+        bounds = np.concatenate([[0], np.cumsum(term_lens)])
         g_all = None
         if want_pos:
-            flat = (
-                np.concatenate(pos_parts)
-                if pos_parts
-                else np.zeros(0, np.int64)
-            )
-            total = len(flat)
-            starts = np.concatenate([[0], np.cumsum(tf)])[:-1]
-            g_all = np.empty(total, dtype=np.int64)
-            if total:
-                g_all[0] = 0
-                np.subtract(flat[1:], flat[:-1], out=g_all[1:])
-                g_all[starts] = flat[starts] + 1
+            # occurrence ranges per selected term, gathered row-by-row
+            o_starts = occ_off[row_bounds[tsel]]
+            o_ends = occ_off[row_bounds[tsel + 1]]
+            g_all = g_flat[_gather_ranges(o_starts, o_ends)]
         dfs, sums, blocks_arr, pos_arr = _assemble_blocks(ud, tf, bounds, g_all)
         if pos_arr is None:
-            pos_arr = pa.array(
-                [None] * len(term_names), type=pa.list_(PA_POS_BLOCK)
-            )
+            pos_arr = pa.array([None] * len(tsel), type=pa.list_(PA_POS_BLOCK))
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array(term_names, type=pa.string()),
+                pc.take(
+                    enc_t.dictionary,
+                    pa.array(codes[row_bounds[tsel]], type=pa.int64()),
+                ).cast(pa.string()),
                 pa.array(dfs, type=pa.int64()),
                 pa.array(sums, type=pa.int64()),
                 blocks_arr,
@@ -156,24 +192,29 @@ def _merge_rows(rows: list[dict]):
 def _make_merge_postings_kernel():
     """mapInArrow kernel: term-sorted (term, _off, blocks, pos_blocks) rows
     -> merged per-term postings. Buffers the trailing term run across Arrow
-    batch boundaries (a term's <=merge_factor rows must merge together)."""
+    batch boundaries (a term's <=merge_factor rows must merge together) as
+    a zero-copy table slice — rows never become python dicts."""
 
     def kernel(batches):
-        held: list[dict] = []
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        except Exception:  # noqa: BLE001
+            pass
+        held: "pa.Table | None" = None
         for rb in batches:
-            rows = rb.to_pylist()
-            if not rows:
+            tbl = pa.Table.from_batches([rb])
+            if held is not None and held.num_rows:
+                tbl = pa.concat_tables([held, tbl]).combine_chunks()
+            if not tbl.num_rows:
                 continue
-            rows = held + rows
-            last_term = rows[-1]["term"]
-            cut = len(rows)
-            while cut > 0 and rows[cut - 1]["term"] == last_term:
-                cut -= 1
-            held = rows[cut:]
+            terms = tbl.column("term").to_numpy(zero_copy_only=False)
+            cut = int(tbl.num_rows - (terms == terms[-1]).sum())
+            held = tbl.slice(cut)
             if cut:
-                yield from _merge_rows(rows[:cut])
-        if held:
-            yield from _merge_rows(held)
+                yield from _merge_table(tbl.slice(0, cut))
+        if held is not None and held.num_rows:
+            yield from _merge_table(held)
 
     return kernel
 

@@ -39,8 +39,8 @@ from pyspark.sql.window import Window
 from quickwit_spark import BM25_B, BM25_K1
 from quickwit_spark.functions.tokenize import analyzer_py, tokenize_py, SPLIT_PATTERN_JAVA
 from quickwit_spark.index.codec import (
-    decode_block,
     decode_positions,
+    decode_struct_blocks as _decode_struct_blocks,
 )
 from quickwit_spark.operators.build import FIELD_SEP
 from quickwit_spark.index.manifest import Manifest
@@ -92,22 +92,6 @@ MATCHED_SCHEMA = T.StructType(
 )
 
 
-def _binary_np(barr) -> tuple[np.ndarray, np.ndarray]:
-    """Arrow BinaryArray -> (uint8 data buffer, per-entry absolute byte
-    offsets) without materializing python bytes objects (the parquet
-    payload buffer flows straight into the batched bit-unpack)."""
-    import pyarrow as pa  # noqa: F401 (typing only)
-
-    bufs = barr.buffers()
-    offs = np.frombuffer(bufs[1], dtype=np.int32)[
-        barr.offset : barr.offset + len(barr) + 1
-    ].astype(np.int64)
-    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else (
-        np.zeros(0, dtype=np.uint8)
-    )
-    return data, offs[:-1]
-
-
 def _decode_blocks_batch(rb, need_tf: bool):
     """One Arrow batch of postings rows (split_id, term[, doc_freq], blocks)
     -> (docids, tfs | None, per-posting row index, per-row posting offsets).
@@ -117,8 +101,6 @@ def _decode_blocks_batch(rb, need_tf: bool):
     unpackbits+matmul pass (codec.decode_blocks_arrays), and docids come
     from a single segmented cumsum — no per-block python, no struct->dict
     conversion (the mapInPandas path paid both)."""
-    from quickwit_spark.index.codec import decode_blocks_arrays
-
     names = rb.schema.names
     ls = rb.column(names.index("blocks"))
     loffs = ls.offsets.to_numpy().astype(np.int64)
@@ -126,26 +108,7 @@ def _decode_blocks_batch(rb, need_tf: bool):
     bl = ls.flatten()
     if len(bl) == 0:
         return None
-    first = bl.field("first_docid").to_numpy().astype(np.int64)
-    cnt = bl.field("count").to_numpy().astype(np.int64)
-    gw = bl.field("gap_bits").to_numpy().astype(np.int64)
-    gdata, goffs = _binary_np(bl.field("docid_gaps"))
-    gaps = decode_blocks_arrays(gw, cnt - 1, gdata, goffs)
-    total = int(cnt.sum())
-    vstarts = np.concatenate([[0], np.cumsum(cnt)])[:-1]
-    g2 = np.empty(total, dtype=np.int64)
-    mask_first = np.zeros(total, dtype=bool)
-    mask_first[vstarts] = True
-    g2[mask_first] = first
-    g2[~mask_first] = gaps
-    c = np.cumsum(g2)
-    base = c[vstarts] - first  # global cumsum just before each block
-    docids = c - np.repeat(base, cnt)
-    tfs = None
-    if need_tf:
-        tw = bl.field("tf_bits").to_numpy().astype(np.int64)
-        tdata, toffs = _binary_np(bl.field("tfs"))
-        tfs = decode_blocks_arrays(tw, cnt, tdata, toffs) + 1
+    docids, tfs, cnt = _decode_struct_blocks(bl, need_tf)
     nblocks_per_row = np.diff(row_off)
     blk_row = np.repeat(
         np.arange(len(nblocks_per_row), dtype=np.int64), nblocks_per_row
@@ -608,45 +571,64 @@ def _make_phrase_kernel(
 def _make_decode_block_rows(
     index_dir: str, quantize: bool, avgdl_map: dict
 ):
-    """mapInPandas kernel factory over (split_id, term, doc_freq, block)
+    """mapInArrow kernel factory over (split_id, term, doc_freq, block)
     rows — each row is ONE compressed block (the WAND path decodes selected
-    blocks only, unlike the whole-posting-list kernel). |d| and the
-    per-(split, field) avgdl attached from executor-side caches."""
+    blocks only, unlike the whole-posting-list kernel). Batched bit-unpack
+    like the whole-list kernel; |d| and the per-(split, field) avgdl
+    attached from executor-side caches."""
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            sids, terms, dfs, docids, tfs, dls, avgs = [], [], [], [], [], [], []
-            for sid, term, dfreq, block in zip(
-                pdf["split_id"], pdf["term"], pdf["doc_freq"], pdf["block"]
-            ):
-                d, t = decode_block(block)
-                fld = _term_field(term)
-                sids.append(np.full(len(d), sid, dtype=object))
-                terms.append(np.full(len(d), term, dtype=object))
-                dfs.append(np.full(len(d), dfreq, dtype=np.int64))
-                docids.append(d)
-                tfs.append(t)
-                dls.append(_norms_for(index_dir, sid, quantize, d, fld))
+    def kernel(batches):
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        except Exception:  # noqa: BLE001
+            pass
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            bl = rb.column(names.index("block"))
+            docids, tfs, cnt = _decode_struct_blocks(bl, need_tf=True)
+            row_post_off = np.concatenate([[0], np.cumsum(cnt)])
+            post_row = np.repeat(
+                np.arange(rb.num_rows, dtype=np.int64), cnt
+            )
+            sid_col = rb.column(names.index("split_id"))
+            term_col = rb.column(names.index("term"))
+            total = len(docids)
+            dl = np.empty(total, dtype=np.float64)
+            avg = np.empty(total, dtype=np.float64)
+            sids = sid_col.to_pylist()
+            terms = term_col.to_pylist()
+            for i in range(rb.num_rows):
+                a, b = int(row_post_off[i]), int(row_post_off[i + 1])
+                if a == b:
+                    continue
+                fld = _term_field(terms[i])
+                dl[a:b] = _norms_for(
+                    index_dir, sids[i], quantize, docids[a:b], fld
+                )
                 try:
-                    avgdl = avgdl_map[(sid, fld)]
+                    avg[a:b] = avgdl_map[(sids[i], fld)]
                 except KeyError:
                     raise KeyError(
-                        f"no avgdl for split={sid!r} field={fld!r}: manifest "
-                        "field_total_tokens out of sync with postings"
+                        f"no avgdl for split={sids[i]!r} field={fld!r}: "
+                        "manifest field_total_tokens out of sync with postings"
                     ) from None
-                avgs.append(np.full(len(d), avgdl))
-            if not docids:
-                continue
-            yield pd.DataFrame(
-                {
-                    "split_id": np.concatenate(sids),
-                    "term": np.concatenate(terms),
-                    "doc_freq": np.concatenate(dfs),
-                    "docid": np.concatenate(docids),
-                    "tf": np.concatenate(tfs),
-                    "dl": np.concatenate(dls),
-                    "avgdl": np.concatenate(avgs),
-                }
+            take_idx = pa.array(post_row, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(sid_col, take_idx),
+                    pc.take(term_col, take_idx),
+                    pc.take(rb.column(names.index("doc_freq")), take_idx),
+                    pa.array(docids, type=pa.int64()),
+                    pa.array(tfs, type=pa.int64()),
+                    pa.array(dl, type=pa.float64()),
+                    pa.array(avg, type=pa.float64()),
+                ],
+                names=[
+                    "split_id", "term", "doc_freq", "docid", "tf", "dl", "avgdl"
+                ],
             )
 
     return kernel
@@ -1020,7 +1002,7 @@ class Searcher:
                 ["split_id", "term", "bi"],
                 "left_semi",
             ).select("split_id", "term", "doc_freq", "block")
-            return rows.mapInPandas(block_kernel, BLOCK_ROW_SCHEMA)
+            return rows.mapInArrow(block_kernel, BLOCK_ROW_SCHEMA)
 
         # -- phase 2: threshold from the best seed blocks
         seed_n = max(8, 2 * ((k + 127) // 128 + 1))
