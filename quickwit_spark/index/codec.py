@@ -303,24 +303,43 @@ def decode_blocks_ragged(
     out = np.zeros(total, dtype=np.int64)
     if total == 0 or not len(payload_data):
         return out
-    allbits = np.unpackbits(payload_data)
     dest = np.concatenate([[0], np.cumsum(nvals)])
+    pad = np.zeros(16, dtype=np.uint8)  # tail windows may read past the end
+    data = np.concatenate([payload_data, pad]).astype(np.uint64)
     for w in np.unique(widths):
         if w == 0:
             continue
         idx = np.flatnonzero((widths == w) & (nvals > 0))
         if not len(idx):
             continue
+        w_i = int(w)
         nv = nvals[idx]
         tot_v = int(nv.sum())
-        # value j of block i lives at bits [offs[i]*8 + j*w, +w)
         j = np.arange(tot_v, dtype=np.int64) - np.repeat(
             np.concatenate([[0], np.cumsum(nv)[:-1]]), nv
         )
-        vbase = np.repeat(payload_offs[idx] * 8, nv) + j * int(w)
-        bits = allbits[vbase[:, None] + np.arange(int(w), dtype=np.int64)]
-        weights = 1 << np.arange(int(w) - 1, -1, -1, dtype=np.int64)
-        vals = bits.astype(np.int64) @ weights
+        # value j of block i lives at bits [offs[i]*8 + j*w, +w): read the
+        # K-byte window covering it, big-endian assemble, shift-mask — K
+        # gathers per value instead of w bit-index gathers (the bit-matrix
+        # variant built a tot_v x w int64 intermediate that dominated at
+        # millions of occurrences)
+        bit0 = np.repeat(payload_offs[idx] * 8, nv) + j * w_i
+        byte0 = bit0 >> 3
+        shift_in = (bit0 & 7).astype(np.uint64)
+        K = (7 + w_i + 7) // 8  # max bytes any w-bit window can span
+        if K <= 8:
+            acc = np.zeros(tot_v, dtype=np.uint64)
+            for b in range(K):
+                acc = (acc << np.uint64(8)) | data[byte0 + b]
+            vals = (
+                acc >> (np.uint64(8 * K) - shift_in - np.uint64(w_i))
+            ) & np.uint64((1 << w_i) - 1)
+            vals = vals.astype(np.int64)
+        else:  # w > 50: window exceeds a uint64 — per-value bit gather
+            allbits = np.unpackbits(payload_data)
+            bits = allbits[bit0[:, None] + np.arange(w_i, dtype=np.int64)]
+            weights = 1 << np.arange(w_i - 1, -1, -1, dtype=np.int64)
+            vals = bits.astype(np.int64) @ weights
         d = np.repeat(dest[idx], nv) + j
         out[d] = vals
     return out

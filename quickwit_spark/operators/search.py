@@ -38,10 +38,7 @@ from pyspark.sql.window import Window
 
 from quickwit_spark import BM25_B, BM25_K1
 from quickwit_spark.functions.tokenize import analyzer_py, tokenize_py, SPLIT_PATTERN_JAVA
-from quickwit_spark.index.codec import (
-    decode_positions,
-    decode_struct_blocks as _decode_struct_blocks,
-)
+from quickwit_spark.index.codec import decode_struct_blocks as _decode_struct_blocks
 from quickwit_spark.operators.build import FIELD_SEP
 from quickwit_spark.index.manifest import Manifest
 from quickwit_spark.plans.query import (
@@ -497,26 +494,85 @@ def _make_phrase_kernel(
     n_terms = len(ordered)
     field = _term_field(ordered[0]) if ordered else ""
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches):
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        except Exception:  # noqa: BLE001
+            pass
+        from quickwit_spark.index.codec import binary_np, decode_blocks_ragged
+
         acc: dict[str, dict[str, tuple]] = {}
         dfs: dict[str, dict[str, int]] = {}
-        for pdf in batches:
-            for sid, term, dfreq, blocks, pos_blocks in zip(
-                pdf["split_id"],
-                pdf["term"],
-                pdf["doc_freq"],
-                pdf["blocks"],
-                pdf["pos_blocks"],
-            ):
-                if pos_blocks is None:
-                    # positions-less term (mixed-merge split): the driver
-                    # normally routes such queries to the fallback; never
-                    # crash the executor on a null payload
-                    continue
-                d, t, flat = decode_positions(list(blocks), list(pos_blocks))
-                g = np.repeat(d, t) * _PHRASE_SHIFT + flat
-                acc.setdefault(sid, {})[term] = g
-                dfs.setdefault(sid, {})[term] = int(dfreq)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            bls = rb.column(names.index("blocks"))
+            pls = rb.column(names.index("pos_blocks"))
+            valid = np.asarray(pls.is_valid(), dtype=bool)
+            # positions-less rows (mixed-merge split): the driver normally
+            # routes such queries to the fallback; never crash the executor
+            # on a null payload — skip them here
+            loffs = bls.offsets.to_numpy().astype(np.int64)
+            row_off = loffs - loffs[0]
+            bl = bls.flatten()
+            if len(bl) == 0:
+                continue
+            docids, tfs, cnt = _decode_struct_blocks(bl, need_tf=True)
+            nblocks_per_row = np.diff(row_off)
+            blk_row = np.repeat(
+                np.arange(rb.num_rows, dtype=np.int64), nblocks_per_row
+            )
+            per_row_posts = np.zeros(rb.num_rows + 1, dtype=np.int64)
+            np.add.at(per_row_posts, blk_row + 1, cnt)
+            post_off = np.cumsum(per_row_posts)
+            # positions: one ragged batched decode of every valid row's
+            # payload, then absolute positions by segmented cumsum with a
+            # reset at each posting start (the stored +1-shift delta form)
+            ploffs = pls.offsets.to_numpy().astype(np.int64)
+            prow_off = ploffs - ploffs[0]
+            pbl = pls.flatten()
+            if len(pbl) == 0:
+                continue
+            pws = pbl.field("pos_bits").to_numpy().astype(np.int64)
+            nps = pbl.field("n_pos").to_numpy().astype(np.int64)
+            pdata, poffs = binary_np(pbl.field("positions"))
+            gvals = decode_blocks_ragged(pws, nps, pdata, poffs)
+            # occurrences per row (valid rows only appear in the flatten)
+            npb_per_row = np.diff(prow_off) * valid
+            pblk_row = np.repeat(
+                np.arange(rb.num_rows, dtype=np.int64), npb_per_row
+            )
+            per_row_occ = np.zeros(rb.num_rows + 1, dtype=np.int64)
+            np.add.at(per_row_occ, pblk_row + 1, nps)
+            occ_off = np.cumsum(per_row_occ)
+            # absolute positions: cumsum with reset at posting starts. The
+            # flattened occurrence stream covers VALID rows only, so the
+            # posting tfs must be filtered the same way before cumsum.
+            vrows = np.flatnonzero(valid)
+            tf_valid = np.concatenate(
+                [tfs[post_off[r] : post_off[r + 1]] for r in vrows]
+            ) if len(vrows) else np.zeros(0, np.int64)
+            tot_occ = int(tf_valid.sum())
+            a2 = gvals.copy()
+            pstarts = np.concatenate([[0], np.cumsum(tf_valid)])[:-1]
+            pstarts = pstarts[tf_valid > 0]
+            a2[pstarts] -= 1  # undo the +1 posting-start shift
+            cacc = np.cumsum(a2)
+            base = cacc[pstarts] - a2[pstarts]
+            flat_abs = cacc - np.repeat(base, tf_valid[tf_valid > 0])
+            sids = rb.column(names.index("split_id")).to_pylist()
+            terms = rb.column(names.index("term")).to_pylist()
+            dfreqs = rb.column(names.index("doc_freq")).to_pylist()
+            for r in vrows:
+                a, b = int(post_off[r]), int(post_off[r + 1])
+                oa, ob = int(occ_off[r]), int(occ_off[r + 1])
+                d = docids[a:b]
+                t = tfs[a:b]
+                g = np.repeat(d, t) * _PHRASE_SHIFT + flat_abs[oa:ob]
+                acc.setdefault(sids[r], {})[terms[r]] = g
+                dfs.setdefault(sids[r], {})[terms[r]] = int(dfreqs[r])
         out = []
         for sid, by_term in acc.items():
             if any(u not in by_term for u in uniq):
@@ -546,24 +602,27 @@ def _make_phrase_kernel(
             mdoc = (starts[match] // _PHRASE_SHIFT).astype(np.int64)
             udoc, pf = np.unique(mdoc, return_counts=True)
             out.append(
-                pd.DataFrame(
-                    {
-                        "split_id": np.full(len(udoc), sid, dtype=object),
-                        "docid": udoc,
-                        "pf": pf.astype(np.int64),
-                        "idf_sum": np.full(len(udoc), idf_sum),
+                pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([sid] * len(udoc), type=pa.string()),
+                        pa.array(udoc, type=pa.int64()),
+                        pa.array(pf.astype(np.int64), type=pa.int64()),
+                        pa.array(
+                            np.full(len(udoc), idf_sum), type=pa.float64()
+                        ),
                         # scoring opt-out: phrase membership needs positions
                         # but never the fieldnorms
-                        "dl": (
+                        pa.array(
                             _norms_for(index_dir, sid, quantize, udoc, field)
                             if scoring
-                            else np.zeros(len(udoc))
+                            else np.zeros(len(udoc)),
+                            type=pa.float64(),
                         ),
-                    }
+                    ],
+                    names=["split_id", "docid", "pf", "idf_sum", "dl"],
                 )
             )
-        if out:
-            yield pd.concat(out, ignore_index=True)
+        yield from out
 
     return kernel
 
@@ -1257,7 +1316,7 @@ class Searcher:
         post = self.reader.postings().filter(
             F.col("term").isin(uniq) & F.col("split_id").isin(split_ids)
         ).select("split_id", "term", "doc_freq", "blocks", "pos_blocks")
-        pf_df = post.repartition("split_id").mapInPandas(
+        pf_df = post.repartition("split_id").mapInArrow(
             _make_phrase_kernel(
                 ns_toks,
                 uniq,
