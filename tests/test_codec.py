@@ -93,3 +93,49 @@ def test_pack_blocks_matches_bitpack(specs, rnd):
     got = _pack_blocks(values, starts, ends, widths)
     for r, (w, _), g in zip(rows, specs, got):
         assert g == bitpack(r, w)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=63),  # width
+            st.integers(min_value=0, max_value=200),  # value count
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_batched_decoders_roundtrip(specs, rnd):
+    """decode_blocks_arrays (uniform reshape) and decode_blocks_ragged
+    (byte-window) must both invert bitpack for arbitrary (width, count)
+    block mixes — including counts beyond one posting block, zero-count
+    blocks, and width-1/63 extremes."""
+    import numpy as np
+
+    from quickwit_spark.index.codec import (
+        bitpack,
+        decode_blocks_arrays,
+        decode_blocks_ragged,
+    )
+
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    widths = np.array([w for w, _ in specs], dtype=np.int64)
+    nvals = np.array([n for _, n in specs], dtype=np.int64)
+    rows = [
+        rng.integers(0, 1 << w, n, dtype=np.int64) if n else np.zeros(0, np.int64)
+        for w, n in specs
+    ]
+    payloads = [bitpack(r, int(w)) for r, w in zip(rows, widths)]
+    data = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    offs = np.concatenate(
+        [[0], np.cumsum([len(p) for p in payloads])]
+    )[:-1].astype(np.int64)
+    want = (
+        np.concatenate(rows) if rows else np.zeros(0, np.int64)
+    )
+    got_u = decode_blocks_arrays(widths, nvals, data, offs)
+    got_r = decode_blocks_ragged(widths, nvals, data, offs)
+    assert np.array_equal(got_u, want)
+    assert np.array_equal(got_r, want)
