@@ -155,8 +155,10 @@ def tokenize_sql(expr: str, max_token_len: int = MAX_TOKEN_LEN) -> str:
 
 # tokenizers the Arrow-native kernel implements — used by the build to
 # decide whether to ship raw text (tokenize in-kernel, C++ RE2) or
-# pre-tokenized lists (JVM expression) to the postings encoder
-ARROW_TOKENIZERS = ("default", "chinese_compatible")
+# pre-tokenized lists (JVM expression) to the postings encoder. en_stem
+# rides the default tokenizer + a VOCABULARY-level stem (one python stem
+# call per distinct token per batch, not per occurrence).
+ARROW_TOKENIZERS = ("default", "chinese_compatible", "en_stem")
 
 # RE2 class mirroring _CJK_CLASS_JAVA (RE2 shares Java's \x{...} syntax)
 _CJK_CLASS_RE2 = (
@@ -185,6 +187,20 @@ def arrow_tokenize(
         raise ValueError(f"no arrow tokenizer for {tokenizer!r}")
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if tokenizer == "en_stem":
+        base = arrow_tokenize(arr, "default", max_token_len)
+        flat = base.flatten()
+        if len(flat) == 0:
+            return base
+        enc = pc.dictionary_encode(flat)
+        from quickwit_spark.functions.stem import stem
+
+        stemmed = pa.array(
+            [stem(t) for t in enc.dictionary.to_pylist()], type=pa.string()
+        )
+        return pa.ListArray.from_arrays(
+            base.offsets, pc.take(stemmed, enc.indices)
+        )
     if tokenizer == "chinese_compatible":
         arr = pc.replace_substring_regex(arr, _CJK_CLASS_RE2, r" \1 ")
     toks = pc.split_pattern_regex(pc.utf8_lower(arr), r"[^\pL\pN]+")

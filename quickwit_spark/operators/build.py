@@ -889,7 +889,12 @@ def prepare_docs(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
     Only the columns the index needs survive past this point — the routing
     shuffle must not carry dead weight (html is the bulk of a web page and
     appears in no index structure)."""
-    toks = analyzer_expr(F.col(cfg.text_field), cfg.tokenizer)
+    # tokens here feed ONLY doc_len (the arrays are dropped before the
+    # cache). Stemming maps each token 1:1, so en_stem's doc_len equals the
+    # default tokenizer's — use the pure-codegen default expression instead
+    # of the row-at-a-time stem UDF
+    doclen_tok = "default" if cfg.tokenizer == "en_stem" else cfg.tokenizer
+    toks = analyzer_expr(F.col(cfg.text_field), doclen_tok)
     if cfg.routing_col:
         r = F.col(cfg.routing_col).cast("int")
         # out-of-range routing would write orphan split data and then crash
@@ -929,7 +934,7 @@ def prepare_docs(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
     for f_ in cfg.extra_text_fields:
         df = df.withColumn(
             f"doc_len__{f_}",
-            F.coalesce(F.size(analyzer_expr(F.col(f_), cfg.tokenizer)), F.lit(0)),
+            F.coalesce(F.size(analyzer_expr(F.col(f_), doclen_tok)), F.lit(0)),
         )
     w = Window.partitionBy("partition_id").orderBy(cfg.doc_key)
     return df.withColumn("docid", F.row_number().over(w) - F.lit(1))

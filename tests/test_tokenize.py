@@ -124,3 +124,24 @@ def test_arrow_tokenize_matches_reference(spark):
         ]
         got_bmp = arrow_tokenize(pa.array(bmp, type=pa.string()), tok).to_pylist()
         assert [g or [] for g in got_bmp] == [j or [] for j in jvm], tok
+
+
+def test_arrow_en_stem_matches_reference():
+    """en_stem via the vocabulary-level arrow path (stem once per distinct
+    token) must match the per-token python reference on real English."""
+    import pyarrow as pa
+
+    from quickwit_spark.functions.tokenize import (
+        arrow_tokenize,
+        en_stem_tokenize_py,
+    )
+
+    texts = [
+        None, "", "Running runners ran QUICKLY; communities' happiness!",
+        "stemming stemmed stems abilities ability agreed agreement",
+        "caresses ponies ties cats feed bleed sky news",
+        "conflated generalization oscillators " + "a" * 41 + " sensational",
+        "中文 mixing languages naturally",
+    ]
+    got = arrow_tokenize(pa.array(texts, type=pa.string()), "en_stem").to_pylist()
+    assert [g or [] for g in got] == [en_stem_tokenize_py(t) for t in texts]
