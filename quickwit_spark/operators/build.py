@@ -14,18 +14,25 @@ indexing_pipeline.rs:246-380) collapses into ONE DataFrame lineage here:
 3. stable docids: ``row_number() over (partition by split order by url) - 1``
    — insertion order in tantivy is replaced by a deterministic sort so that
    rebuilds and resumes reproduce identical splits (SURVEY §7.4);
-4. docstore: one zstd parquet dir partitioned by split_id (row store + fast
-   fields + fieldnorms in one columnar table — Spark is columnar-native, no
-   separate fast-field structure needed). Written straight from the window
-   partitioning: rows are already clustered by split and sorted by docid;
-5. postings (default path): per-split single-pass **Arrow kernel**
-   (mapInArrow) — the analog of the reference's per-partition in-memory
-   IndexWriter (indexer.rs workbench). Token lists stay in Arrow; C++
+4. split build (default = ONE-PASS, the reference's indexer architecture):
+   a single Spark job — the routing shuffle feeds a per-split **Arrow
+   kernel** (mapInArrow) that tokenizes once (C++ RE2), computes doc_len /
+   quantized norms, writes the split's docstore parquet AND its term-sorted
+   postings parquet itself (tmp + atomic rename; visibility is governed by
+   the manifest stage->publish protocol, so task retries are idempotent),
+   and returns only a stats row per split. No cache materialization, no
+   second scan, no postings shuffle — exactly one pass over the corpus,
+   like indexer.rs's workbench building a whole immutable split per
+   indexer. Postings encoding: token lists stay in Arrow; C++
    dictionary_encode factorizes terms; (code<<32|docid) np.unique yields
    (term, doc, tf) runs sorted exactly as posting lists need; blocks are
-   delta+bitpack encoded with a block-max sidecar. Zero intermediate
-   shuffle; memory bound = one split's docs per task (the 2 GB-heap commit
-   trigger analog — cap num docs per split accordingly);
+   delta+bitpack encoded with a block-max sidecar. Memory bound = one
+   split's docs per task (the 2 GB-heap commit trigger analog —
+   split_num_docs_target caps it);
+5. legacy two-job path (non-Arrow tokenizers, or one_pass=False): docstore
+   written by Spark from the cached window output, then a postings kernel +
+   repartition(split_id) write. Content-identical to the one-pass path
+   (pinned by tests/test_build_onepass.py);
 6. postings (salt_range path): shuffled two-stage encode for splits beyond
    one task's RAM — per-(doc,term) tf rows salted by docid range, encoded
    per (split, term, salt), concatenated per (split, term). Hot terms
@@ -42,6 +49,7 @@ Searches and merges touch only (query-term x split) / (<=12 splits) slices.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import time
 from dataclasses import dataclass, field, replace
@@ -184,6 +192,17 @@ class IndexConfig:
     # expression are rejected and counted (BuildMetrics.transform_errors),
     # the analog of the doc processor's transform-error counter.
     transform: str | None = None
+    # one-pass split builder: ONE Spark job — routing shuffle, then a per-
+    # split Arrow kernel that tokenizes, writes the split's docstore AND
+    # postings parquet files directly (tmp + atomic rename) and emits only a
+    # stats row. This is the reference's indexer architecture (indexer.rs
+    # workbench: each indexer builds its whole immutable split in one pass);
+    # the two-job path pays a full-width cache materialization plus a second
+    # postings shuffle that the reference never does. None = auto (on for
+    # Arrow-implementable tokenizers on unsalted builds); False forces the
+    # legacy two-job path (decoded index content is identical — pinned by
+    # tests/test_build_onepass.py).
+    one_pass: bool | None = None
 
 
 @dataclass
@@ -758,6 +777,250 @@ def _make_arrow_stream_kernel(with_positions: bool, tokenizer: str | None = None
 _arrow_stream_kernel = _make_arrow_stream_kernel(False)
 
 
+# one-pass split writer: one stats row per split comes back to the driver;
+# the split's actual artifacts (docstore + postings parquet) are written by
+# the kernel itself. ts_min/ts_max are pre-rendered ISO strings so the stats
+# schema doesn't depend on the index's timestamp type.
+ONE_PASS_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("num_docs", T.LongType()),
+        T.StructField("total_tokens", T.LongType()),
+        T.StructField("bytes", T.LongType()),
+        T.StructField("ts_min", T.StringType()),
+        T.StructField("ts_max", T.StringType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField("field_total_tokens", T.StringType()),  # JSON map
+    ]
+)
+
+_PA_STATS_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("num_docs", pa.int64()),
+        ("total_tokens", pa.int64()),
+        ("bytes", pa.int64()),
+        ("ts_min", pa.string()),
+        ("ts_max", pa.string()),
+        ("tags", pa.list_(pa.string())),
+        ("field_total_tokens", pa.string()),
+    ]
+)
+
+
+def _write_split_file(tbl: "pa.Table", dir_: str) -> None:
+    """Write one immutable split artifact atomically: tmp file + os.replace,
+    then remove stale siblings from a previous build of the same split id
+    (legacy Spark task files, or an old one-pass file). Task retries are
+    idempotent — the input partition is deterministic, so every attempt
+    writes byte-equivalent content and last-writer-wins is safe. Visibility
+    is governed by the manifest's stage->publish protocol, not by these
+    files (the searcher only opens splits the manifest lists)."""
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(dir_, exist_ok=True)
+    final = os.path.join(dir_, "part-00000.snappy.parquet")
+    tmp = final + f".inprogress-{_uuid.uuid4().hex}"
+    pq.write_table(tbl, tmp, compression="snappy")
+    for nm in os.listdir(dir_):
+        p = os.path.join(dir_, nm)
+        if p != tmp and p != final:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+    os.replace(tmp, final)
+
+
+def _make_split_writer_kernel(
+    cfg: "IndexConfig", index_dir: str, passthrough: tuple[str, ...]
+):
+    """mapInArrow: routed+sorted docs -> ONE stats row per split, writing the
+    split's docstore and postings parquet files from inside the task.
+
+    This is the reference's indexer architecture (indexer.rs workbench: each
+    indexer tokenizes, builds and serializes its whole immutable split in a
+    single pass) mapped onto Spark: the routing shuffle and task scheduling
+    stay Spark's, but the split artifacts are written by the split's own
+    task — no full-width cache materialization, no second scan, no postings
+    shuffle. Input columns: partition_id, docid, url, text, [tag], [ts],
+    extra text fields, then ``passthrough`` store columns; rows arrive
+    clustered by partition_id and sorted by docid (the docid window's
+    output partitioning/ordering, preserved through narrow ops)."""
+    import json as _json
+
+    with_positions = cfg.record == "position"
+    tokenizer = cfg.tokenizer
+    extra_fields = tuple(cfg.extra_text_fields)
+    has_tag = cfg.tag_field is not None
+    has_ts = cfg.timestamp_field is not None
+
+    def _flush(buf: list) -> "pa.RecordBatch":
+        from quickwit_spark.functions.fieldnorm import quantize_len
+        from quickwit_spark.functions.tokenize import arrow_tokenize
+
+        tbl = pa.Table.from_batches(buf)
+        pid = int(tbl.column("partition_id").chunk(0)[0].as_py())
+        sid = split_id_for(cfg.index_id, pid, cfg.generation)
+        docid = tbl.column("docid").combine_chunks()
+        text = tbl.column("text").combine_chunks()
+        n = tbl.num_rows
+
+        # tokenize ONCE; doc_len and postings both come from this array.
+        # (en_stem maps tokens 1:1, so its doc_len equals the default
+        # tokenizer's — same invariant the two-job path relies on.)
+        tokens = arrow_tokenize(text, tokenizer)
+        dl = pc.fill_null(pc.list_value_length(tokens), 0)
+        dl_np = dl.to_numpy(zero_copy_only=False).astype(np.int64)
+        norm = quantize_len(dl_np).astype(np.int32)
+
+        # --- docstore (legacy column order: docid, url, text, doc_len,
+        # norm_len, [tag], [ts], per-extra triples, store passthrough)
+        ds_cols = [
+            docid,
+            tbl.column("url").combine_chunks(),
+            text,
+            dl.cast(pa.int32()),
+            pa.array(norm, type=pa.int32()),
+        ]
+        ds_names = ["docid", "url", "text", "doc_len", "norm_len"]
+        if has_tag:
+            ds_cols.append(tbl.column("tag").combine_chunks())
+            ds_names.append("tag")
+        if has_ts:
+            ds_cols.append(tbl.column("ts").combine_chunks())
+            ds_names.append("ts")
+        extra_tokens: dict[str, "pa.Array"] = {}
+        ftt: dict[str, int] = {}
+        for f_ in extra_fields:
+            col = tbl.column(f_).combine_chunks()
+            toks_f = arrow_tokenize(col, tokenizer)
+            extra_tokens[f_] = toks_f
+            dlf = pc.fill_null(pc.list_value_length(toks_f), 0)
+            dlf_np = dlf.to_numpy(zero_copy_only=False).astype(np.int64)
+            ftt[f_] = int(dlf_np.sum())
+            ds_cols += [
+                col,
+                dlf.cast(pa.int32()),
+                pa.array(quantize_len(dlf_np).astype(np.int32), type=pa.int32()),
+            ]
+            ds_names += [f_, f"doc_len__{f_}", f"norm_len__{f_}"]
+        for c in passthrough:
+            ds_cols.append(tbl.column(c).combine_chunks())
+            ds_names.append(c)
+        _write_split_file(
+            pa.Table.from_arrays(ds_cols, names=ds_names),
+            os.path.join(index_dir, "docstore", f"split_id={sid}"),
+        )
+
+        # --- postings (same encoder as the two-job path)
+        pid_arr = pa.array(np.full(n, pid, dtype=np.int32), type=pa.int32())
+        parts = [
+            _encode_arrow_split(
+                [
+                    pa.RecordBatch.from_arrays(
+                        [pid_arr, docid, tokens],
+                        names=["partition_id", "docid", "tokens"],
+                    )
+                ],
+                with_positions,
+            )
+        ]
+        for f_ in extra_fields:
+            e = _encode_arrow_split(
+                [
+                    pa.RecordBatch.from_arrays(
+                        [pid_arr, docid, extra_tokens[f_]],
+                        names=["partition_id", "docid", "tokens"],
+                    )
+                ],
+                with_positions,
+            )
+            if e.num_rows:
+                terms = pc.binary_join_element_wise(
+                    pa.scalar(f_ + FIELD_SEP), e.column(1), ""
+                )
+                e = pa.RecordBatch.from_arrays(
+                    [e.column(0), terms] + [e.column(i) for i in range(2, 6)],
+                    schema=PA_ENC_SCHEMA,
+                )
+            parts.append(e)
+        post = pa.Table.from_batches(parts, schema=PA_ENC_SCHEMA)
+        # term-sorted file = the hotcache/row-group-pruning analog the
+        # legacy sortWithinPartitions("term") provided
+        post = post.sort_by("term").drop_columns(["partition_id"])
+        _write_split_file(
+            post, os.path.join(index_dir, "postings", f"split_id={sid}")
+        )
+
+        # --- stats row
+        ts_min = ts_max = None
+        if has_ts:
+            mm = pc.min_max(tbl.column("ts"))
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            # manifest time ranges are NAIVE session-tz ISO strings (compared
+            # lexicographically by list_published) — Arrow hands back
+            # tz-aware datetimes for TimestampType columns, same wall clock
+            ts_min = (
+                lo.replace(tzinfo=None).isoformat() if lo is not None else None
+            )
+            ts_max = (
+                hi.replace(tzinfo=None).isoformat() if hi is not None else None
+            )
+        tags: list[str] = []
+        if has_tag:
+            tags = sorted(
+                pc.drop_null(
+                    pc.unique(tbl.column("tag").combine_chunks().cast(pa.string()))
+                ).to_pylist()
+            )
+        n_bytes = pc.sum(pc.utf8_length(text)).as_py() or 0
+        return pa.RecordBatch.from_pylist(
+            [
+                {
+                    "partition_id": pid,
+                    "num_docs": n,
+                    "total_tokens": int(dl_np.sum()),
+                    "bytes": int(n_bytes),
+                    "ts_min": ts_min,
+                    "ts_max": ts_max,
+                    "tags": tags,
+                    "field_total_tokens": _json.dumps(ftt) if ftt else None,
+                }
+            ],
+            schema=_PA_STATS_SCHEMA,
+        )
+
+    def kernel(batches):
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        except Exception:  # noqa: BLE001 - best effort
+            pass
+        buf: list = []
+        cur: int | None = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            pids = rb.column(rb.schema.get_field_index("partition_id")).to_numpy()
+            bounds = np.concatenate(
+                [[0], np.flatnonzero(pids[1:] != pids[:-1]) + 1, [rb.num_rows]]
+            )
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                pid = int(pids[a])
+                if cur is not None and pid != cur:
+                    yield _flush(buf)
+                    buf = []
+                cur = pid
+                buf.append(rb.slice(a, b - a))
+        if buf:
+            yield _flush(buf)
+
+    return kernel
+
+
 def _trailing_group_cut(cols: list[np.ndarray]) -> int:
     """Index where the trailing key-group starts (rows sorted by the keys)."""
     n = len(cols[0])
@@ -883,12 +1146,19 @@ def source_fingerprint(pages: DataFrame, partition_id: int) -> str:
     return h
 
 
-def prepare_docs(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
+def prepare_docs(
+    pages: DataFrame, cfg: IndexConfig, with_doc_len: bool = True
+) -> DataFrame:
     """Doc-processing + routing + stable docid assignment (steps 1-3).
 
     Only the columns the index needs survive past this point — the routing
     shuffle must not carry dead weight (html is the bulk of a web page and
-    appears in no index structure)."""
+    appears in no index structure).
+
+    ``with_doc_len=False`` skips the JVM tokenize pass used for doc_len —
+    the one-pass split writer computes doc_len inside its Arrow kernel from
+    the same tokenization that builds the postings, so paying it here would
+    tokenize every document twice."""
     # tokens here feed ONLY doc_len (the arrays are dropped before the
     # cache). Stemming maps each token 1:1, so en_stem's doc_len equals the
     # default tokenizer's — use the pure-codegen default expression instead
@@ -923,19 +1193,21 @@ def prepare_docs(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
         keep.add(cfg.routing_col)
     keep.update(cfg.store_fields)
     keep.update(cfg.extra_text_fields)
-    df = (
-        pages.select(*sorted(keep))
-        .withColumn("partition_id", route)
-        .withColumn("tokens", toks)
-        # size(NULL) is NULL — null text must index as an empty doc, not
-        # poison doc_len/norms/stats with nulls
-        .withColumn("doc_len", F.coalesce(F.size("tokens"), F.lit(0)))
-    )
-    for f_ in cfg.extra_text_fields:
-        df = df.withColumn(
-            f"doc_len__{f_}",
-            F.coalesce(F.size(analyzer_expr(F.col(f_), doclen_tok)), F.lit(0)),
+    df = pages.select(*sorted(keep)).withColumn("partition_id", route)
+    if with_doc_len:
+        df = df.withColumn("tokens", toks).withColumn(
+            # size(NULL) is NULL — null text must index as an empty doc, not
+            # poison doc_len/norms/stats with nulls
+            "doc_len",
+            F.coalesce(F.size("tokens"), F.lit(0)),
         )
+        for f_ in cfg.extra_text_fields:
+            df = df.withColumn(
+                f"doc_len__{f_}",
+                F.coalesce(
+                    F.size(analyzer_expr(F.col(f_), doclen_tok)), F.lit(0)
+                ),
+            )
     w = Window.partitionBy("partition_id").orderBy(cfg.doc_key)
     return df.withColumn("docid", F.row_number().over(w) - F.lit(1))
 
@@ -1071,6 +1343,91 @@ def build_index(
     )
     if not todo:
         metrics.elapsed_sec = time.time() - t0
+        return metrics
+
+    if cfg.one_pass and cfg.salt_range:
+        raise ValueError(
+            "one_pass=True is incompatible with salt_range: the salted "
+            "(beyond-task-RAM) build needs its two-stage shuffle"
+        )
+    if cfg.one_pass and cfg.tokenizer not in ARROW_TOKENIZERS:
+        raise ValueError(
+            f"one_pass=True needs an Arrow-implementable tokenizer, "
+            f"got {cfg.tokenizer!r}"
+        )
+    one_pass = (
+        cfg.one_pass
+        if cfg.one_pass is not None
+        else (cfg.tokenizer in ARROW_TOKENIZERS and not cfg.salt_range)
+    )
+    if one_pass:
+        # ONE job: routing shuffle -> per-split Arrow kernel that tokenizes,
+        # writes the split's docstore + postings parquet itself, and returns
+        # only a stats row (the reference's per-indexer split build). The
+        # two-job path below pays a full-width cache materialization plus a
+        # postings shuffle this path never runs.
+        docs = prepare_docs(pages, cfg, with_doc_len=False)
+        if len(todo) < cfg.num_splits:
+            docs = docs.filter(F.col("partition_id").isin(todo))
+        proj = [
+            F.col("partition_id"),
+            F.col("docid"),
+            F.col(cfg.doc_key).alias("url"),
+            F.col(cfg.text_field).cast("string").alias("text"),
+        ]
+        if cfg.tag_field:
+            proj.append(F.col(cfg.tag_field).alias("tag"))
+        if cfg.timestamp_field:
+            proj.append(F.col(cfg.timestamp_field).alias("ts"))
+        reserved = {
+            cfg.doc_key,
+            cfg.text_field,
+            cfg.tag_field,
+            cfg.timestamp_field,
+            *cfg.extra_text_fields,
+        }
+        passthrough = tuple(
+            c for c in cfg.store_fields if c not in reserved
+        )
+        for f_ in cfg.extra_text_fields:
+            proj.append(F.col(f_).cast("string").alias(f_))
+        for c in passthrough:
+            proj.append(F.col(c))
+        stats_rows = (
+            docs.select(*proj)
+            .mapInArrow(
+                _make_split_writer_kernel(cfg, index_dir, passthrough),
+                ONE_PASS_STATS_SCHEMA,
+            )
+            .collect()
+        )
+        norm_stats = [
+            {
+                "partition_id": r["partition_id"],
+                "split_id": split_id_for(
+                    cfg.index_id, r["partition_id"], cfg.generation
+                ),
+                "num_docs": r["num_docs"],
+                "total_tokens": r["total_tokens"],
+                "bytes": r["bytes"],
+                "ts_min": r["ts_min"],
+                "ts_max": r["ts_max"],
+                "tags": list(r["tags"] or []),
+                "ftt": (
+                    json.loads(r["field_total_tokens"])
+                    if r["field_total_tokens"]
+                    else None
+                ),
+            }
+            for r in stats_rows
+        ]
+        new_metas = _stage_and_publish(
+            manifest, cfg, norm_stats, fingerprints, todo, metrics
+        )
+        metrics.num_splits = len(new_metas)
+        metrics.splits = [m.split_id for m in new_metas]
+        metrics.elapsed_sec = time.time() - t0
+        metrics.docs_per_sec = metrics.num_docs / max(metrics.elapsed_sec, 1e-9)
         return metrics
 
     docs = prepare_docs(pages, cfg)
@@ -1235,9 +1592,59 @@ def build_index(
     stats = (
         docs.groupBy("partition_id", "split_id").agg(*agg_exprs).collect()
     )
+    norm_stats = [
+        {
+            "partition_id": row["partition_id"],
+            "split_id": row["split_id"],
+            "num_docs": row["num_docs"],
+            "total_tokens": row["total_tokens"],
+            "bytes": row["bytes"],
+            "ts_min": (
+                row["ts_min"].isoformat()
+                if cfg.timestamp_field and row["ts_min"] is not None
+                else None
+            ),
+            "ts_max": (
+                row["ts_max"].isoformat()
+                if cfg.timestamp_field and row["ts_max"] is not None
+                else None
+            ),
+            "tags": sorted(row["tags"]) if cfg.tag_field else [],
+            "ftt": (
+                {f_: row[f"_ftt__{f_}"] for f_ in cfg.extra_text_fields}
+                if cfg.extra_text_fields
+                else None
+            ),
+        }
+        for row in stats
+    ]
+    new_metas = _stage_and_publish(
+        manifest, cfg, norm_stats, fingerprints, todo, metrics
+    )
+    docs.unpersist()
+
+    metrics.num_splits = len(new_metas)
+    metrics.splits = [m.split_id for m in new_metas]
+    metrics.elapsed_sec = time.time() - t0
+    metrics.docs_per_sec = metrics.num_docs / max(metrics.elapsed_sec, 1e-9)
+    return metrics
+
+
+def _stage_and_publish(
+    manifest: Manifest,
+    cfg: IndexConfig,
+    norm_stats: list[dict],
+    fingerprints: dict[int, str],
+    todo: list[int],
+    metrics: BuildMetrics,
+) -> list[SplitMetadata]:
+    """Shared manifest tail of both build paths: stage the new split metas,
+    retire superseded splits, publish atomically, and settle zero-row
+    partitions. ``norm_stats`` rows are plain dicts with ISO-string time
+    ranges (both build paths normalize into this shape)."""
     new_metas = []
-    for row in stats:
-        tags = sorted(row["tags"]) if cfg.tag_field else []
+    for row in norm_stats:
+        tags = row["tags"]
         if len(tags) > cfg.max_tags:  # cardinality cap: record no tags
             tags = []
         meta = SplitMetadata(
@@ -1247,27 +1654,15 @@ def build_index(
             num_docs=row["num_docs"],
             uncompressed_docs_size_in_bytes=row["bytes"],
             total_tokens=row["total_tokens"],
-            time_range_start=(
-                row["ts_min"].isoformat()
-                if cfg.timestamp_field and row["ts_min"] is not None
-                else None
-            ),
-            time_range_end=(
-                row["ts_max"].isoformat()
-                if cfg.timestamp_field and row["ts_max"] is not None
-                else None
-            ),
+            time_range_start=row["ts_min"],
+            time_range_end=row["ts_max"],
             tags=tags,
             source_fingerprint=fingerprints[row["partition_id"]],
             generation=cfg.generation,
             # docids are dense row_number()-1 per split at build time
             max_docid=row["num_docs"] - 1,
             record=cfg.record,
-            field_total_tokens=(
-                {f_: row[f"_ftt__{f_}"] for f_ in cfg.extra_text_fields}
-                if cfg.extra_text_fields
-                else None
-            ),
+            field_total_tokens=row["ftt"],
         )
         new_metas.append(meta)
         metrics.num_docs += row["num_docs"]
@@ -1312,10 +1707,4 @@ def build_index(
             continue
         manifest.publish([], replaced=prev_by_part.get(p, []))
         manifest.record_lineage(cfg.generation, p, fingerprints[p])
-    docs.unpersist()
-
-    metrics.num_splits = len(new_metas)
-    metrics.splits = [m.split_id for m in new_metas]
-    metrics.elapsed_sec = time.time() - t0
-    metrics.docs_per_sec = metrics.num_docs / max(metrics.elapsed_sec, 1e-9)
-    return metrics
+    return new_metas
