@@ -67,6 +67,21 @@ WAND_MIN_DOCS = 20_000_000
 # a broadcast (a hot-term disjunction with a weak theta can leave candidate
 # sets far beyond driver/executor broadcast limits at scale)
 WAND_BROADCAST_MAX_CANDIDATES = 200_000
+# fetch phase: winners' docids are pushed into the docstore parquet filters
+# as an In(...) when at most this many (a 10k-element In is slow to
+# translate; beyond it a [min,max] range still prunes row groups)
+FETCH_ISIN_MAX = 4_096
+# fetch cost switch (same shape as WAND_MIN_DOCS): the point-lookup fetch
+# materializes the ≤10k winners and re-plans a pruned scan — one extra
+# driver round trip (~0.3 s local, measured A/B at sf0.1) that only pays
+# off once a winner split's fetch columns are big enough that the lazy DPP
+# join's intra-split scan dominates. The cost driver is PER-SPLIT docstore
+# size (DPP reads each winner split's fetch columns in full), so the switch
+# keys on the largest pruned split. Measured A/B on 1M docs: at 15k
+# docs/split DPP wins by ~0.2 s, at 250k docs/split the two tie — the
+# threshold sits at the extrapolated ~2× tie point; at the reference's 10M
+# doc split target the point lookup is the only sane plan.
+FETCH_POINT_LOOKUP_MIN_SPLIT_DOCS = 500_000
 
 DECODED_SCHEMA = T.StructType(
     [
@@ -1612,6 +1627,7 @@ def search(
     use_wand: bool | None = None,
     snippet_fields: tuple[str, ...] = (),
     exclude_split_ids: tuple[str, ...] = (),
+    fetch_mode: str | None = None,
 ) -> DataFrame:
     """Full search: prune -> match/score -> global top-k -> fetch.
 
@@ -1623,6 +1639,12 @@ def search(
 
     ``exclude_split_ids`` restricts the search away from known-bad splits —
     the plumbing behind search_with_failures (root.rs:203-217 analog).
+
+    ``fetch_mode``: None (auto cost switch on the largest pruned split's
+    doc count),
+    ``"dpp"`` (lazy broadcast join, dynamic partition pruning — fastest at
+    small scale), or ``"pointlookup"`` (materialize winners, pruned pushdown
+    scan — the at-scale plan, fetch_docs.rs analog).
     """
     ast = parse_query(request.query)
     reader.release_scratch()  # previous query's WAND block-metadata cache
@@ -1696,12 +1718,62 @@ def search(
         f for f in snippet_fields if f not in fetch_fields
     )
     if fetch:
-        # fetch phase: broadcast the k winners into the docstore scan.
-        # Inner join on purpose: every hit exists in the docstore by
-        # construction, and a left-outer would force a SortMergeJoin (the
-        # broadcast-left hint is unsupported for left joins).
+        if fetch_mode is None:
+            # cost switch (see FETCH_POINT_LOOKUP_MIN_SPLIT_DOCS): point
+            # lookups once any pruned split is big enough that scanning a
+            # winner split's fetch columns beats one extra driver round trip
+            fetch_mode = (
+                "pointlookup"
+                if max(m.num_docs for m in splits)
+                >= FETCH_POINT_LOOKUP_MIN_SPLIT_DOCS
+                else "dpp"
+            )
         store = reader.docstore().select("split_id", "docid", *fetch)
-        top = F.broadcast(top).join(store, ["split_id", "docid"], "inner")
+        if fetch_mode == "dpp":
+            # lazy fetch: broadcast the k winners into the docstore scan.
+            # Inner join on purpose: every hit exists in the docstore by
+            # construction, and a left-outer would force a SortMergeJoin (the
+            # broadcast-left hint is unsupported for left joins). Dynamic
+            # partition pruning restricts the scan to the winner splits at
+            # runtime, but their fetch columns are read in full — fine while
+            # splits are small, the wrong plan at 10M-doc splits.
+            top = F.broadcast(top).join(store, ["split_id", "docid"], "inner")
+        else:
+            # fetch phase = the reference root's fetch-docs step
+            # (root.rs:487-502 then fetch_docs.rs point lookups): the winners
+            # — bounded ≤10k by the SearchRequest cap, exactly the set the
+            # reference root holds in memory — are materialized and re-joined
+            # against a docstore scan pruned STATICALLY to the winner splits
+            # with the docids pushed into the parquet filters. The docstore
+            # is docid-sorted per split, so row-group min/max stats skip
+            # everything but the pages holding winners — the Spark analog of
+            # a point lookup: at 10^5 splits the fetch reads ~k row groups
+            # instead of the winners' whole splits.
+            rows = top.collect()
+            if not rows:
+                top = reader.spark.createDataFrame(
+                    [],
+                    T.StructType(
+                        list(top.schema.fields) + [store.schema[f] for f in fetch]
+                    ),
+                )
+            else:
+                w_splits = sorted({r["split_id"] for r in rows})
+                docids = sorted({int(r["docid"]) for r in rows})
+                store = store.filter(F.col("split_id").isin(w_splits))
+                if len(docids) <= FETCH_ISIN_MAX:
+                    store = store.filter(F.col("docid").isin(docids))
+                else:
+                    # very wide pages: fall back to a [min,max] range — still
+                    # a row-group pruner, without a 10k-element In translation
+                    store = store.filter(
+                        (F.col("docid") >= docids[0])
+                        & (F.col("docid") <= docids[-1])
+                    )
+                winners = reader.spark.createDataFrame(rows, top.schema)
+                top = F.broadcast(winners).join(
+                    store, ["split_id", "docid"], "inner"
+                )
     if snippet_fields:
         # snippet fields must be stored text reachable from the query's
         # terms (query_builder.rs:212-253 validation); namespaced storage

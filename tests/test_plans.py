@@ -17,8 +17,10 @@ def _plan(df) -> str:
 
 
 def test_term_query_plan_shape(small_index):
+    # fetch_fields=() so the returned plan IS the scoring plan (with fetch
+    # fields the winners are materialized and only the fetch join returns)
     p = _plan(
-        search(small_index, SearchRequest(query="w0 w3", max_hits=10), fetch_fields=("url",))
+        search(small_index, SearchRequest(query="w0 w3", max_hits=10), fetch_fields=())
     )
     # term filter reaches the parquet scan (row-group pruning)
     assert "PushedFilters" in p and "term" in p.split("PushedFilters", 1)[1][:400]
@@ -26,6 +28,42 @@ def test_term_query_plan_shape(small_index):
     assert "pos_blocks" not in p
     # per-split stats joined via broadcast
     assert "BroadcastExchange" in p or "BroadcastHashJoin" in p
+
+
+def test_fetch_plan_is_point_lookup(small_index):
+    """The fetch phase (root.rs:487-502 + fetch_docs.rs analog) must read
+    the docstore as a point lookup: winner docids pushed into the parquet
+    DataFilters and the scan pruned to the winner splits' partitions — not
+    a full docstore scan joined against the scoring subtree. (Auto mode
+    picks this shape only past FETCH_POINT_LOOKUP_MIN_DOCS — forced here.)"""
+    p = _plan(
+        search(
+            small_index,
+            SearchRequest(query="w0 w3", max_hits=10),
+            fetch_fields=("url",),
+            fetch_mode="pointlookup",
+        )
+    )
+    assert "docid" in p.split("PushedFilters", 1)[1][:400] or " IN " in p
+    assert "PartitionFilters" in p and "split_id" in p.split("PartitionFilters", 1)[1][:200]
+    # the scoring subtree is NOT re-planned under the fetch join
+    assert "postings" not in p
+
+
+def test_fetch_auto_switch(small_index, monkeypatch):
+    """Auto fetch mode keys on the largest pruned split's doc count
+    (measured crossover ~250k-500k docs/split, see
+    FETCH_POINT_LOOKUP_MIN_SPLIT_DOCS): small splits stay on the lazy DPP
+    join, big splits take the point-lookup fetch."""
+    from quickwit_spark.operators import search as s
+
+    req = SearchRequest(query="w0 w3", max_hits=10)
+    p = _plan(search(small_index, req, fetch_fields=("url",)))
+    assert "postings" in p  # lazy dpp: scoring subtree still in the plan
+    monkeypatch.setattr(s, "FETCH_POINT_LOOKUP_MIN_SPLIT_DOCS", 1)
+    p = _plan(search(small_index, req, fetch_fields=("url",)))
+    assert "postings" not in p  # winners materialized; plan is the fetch join
+    assert "docid" in p.split("PushedFilters", 1)[1][:400]
 
 
 def test_phrase_query_plan_shape(small_index):

@@ -56,15 +56,36 @@ def main() -> None:
 
     sections: list[tuple[str, str, list[tuple[str, bool]]]] = []
 
-    term = search(reader, SearchRequest(query="w0 w3", max_hits=10), fetch_fields=("url",))
+    term = search(reader, SearchRequest(query="w0 w3", max_hits=10), fetch_fields=())
     p = plan_of(term)
     checks = [
         ("postings term filter pushed to parquet", "PushedFilters" in p and "term" in p.split("PushedFilters", 1)[1][:400]),
         ("positions column pruned from term scan", "pos_blocks" not in p),
         ("split-stats join broadcast", "BroadcastHashJoin" in p or "BroadcastExchange" in p),
-        ("no docstore text column outside fetch", p.count("text") <= p.count("url")),
+        ("scoring plan never reads the docstore", "docstore" not in p),
     ]
-    sections.append(("AND term query (scored, fetch url)", p, checks))
+    sections.append(("AND term query (scoring plan, no fetch)", p, checks))
+
+    fetched = search(
+        reader,
+        SearchRequest(query="w0 w3", max_hits=10),
+        fetch_fields=("url",),
+        fetch_mode="pointlookup",  # the at-scale shape (auto below threshold)
+    )
+    pf = plan_of(fetched)
+    checks_f = [
+        # fetch phase = root.rs:487-502 + fetch_docs.rs point lookups: the
+        # ≤10k winners are materialized, then the docstore scan is pruned to
+        # the winner splits (PartitionFilters) with the docids pushed into
+        # the parquet filters (row-group min/max skip — the docstore is
+        # docid-sorted per split)
+        ("winner docids pushed into docstore scan",
+         "PushedFilters" in pf and "docid" in pf.split("PushedFilters", 1)[1][:400]),
+        ("fetch pruned to winner splits",
+         "PartitionFilters" in pf and "split_id" in pf.split("PartitionFilters", 1)[1][:200]),
+        ("scoring subtree not re-planned under fetch", "postings" not in pf),
+    ]
+    sections.append(("fetch phase (point-lookup docstore read)", pf, checks_f))
 
     phrase = search(reader, SearchRequest(query='"w0 w1"', max_hits=10), fetch_fields=())
     p2 = plan_of(phrase)
