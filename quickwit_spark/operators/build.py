@@ -64,6 +64,7 @@ from pyspark.sql import types as T
 
 from quickwit_spark import BLOCK_SIZE
 from quickwit_spark.functions.fieldnorm import quantize_len_expr
+from quickwit_spark.functions.spark_hash import perfect_partition_keys
 from quickwit_spark.functions.tokenize import (
     ARROW_TOKENIZERS,
     analyzer_expr,
@@ -848,10 +849,12 @@ def _make_split_writer_kernel(
     single pass) mapped onto Spark: the routing shuffle and task scheduling
     stay Spark's, but the split artifacts are written by the split's own
     task — no full-width cache materialization, no second scan, no postings
-    shuffle. Input columns: partition_id, docid, url, text, [tag], [ts],
+    shuffle. Input columns: partition_id, url, text, [tag], [ts],
     extra text fields, then ``passthrough`` store columns; rows arrive
-    clustered by partition_id and sorted by docid (the docid window's
-    output partitioning/ordering, preserved through narrow ops)."""
+    clustered by partition_id and sorted by url (the build's
+    perfect-placement repartition + sortWithinPartitions), and docids are
+    assigned densely in arrival order — identical to the legacy docid
+    window's row_number ordered by doc_key."""
     import json as _json
 
     with_positions = cfg.record == "position"
@@ -867,9 +870,15 @@ def _make_split_writer_kernel(
         tbl = pa.Table.from_batches(buf)
         pid = int(tbl.column("partition_id").chunk(0)[0].as_py())
         sid = split_id_for(cfg.index_id, pid, cfg.generation)
-        docid = tbl.column("docid").combine_chunks()
-        text = tbl.column("text").combine_chunks()
         n = tbl.num_rows
+        if "docid" in tbl.column_names:
+            docid = tbl.column("docid").combine_chunks()
+        else:
+            # rows arrive sorted by (partition_id, url) — the build's
+            # sortWithinPartitions — so dense ascending docids here equal
+            # the legacy window's row_number()-1 ordered by doc_key
+            docid = pa.array(np.arange(n, dtype=np.int32), type=pa.int32())
+        text = tbl.column("text").combine_chunks()
 
         # tokenize ONCE; doc_len and postings both come from this array.
         # (en_stem maps tokens 1:1, so its doc_len equals the default
@@ -1150,7 +1159,10 @@ def source_fingerprint(pages: DataFrame, partition_id: int) -> str:
 
 
 def prepare_docs(
-    pages: DataFrame, cfg: IndexConfig, with_doc_len: bool = True
+    pages: DataFrame,
+    cfg: IndexConfig,
+    with_doc_len: bool = True,
+    assign_docid: bool = True,
 ) -> DataFrame:
     """Doc-processing + routing + stable docid assignment (steps 1-3).
 
@@ -1211,6 +1223,11 @@ def prepare_docs(
                     F.size(analyzer_expr(F.col(f_), doclen_tok)), F.lit(0)
                 ),
             )
+    if not assign_docid:
+        # the one-pass split writer derives docids in-kernel from its
+        # per-task (partition_id, doc_key) sort — same values, no
+        # window shuffle + row_number pass here
+        return df
     w = Window.partitionBy("partition_id").orderBy(cfg.doc_key)
     return df.withColumn("docid", F.row_number().over(w) - F.lit(1))
 
@@ -1369,12 +1386,13 @@ def build_index(
         # only a stats row (the reference's per-indexer split build). The
         # two-job path below pays a full-width cache materialization plus a
         # postings shuffle this path never runs.
-        docs = prepare_docs(pages, cfg, with_doc_len=False)
+        docs = prepare_docs(
+            pages, cfg, with_doc_len=False, assign_docid=False
+        )
         if len(todo) < cfg.num_splits:
             docs = docs.filter(F.col("partition_id").isin(todo))
         proj = [
             F.col("partition_id"),
-            F.col("docid"),
             F.col(cfg.doc_key).alias("url"),
             F.col(cfg.text_field).cast("string").alias("text"),
         ]
@@ -1396,9 +1414,29 @@ def build_index(
             proj.append(F.col(f_).cast("string").alias(f_))
         for c in passthrough:
             proj.append(F.col(c))
-        stats_rows = (
+        # perfect task<->split placement: hash-partitioning len(todo) pids
+        # into len(todo) buckets stacks 2-3 splits on some tasks and leaves
+        # ~1/e of them empty (birthday collisions) — one task then builds
+        # multiple whole splits serially, a ~2x tail locally and a
+        # guaranteed straggler on a cluster. Remap each pid to a key whose
+        # murmur3 bucket is unique (driver-side, functions/spark_hash.py)
+        # and repartition on that: exactly one split per task. docids are
+        # assigned inside the kernel from the per-task (pid, url) sort —
+        # same values the docid window produced, without its extra
+        # JVM row_number pass.
+        remap = perfect_partition_keys(todo)
+        map_df = docs.sparkSession.createDataFrame(
+            list(remap.items()), "partition_id int, _rk int"
+        )
+        routed = (
             docs.select(*proj)
-            .mapInArrow(
+            .join(F.broadcast(map_df), "partition_id")
+            .repartition(len(todo), "_rk")
+            .drop("_rk")
+            .sortWithinPartitions("partition_id", "url")
+        )
+        stats_rows = (
+            routed.mapInArrow(
                 _make_split_writer_kernel(cfg, index_dir, passthrough),
                 ONE_PASS_STATS_SCHEMA,
             )
