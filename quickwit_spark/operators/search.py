@@ -71,17 +71,16 @@ WAND_BROADCAST_MAX_CANDIDATES = 200_000
 # as an In(...) when at most this many (a 10k-element In is slow to
 # translate; beyond it a [min,max] range still prunes row groups)
 FETCH_ISIN_MAX = 4_096
-# fetch cost switch (same shape as WAND_MIN_DOCS): the point-lookup fetch
-# materializes the ≤10k winners and re-plans a pruned scan — one extra
-# driver round trip (~0.3 s local, measured A/B at sf0.1) that only pays
-# off once a winner split's fetch columns are big enough that the lazy DPP
-# join's intra-split scan dominates. The cost driver is PER-SPLIT docstore
-# size (DPP reads each winner split's fetch columns in full), so the switch
-# keys on the largest pruned split. Measured A/B on 1M docs: at 15k
-# docs/split DPP wins by ~0.2 s, at 250k docs/split the two tie — the
-# threshold sits at the extrapolated ~2× tie point; at the reference's 10M
-# doc split target the point lookup is the only sane plan.
-FETCH_POINT_LOOKUP_MIN_SPLIT_DOCS = 500_000
+# In(...) filter size cap for the point-lookup fetch: beyond this many
+# winner docids the pushed filter degrades to a [min,max] range (still a
+# row-group pruner) instead of a 10k-element In translation.
+# History: auto fetch mode briefly keyed on per-split doc count
+# (point-lookup only past 500k docs/split, dpp below — calibrated on a
+# RARE-term A/B). That switch mispriced common terms: the dpp join plans
+# the scored+top-k subtree twice (build side + DPP subquery), so its cost
+# scales with match count, not split size — a common-term query paid the
+# whole scoring plan twice (14 s vs 2.4 s on 1M docs/64 splits). Auto mode
+# is now always collect-then-fetch, the reference root's own shape.
 
 DECODED_SCHEMA = T.StructType(
     [
@@ -1719,15 +1718,18 @@ def search(
     )
     if fetch:
         if fetch_mode is None:
-            # cost switch (see FETCH_POINT_LOOKUP_MIN_SPLIT_DOCS): point
-            # lookups once any pruned split is big enough that scanning a
-            # winner split's fetch columns beats one extra driver round trip
-            fetch_mode = (
-                "pointlookup"
-                if max(m.num_docs for m in splits)
-                >= FETCH_POINT_LOOKUP_MIN_SPLIT_DOCS
-                else "dpp"
-            )
+            # collect-then-fetch is the reference root's own shape
+            # (root.rs:487-502 then fetch_docs.rs) and the only one whose
+            # cost is independent of the query's MATCH COUNT: under the
+            # lazy dpp join the scored+top-k subtree is planned twice
+            # (join build side AND the partition-pruning subquery — two
+            # TakeOrderedAndProject runs of the whole python decode), so a
+            # common-term query pays the scoring plan twice over. Measured
+            # on a 1M-doc/64-split index: common term 14.0 s dpp vs 2.4 s
+            # point-lookup, rare term ~equal (the ~0.2 s driver round trip
+            # is the whole difference). dpp stays available explicitly for
+            # callers composing a fully-lazy plan.
+            fetch_mode = "pointlookup"
         store = reader.docstore().select("split_id", "docid", *fetch)
         if fetch_mode == "dpp":
             # lazy fetch: broadcast the k winners into the docstore scan.

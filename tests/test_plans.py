@@ -50,20 +50,18 @@ def test_fetch_plan_is_point_lookup(small_index):
     assert "postings" not in p
 
 
-def test_fetch_auto_switch(small_index, monkeypatch):
-    """Auto fetch mode keys on the largest pruned split's doc count
-    (measured crossover ~250k-500k docs/split, see
-    FETCH_POINT_LOOKUP_MIN_SPLIT_DOCS): small splits stay on the lazy DPP
-    join, big splits take the point-lookup fetch."""
-    from quickwit_spark.operators import search as s
-
+def test_fetch_auto_is_point_lookup(small_index):
+    """Auto fetch mode is collect-then-fetch at every scale: the lazy dpp
+    join plans the scored+top-k subtree twice (join build side + DPP
+    subquery), so its cost scales with the query's match count — a
+    common-term query paid the whole scoring plan twice. dpp remains an
+    explicit opt-in for callers composing a fully-lazy plan."""
     req = SearchRequest(query="w0 w3", max_hits=10)
-    p = _plan(search(small_index, req, fetch_fields=("url",)))
-    assert "postings" in p  # lazy dpp: scoring subtree still in the plan
-    monkeypatch.setattr(s, "FETCH_POINT_LOOKUP_MIN_SPLIT_DOCS", 1)
     p = _plan(search(small_index, req, fetch_fields=("url",)))
     assert "postings" not in p  # winners materialized; plan is the fetch join
     assert "docid" in p.split("PushedFilters", 1)[1][:400]
+    p = _plan(search(small_index, req, fetch_fields=("url",), fetch_mode="dpp"))
+    assert "postings" in p  # explicit dpp keeps the lazy scoring subtree
 
 
 def test_phrase_query_plan_shape(small_index):

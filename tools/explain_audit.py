@@ -70,7 +70,7 @@ def main() -> None:
         reader,
         SearchRequest(query="w0 w3", max_hits=10),
         fetch_fields=("url",),
-        fetch_mode="pointlookup",  # the at-scale shape (auto below threshold)
+        fetch_mode="pointlookup",  # = auto mode at every scale
     )
     pf = plan_of(fetched)
     checks_f = [
