@@ -602,6 +602,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipeline_clean_corpus"] = pipeline_clean_corpus
 
+    def pipeline_decontaminate(s: SparkSession, d: str) -> DataFrame:
+        # benchmark-overlap decontamination (operators/pipeline.decontaminate):
+        # eval set = every doc with doc_id % 37 == 5, train = the rest; a
+        # train doc is contaminated when any distinct trigram shingle appears
+        # in any benchmark doc. The benchmark shingle relation is broadcast —
+        # the corpus side pays no shuffle for the probe.
+        from quickwit_spark.operators.pipeline import decontaminate
+
+        docs = docs_df(s, d)
+        return decontaminate(
+            docs.filter(F.col("doc_id") % 37 != 5),
+            docs.filter(F.col("doc_id") % 37 == 5),
+        )
+
+    q["pipeline_decontaminate"] = pipeline_decontaminate
+
     def sim_topk(s: SparkSession, d: str) -> DataFrame:
         emb = _emb(s, d)
         qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -957,6 +973,18 @@ SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM f GROUP BY 1
 """
     o["dedup_ngram_pairs"] = ngram_jaccard_sql(0.8)
+    o["pipeline_decontaminate"] = f"""
+WITH d AS (SELECT doc_id, {TOKENIZE} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({SHINGLES}) AS sh FROM d),
+train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 37 <> 5),
+bench AS (SELECT DISTINCT doc_id AS bench_id, sh FROM sh WHERE doc_id % 37 = 5),
+hits AS (SELECT t.doc_id, t.sh, b.bench_id FROM train t JOIN bench b USING (sh))
+SELECT doc_id,
+       count(DISTINCT sh) AS n_overlap_shingles,
+       count(DISTINCT bench_id) AS n_bench_docs
+FROM hits GROUP BY doc_id
+HAVING count(DISTINCT sh) >= 1
+"""
     o["pipeline_clean_corpus"] = f"""
 WITH t AS (SELECT doc_id, text, {TOKENIZE} AS toks FROM documents),
 s AS (SELECT doc_id, toks,

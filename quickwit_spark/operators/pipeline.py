@@ -80,3 +80,52 @@ def clean_corpus(
     return exact.join(drop, id_col, "left_anti").select(
         id_col, "lang_pred", "quality"
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing word n-grams
+    with an evaluation set (the GPT-3/PaLM-style overlap rule — a doc is
+    contaminated when >= ``min_overlap`` of its distinct n-gram shingles
+    appear in ANY benchmark example).
+
+    Returns one row per contaminated doc:
+    ``(doc_id, n_overlap_shingles, n_bench_docs)`` where
+    ``n_overlap_shingles`` counts the doc's distinct shingles that hit the
+    benchmark and ``n_bench_docs`` counts distinct benchmark examples hit.
+
+    Scale shape: eval sets are tiny next to a 100 TB corpus, so the
+    benchmark's (shingle, bench_id) relation is BROADCAST — the corpus pays
+    no shuffle at all for the join (map-side hash probe per shingle) and
+    only the ~contaminated-rows groupBy aggregates, with Spark's partial
+    aggregation keeping the shuffle proportional to contaminated docs, not
+    corpus size. Set ``broadcast_benchmark=False`` only for a benchmark too
+    big to broadcast (then it is a plain shuffled join).
+    """
+    from quickwit_spark.operators.dedup import shingles_expr
+
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles_expr(F.col(text_col), n)).alias("_sh"),
+    )
+    bench_sh = benchmark.select(
+        F.col(bench_id_col).alias("_bench_id"),
+        F.explode(shingles_expr(F.col(bench_text_col), n)).alias("_sh"),
+    ).distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    hits = doc_sh.join(bench_sh, "_sh")
+    report = hits.groupBy(id_col).agg(
+        F.count_distinct("_sh").alias("n_overlap_shingles"),
+        F.count_distinct("_bench_id").alias("n_bench_docs"),
+    )
+    return report.filter(F.col("n_overlap_shingles") >= F.lit(min_overlap))

@@ -311,3 +311,53 @@ def test_clean_corpus_pipeline(spark):
     # survivors carry their lang/quality columns
     r1 = out.filter(F.col("doc_id") == 1).first()
     assert r1["lang_pred"] == "en" and r1["quality"] >= 0.5
+
+
+def test_decontaminate_flags_overlap(docs):
+    from quickwit_spark.operators.pipeline import decontaminate
+
+    # benchmark = docs 1 and 6; doc 0 and 2 share trigram shingles with
+    # doc 1 ("quick brown fox" etc.); docs 3-5/7/8 share none
+    bench = docs.filter(F.col("doc_id").isin([1, 6]))
+    train = docs.filter(~F.col("doc_id").isin([1, 6]))
+    out = {r["doc_id"]: r for r in decontaminate(train, bench).collect()}
+    assert set(out) == {0, 2}
+    # doc 0 is an exact dup mod punctuation of bench doc 1: every one of its
+    # shingles overlaps, and only bench doc 1 is hit
+    d0 = out[0]
+    assert d0["n_bench_docs"] == 1
+    n_shingles_0 = train.filter("doc_id = 0").select(
+        F.size(D.shingles_expr(F.col("text"))).alias("n")
+    ).first()["n"]
+    assert d0["n_overlap_shingles"] == n_shingles_0
+    assert out[2]["n_overlap_shingles"] < n_shingles_0
+
+
+def test_decontaminate_min_overlap_threshold(docs):
+    from quickwit_spark.operators.pipeline import decontaminate
+
+    bench = docs.filter(F.col("doc_id").isin([1]))
+    train = docs.filter(~F.col("doc_id").isin([1]))
+    loose = decontaminate(train, bench, min_overlap=1)
+    strict = decontaminate(train, bench, min_overlap=7)
+    ids_loose = {r["doc_id"] for r in loose.collect()}
+    ids_strict = {r["doc_id"] for r in strict.collect()}
+    assert ids_strict <= ids_loose
+    assert 0 in ids_loose  # near-exact dup always flagged
+    assert 2 not in ids_strict  # partial overlap below the strict bar
+
+
+def test_decontaminate_benchmark_is_broadcast(docs):
+    from quickwit_spark.operators.pipeline import decontaminate
+
+    bench = docs.filter(F.col("doc_id").isin([1, 6]))
+    train = docs.filter(~F.col("doc_id").isin([1, 6]))
+    plan = (
+        decontaminate(train, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the corpus side must probe a broadcast of the benchmark shingles —
+    # no shuffle of the training corpus for the join
+    assert "BroadcastHashJoin" in plan
