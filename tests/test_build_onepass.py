@@ -153,3 +153,66 @@ def test_onepass_auto_selection(spark, pages_small, tmp_path):
             IndexConfig(num_splits=2, salt_range=64, one_pass=True),
             resume=False,
         )
+
+
+def test_onepass_adversarial_shapes(spark, tmp_path):
+    """Edge shapes the placement/routing logic must survive: more splits
+    than docs (empty partitions), duplicate doc keys, unicode keys and
+    text, and a single-split build."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.operators.build import IndexConfig, build_index
+    from quickwit_spark.operators.search import (
+        IndexReader,
+        SearchRequest,
+        search,
+    )
+
+    rows = [
+        ("u/0", "alpha beta gamma"),
+        ("u/1", "alpha beta"),
+        ("u/1", "alpha beta"),          # duplicate doc key
+        ("ü/2", "straße naïve 你好 café"),  # unicode key + text
+        ("u/3", ""),
+        ("u/4", None),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    for name, n_splits in (("many", 8), ("one", 1)):
+        d = str(tmp_path / name)
+        m = build_index(
+            spark,
+            pages,
+            d,
+            IndexConfig(
+                num_splits=n_splits, tag_field=None, timestamp_field=None
+            ),
+            resume=False,
+        )
+        assert m.num_docs == len(rows)
+        reader = IndexReader(spark, d)
+        assert (
+            search(
+                reader, SearchRequest(query="*", max_hits=100), fetch_fields=()
+            ).count()
+            == len(rows)
+        )
+        hits = search(
+            reader, SearchRequest(query="alpha", max_hits=100),
+            fetch_fields=("url",),
+        )
+        assert hits.count() == 3
+        uni = search(
+            reader, SearchRequest(query="straße", max_hits=10),
+            fetch_fields=("url",),
+        ).collect()
+        assert [r["url"] for r in uni] == ["ü/2"]
+        # docids are dense 0..n-1 within each split (the encoder's
+        # ascending-docid invariant depends on it)
+        store = spark.read.parquet(f"{d}/docstore")
+        per = store.groupBy("split_id").agg(
+            F.count("*").alias("n"),
+            F.min("docid").alias("lo"),
+            F.max("docid").alias("hi"),
+        ).collect()
+        for r in per:
+            assert r["lo"] == 0 and r["hi"] == r["n"] - 1
