@@ -99,7 +99,7 @@ def main() -> None:
         ).write.mode("overwrite").parquet(src)
     pages = spark.read.parquet(src)
     t_total0 = time.time()
-    # best-of-2 like the queries below: the host's throughput drifts +-3x
+    # best-of-2: the host's throughput drifts +-3x
     # over minutes (BASELINE.md measurement notes), and a single-shot build
     # bakes whichever phase it lands on into the round's headline number
     t_build = float("inf")
@@ -120,7 +120,7 @@ def main() -> None:
         "index_build": round(t_build, 3),
         "cache_warmup": round(t_warm, 3),
     }
-    # warmed best-of-2 per query: the first execution of a plan shape pays
+    # warmed best-of-3 per query: the first execution of a plan shape pays
     # JVM codegen compilation and VM timing noise here is ±2x run-to-run
     # (BASELINE.md "measurement notes"); the reference's sub-second claims
     # are steady-state figures, so report the warmed number

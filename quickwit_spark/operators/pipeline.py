@@ -117,10 +117,13 @@ def decontaminate(
         F.col(id_col),
         F.explode(shingles_expr(F.col(text_col), n)).alias("_sh"),
     )
+    # no distinct() here: shingles_expr is already per-doc distinct, and the
+    # count_distinct aggregates below absorb any duplicate (bench_id, sh)
+    # rows — a distinct would only add a shuffle of the benchmark relation
     bench_sh = benchmark.select(
         F.col(bench_id_col).alias("_bench_id"),
         F.explode(shingles_expr(F.col(bench_text_col), n)).alias("_sh"),
-    ).distinct()
+    )
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
     hits = doc_sh.join(bench_sh, "_sh")

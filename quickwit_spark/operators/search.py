@@ -1639,11 +1639,13 @@ def search(
     ``exclude_split_ids`` restricts the search away from known-bad splits —
     the plumbing behind search_with_failures (root.rs:203-217 analog).
 
-    ``fetch_mode``: None (auto cost switch on the largest pruned split's
-    doc count),
-    ``"dpp"`` (lazy broadcast join, dynamic partition pruning — fastest at
-    small scale), or ``"pointlookup"`` (materialize winners, pruned pushdown
-    scan — the at-scale plan, fetch_docs.rs analog).
+    ``fetch_mode``: None = ``"pointlookup"`` (materialize the winners with a
+    driver collect, then a pruned pushdown scan — the reference root's
+    collect-then-fetch, fetch_docs.rs analog; its cost is independent of the
+    query's match count). ``"dpp"`` keeps the whole plan lazy (broadcast
+    join + dynamic partition pruning) for callers composing further
+    transformations — but plans the scored+top-k subtree twice, so a
+    common-term query pays the scoring plan twice over.
     """
     ast = parse_query(request.query)
     reader.release_scratch()  # previous query's WAND block-metadata cache
@@ -1665,9 +1667,26 @@ def search(
         splits = [m for m in splits if m.split_id not in bad]
     split_ids = [m.split_id for m in splits]
     if not split_ids:
-        return reader.spark.createDataFrame(
-            [], "split_id string, docid long, score double"
+        # schema must match the non-empty-prune path exactly — including
+        # the requested fetch/snippet columns — or callers selecting a
+        # fetch field over an all-pruned time range get an AnalysisException
+        base = T.StructType(
+            [
+                T.StructField("split_id", T.StringType()),
+                T.StructField("docid", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]
         )
+        extra = tuple(fetch_fields) + tuple(
+            f for f in snippet_fields if f not in fetch_fields
+        )
+        if extra:
+            store_schema = reader.docstore().schema
+            for f_ in extra:
+                base = base.add(store_schema[f_])
+        for f_ in snippet_fields:
+            base = base.add(T.StructField(f"snippet_{f_}", T.StringType()))
+        return reader.spark.createDataFrame([], base)
     k_total = request.max_hits + request.start_offset
     if use_wand is None:
         # cost switch: WAND spends ~3 extra tiny jobs (seed θ collect +

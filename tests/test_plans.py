@@ -34,8 +34,8 @@ def test_fetch_plan_is_point_lookup(small_index):
     """The fetch phase (root.rs:487-502 + fetch_docs.rs analog) must read
     the docstore as a point lookup: winner docids pushed into the parquet
     DataFilters and the scan pruned to the winner splits' partitions — not
-    a full docstore scan joined against the scoring subtree. (Auto mode
-    picks this shape only past FETCH_POINT_LOOKUP_MIN_DOCS — forced here.)"""
+    a full docstore scan joined against the scoring subtree. (This IS the
+    auto mode at every scale; forced explicitly here for clarity.)"""
     p = _plan(
         search(
             small_index,
@@ -136,3 +136,24 @@ def test_search_aggs_plan_shape(small_index):
         search_aggs(small_index, SearchRequest(query="*", max_hits=1), req)["langs"]
     )
     assert "LeftSemi" not in p_all and "Join" not in p_all
+
+
+def test_all_pruned_search_keeps_fetch_schema(small_index):
+    """A time range pruning away every split must return the SAME schema as
+    a zero-hit search with surviving splits — including fetch and snippet
+    columns — or callers selecting a fetch field over the empty result
+    crash with AnalysisException."""
+    req = SearchRequest(
+        query="w0",
+        max_hits=10,
+        start_timestamp="2099-01-01T00:00:00",
+        end_timestamp="2099-01-02T00:00:00",
+    )
+    out = search(
+        small_index, req, fetch_fields=("url",), snippet_fields=("text",)
+    )
+    assert out.count() == 0
+    names = [f.name for f in out.schema.fields]
+    for col in ("split_id", "docid", "score", "url", "text", "snippet_text"):
+        assert col in names
+    out.select("url", "snippet_text").collect()  # must not raise
