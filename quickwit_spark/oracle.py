@@ -98,3 +98,145 @@ class OracleIndex:
                 hits.append((sid, d, score))
         hits.sort(key=lambda h: (-h[2], h[0], h[1]))
         return hits[:k]
+
+    # ------------------------------------------------------------------
+    # Query-AST evaluation: an independent implementation of the engine's
+    # documented scoring semantics over the SAME parsed AST the engine
+    # consumes, for differential fuzzing (tests/test_fuzz_differential.py).
+    # Mirrors the reference semantics, not the engine code: Bool must =
+    # intersection with clause scores summed, should = optional additive
+    # (union when no must), must_not = filter; TermSet = per-term score sum
+    # over docs containing any member; Phrase = BM25 with tf = phrase
+    # frequency and idf summed over the token sequence (tantivy
+    # Bm25Weight::for_terms / PhraseQuery); Boost multiplies; MatchAll and
+    # pure-negative queries yield score 0.0 for every doc.
+    # ------------------------------------------------------------------
+
+    def search_query(
+        self,
+        query: str,
+        k: int = 10,
+        offset: int = 0,
+        default_fields: tuple[str, ...] = ("text",),
+        text_field: str = "text",
+    ) -> list[tuple[str, int, float]]:
+        """Parse ``query`` with the production parser and evaluate it here.
+
+        -> [(split_id, docid, score)] with the reference tie-break
+        (score desc, split_id asc, docid asc), sliced [offset, offset+k).
+        """
+        from quickwit_spark.plans.query import expand_default_fields, parse_query
+
+        ast = expand_default_fields(parse_query(query), tuple(default_fields))
+        hits: list[tuple[str, int, float]] = []
+        for sid in self.splits:
+            sp = self.splits[sid]
+            for d, s in self._eval_node(sp, ast, text_field).items():
+                hits.append((sid, d, s))
+        hits.sort(key=lambda h: (-h[2], h[0], h[1]))
+        return hits[offset : offset + k]
+
+    def _eval_node(self, sp: OracleSplit, node, text_field: str) -> dict[int, float]:
+        from quickwit_spark.plans.query import (
+            Bool,
+            Boost,
+            MatchAll,
+            Phrase,
+            Term,
+            TermSet,
+        )
+
+        if isinstance(node, MatchAll):
+            return {d: 0.0 for d in sp.docs}
+        if isinstance(node, Boost):
+            return {
+                d: s * node.factor
+                for d, s in self._eval_node(sp, node.child, text_field).items()
+            }
+        if isinstance(node, Term):
+            if node.field != text_field:
+                raise ValueError(f"oracle only evaluates {text_field!r} terms")
+            toks = [node.value] if node.pre_analyzed else tokenize_py(node.value)
+            if not toks:
+                return {}
+            if len(toks) == 1:
+                return dict(self.term_scores(sp, toks[0]))
+            # multi-token atom: implicit AND of its pre-analyzed tokens
+            return self._eval_node(
+                sp,
+                Bool(must=[Term(node.field, t, pre_analyzed=True) for t in toks]),
+                text_field,
+            )
+        if isinstance(node, TermSet):
+            if node.field != text_field:
+                raise ValueError(f"oracle only evaluates {text_field!r} term sets")
+            toks = sorted({t for v in node.values for t in tokenize_py(v)})
+            out: dict[int, float] = {}
+            for t in toks:
+                for d, s in self.term_scores(sp, t).items():
+                    out[d] = out.get(d, 0.0) + s
+            return out
+        if isinstance(node, Phrase):
+            if node.field != text_field:
+                raise ValueError(f"oracle only evaluates {text_field!r} phrases")
+            return self._eval_phrase(sp, node)
+        if isinstance(node, Bool):
+            parts = [self._eval_node(sp, c, text_field) for c in node.must]
+            base: dict[int, float] | None
+            if parts:
+                ids = set(parts[0])
+                for p in parts[1:]:
+                    ids &= set(p)
+                base = {d: sum(p[d] for p in parts) for d in ids}
+            elif node.should:
+                base = None
+            else:
+                # pure-negative query: every doc, score 0.0, minus must_nots
+                base = {d: 0.0 for d in sp.docs}
+            if node.should:
+                sdf: dict[int, float] = {}
+                for p in (self._eval_node(sp, c, text_field) for c in node.should):
+                    for d, s in p.items():
+                        sdf[d] = sdf.get(d, 0.0) + s
+                if base is None:
+                    base = sdf
+                else:
+                    base = {d: s + sdf.get(d, 0.0) for d, s in base.items()}
+            for c in node.must_not:
+                for d in self._eval_node(sp, c, text_field):
+                    base.pop(d, None)
+            return base
+        raise ValueError(f"oracle: unsupported node {node!r}")
+
+    def _eval_phrase(self, sp: OracleSplit, node) -> dict[int, float]:
+        from quickwit_spark.functions.phrase import phrase_freq, positions_of
+
+        toks = tokenize_py(node.text)
+        if not toks:
+            return {}
+        if len(toks) == 1:
+            return dict(self.term_scores(sp, toks[0]))
+        per_tok = [set(sp.tf.get(t, {})) for t in set(toks)]
+        cand = set.intersection(*per_tok) if all(per_tok) else set()
+        # idf summed over the token SEQUENCE (duplicates counted per
+        # occurrence), df per split — tests/test_phrase.py::_expected_phrase
+        idf_sum = sum(
+            math.log(
+                1.0
+                + (sp.num_docs - len(sp.tf.get(t, {})) + 0.5)
+                / (len(sp.tf.get(t, {})) + 0.5)
+            )
+            for t in toks
+        )
+        out: dict[int, float] = {}
+        for d in cand:
+            pf = phrase_freq(toks, positions_of(sp.docs[d]), node.slop)
+            if pf:
+                dl = self._dl(sp, d)
+                tfn = (
+                    pf
+                    * (BM25_K1 + 1.0)
+                    / (pf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / sp.avgdl))
+                )
+                out[d] = idf_sum * tfn
+        return out

@@ -1,0 +1,197 @@
+"""Differential fuzzing: random grammatical query strings run through the
+FULL engine (parser -> planner -> Spark plans -> vectorized decode kernels)
+must rank-match the independent pure-python oracle evaluating the same AST
+(quickwit_spark/oracle.py::search_query — plain dict/Counter arithmetic, no
+Spark, no engine kernels).
+
+Every query retrieves ALL matches (max_hits > corpus size) so there is no
+top-k boundary to be flipped by float noise; ordering is compared up to
+permutations inside score-tie groups (|Δscore| < 1e-9), which both sides
+break identically by (split_id, docid).
+
+Grammar coverage per seed: terms (common/mid/rare/absent, optionally
+field-qualified), phrases from real corpus bigrams and random pairs
+(optional slop 1-3), term sets, match-all, groups, AND/OR/implicit-AND,
+`-`/`+`/NOT negation, and `^` boosts on terms/phrases/groups.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from quickwit_spark.operators.search import SearchRequest, search
+from quickwit_spark.oracle import OracleIndex
+
+N_DOCS = 600  # conftest pages_small
+FETCH_ALL = N_DOCS + 50  # > corpus: no top-k boundary
+
+
+def build_oracle(reader) -> OracleIndex:
+    """Oracle over the reader's own (split_id, docid) assignment, scoring
+    independently in pure python."""
+    docs = reader.docstore().select("split_id", "docid", "text").collect()
+    oi = OracleIndex(quantize=True)
+    for r in docs:
+        oi.add(r["split_id"], r["docid"], r["text"])
+    return oi
+
+
+@pytest.fixture(scope="module")
+def oracle(small_index):
+    return build_oracle(small_index)
+
+
+class Vocab:
+    """Deterministic term/bigram pools drawn from the oracle's postings."""
+
+    def __init__(self, oracle: OracleIndex):
+        from collections import Counter
+
+        df: Counter = Counter()
+        for sp in oracle.splits.values():
+            for t, postings in sp.tf.items():
+                df[t] += len(postings)
+        terms = sorted(df)
+        self.common = [t for t in terms if df[t] >= 100][:40]
+        self.mid = [t for t in terms if 5 <= df[t] < 100][:80]
+        self.rare = [t for t in terms if df[t] < 5][:40]
+        self.absent = ["zzqabsent", "qqqmissing", "nosuchtok"]
+        self.pool = self.common + self.mid + self.rare + self.absent
+        assert self.common and self.mid and self.rare
+        self.bigrams: list[tuple[str, str]] = []
+        for sp in sorted(oracle.splits):
+            for docid in sorted(oracle.splits[sp].docs)[:80]:
+                toks = oracle.splits[sp].docs[docid]
+                if len(toks) >= 8:
+                    self.bigrams.append((toks[3], toks[4]))
+        assert self.bigrams
+
+    def term(self, rng: random.Random) -> str:
+        return rng.choice(self.pool)
+
+
+def gen_atom(rng: random.Random, v: Vocab, depth: int) -> str:
+    r = rng.random()
+    boostable = True
+    if depth < 2 and r < 0.18:
+        q = "(" + gen_bool(rng, v, depth + 1) + ")"
+    elif r < 0.40:  # phrase
+        if rng.random() < 0.7:
+            a, b = rng.choice(v.bigrams)
+        else:
+            a, b = v.term(rng), v.term(rng)
+        q = f'"{a} {b}"'
+        if rng.random() < 0.4:
+            q += f"~{rng.randint(1, 3)}"
+            boostable = False  # `"…"~n^b` is not in the reference grammar
+    elif r < 0.50:  # term set
+        vals = [v.term(rng) for _ in range(rng.randint(1, 3))]
+        q = "text:IN [" + " ".join(vals) + "]"
+        boostable = False
+    elif r < 0.55:
+        q = "*"
+        boostable = False
+    else:
+        q = v.term(rng)
+        if rng.random() < 0.15:
+            q = "text:" + q
+    if boostable and rng.random() < 0.25:
+        q += "^" + rng.choice(["2", "0.5", "1.5", "3.25"])
+    return q
+
+
+def gen_bool(rng: random.Random, v: Vocab, depth: int = 0) -> str:
+    n = rng.randint(2, 3)
+    parts = [gen_atom(rng, v, depth) for _ in range(n)]
+    mode = rng.random()
+    if mode < 0.30:
+        return " AND ".join(parts)
+    if mode < 0.55:
+        return " OR ".join(parts)
+    if mode < 0.75:  # implicit AND, `-`/`+` on plain-term clauses only
+        out = [parts[0]]
+        for p in parts[1:]:
+            if p[0].isalnum() and rng.random() < 0.6:
+                out.append(("-" if rng.random() < 0.7 else "+") + p)
+            else:
+                out.append(p)
+        return " ".join(out)
+    if mode < 0.85 and parts[1][0].isalnum():
+        return parts[0] + " NOT " + parts[1]
+    return parts[0] + " AND " + parts[1] + (" OR " + parts[2] if n == 3 else "")
+
+
+def gen_query(seed: int, v: Vocab) -> str:
+    rng = random.Random(seed)
+    if rng.random() < 0.15:
+        return gen_atom(rng, v, 0)
+    return gen_bool(rng, v)
+
+
+def canon(hits: list[tuple[str, int, float]]):
+    """Group a (score-desc, split, docid)-sorted hit list into tie groups;
+    inside a group order is canonicalized so 1e-15 arithmetic-order noise
+    between engine and oracle cannot flip the comparison."""
+    groups: list[list[tuple[str, int]]] = []
+    last: float | None = None
+    for sid, docid, score in hits:
+        if last is not None and abs(last - score) < 1e-9:
+            groups[-1].append((sid, docid))
+        else:
+            groups.append([(sid, docid)])
+        last = score
+    return [sorted(g) for g in groups]
+
+
+def run_differential(reader, oracle, q):
+    res = search(
+        reader,
+        SearchRequest(query=q, max_hits=FETCH_ALL, search_fields=("text",)),
+        quantize_norms=True,
+        fetch_fields=(),
+    )
+    engine = [(r["split_id"], r["docid"], r["score"]) for r in res.collect()]
+    expected = oracle.search_query(q, k=FETCH_ALL, default_fields=("text",))
+
+    assert len(engine) == len(expected), (q, len(engine), len(expected))
+    e_scores = {(s, d): x for s, d, x in engine}
+    o_scores = {(s, d): x for s, d, x in expected}
+    assert e_scores.keys() == o_scores.keys(), q
+    for key, x in e_scores.items():
+        assert x == pytest.approx(o_scores[key], abs=1e-9), (q, key)
+    assert canon(engine) == canon(expected), q
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_random_query_rank_matches_oracle(small_index, oracle, seed):
+    run_differential(small_index, oracle, gen_query(seed, Vocab(oracle)))
+
+
+@pytest.fixture(scope="module")
+def freq_index(spark, pages_small, tmp_path_factory):
+    """record='freq' index over the same corpus: phrases take the
+    positions-less fallback (docstore candidate verify), everything else the
+    same plans — the oracle is record-agnostic, so the same differential
+    applies."""
+    from quickwit_spark.operators.build import IndexConfig, build_index
+    from quickwit_spark.operators.search import IndexReader
+
+    index_dir = str(tmp_path_factory.mktemp("fuzz_freq") / "pages_freq_idx")
+    cfg = IndexConfig(index_id="pages_freq", num_splits=3, record="freq")
+    metrics = build_index(spark, pages_small, index_dir, cfg)
+    assert metrics.num_docs == N_DOCS
+    return IndexReader(spark, index_dir)
+
+
+@pytest.fixture(scope="module")
+def freq_oracle(freq_index):
+    return build_oracle(freq_index)
+
+
+@pytest.mark.parametrize("seed", range(100, 112))
+def test_random_query_rank_matches_oracle_freq_fallback(
+    freq_index, freq_oracle, seed
+):
+    run_differential(freq_index, freq_oracle, gen_query(seed, Vocab(freq_oracle)))
