@@ -28,6 +28,7 @@ class OracleSplit:
     split_id: str
     docs: dict[int, list[str]] = field(default_factory=dict)  # docid -> tokens
     tf: dict[str, dict[int, int]] = field(default_factory=dict)
+    ts: dict[int, object] = field(default_factory=dict)  # docid -> datetime
     num_docs: int = 0
     total_tokens: int = 0
 
@@ -41,10 +42,12 @@ class OracleIndex:
         self.splits: dict[str, OracleSplit] = {}
         self.quantize = quantize
 
-    def add(self, split_id: str, docid: int, text: str) -> None:
+    def add(self, split_id: str, docid: int, text: str, ts=None) -> None:
         sp = self.splits.setdefault(split_id, OracleSplit(split_id))
         toks = tokenize_py(text)
         sp.docs[docid] = toks
+        if ts is not None:
+            sp.ts[docid] = ts
         sp.num_docs += 1
         sp.total_tokens += len(toks)
         for t, c in Counter(toks).items():
@@ -134,6 +137,53 @@ class OracleIndex:
             for d, s in self._eval_node(sp, ast, text_field).items():
                 hits.append((sid, d, s))
         hits.sort(key=lambda h: (-h[2], h[0], h[1]))
+        return hits[offset : offset + k]
+
+    def search_request(
+        self,
+        query: str,
+        k: int = 10,
+        offset: int = 0,
+        sort_by_field: str | None = None,
+        sort_order: str = "desc",
+        start_timestamp=None,
+        end_timestamp=None,
+        default_fields: tuple[str, ...] = ("text",),
+        text_field: str = "text",
+    ) -> list[tuple[str, int, float]]:
+        """Request-level mirror of ``search()``: BM25 (or fast-field sort
+        value as the score, like the engine's ``cast("double")``), semi-open
+        ``[start, end)`` timestamp window, asc/desc with the (split_id,
+        docid) tie-break, and ``start_offset`` slicing. Timestamps are
+        naive-UTC datetimes (the session timezone is pinned to UTC)."""
+        from datetime import datetime
+
+        from quickwit_spark.plans.query import expand_default_fields, parse_query
+
+        ast = expand_default_fields(parse_query(query), tuple(default_fields))
+        epoch = datetime(1970, 1, 1)
+        hits: list[tuple[str, int, float]] = []
+        for sid in self.splits:
+            sp = self.splits[sid]
+            for d, s in self._eval_node(sp, ast, text_field).items():
+                t = sp.ts.get(d)
+                if start_timestamp is not None and (
+                    t is None or t < start_timestamp
+                ):
+                    continue
+                if end_timestamp is not None and (
+                    t is None or t >= end_timestamp
+                ):
+                    continue
+                if sort_by_field == "ts":
+                    if t is None:
+                        continue
+                    s = (t - epoch).total_seconds()
+                elif sort_by_field not in (None, "_score"):
+                    raise ValueError(f"oracle: unsupported sort {sort_by_field!r}")
+                hits.append((sid, d, s))
+        sign = 1.0 if sort_order == "asc" else -1.0
+        hits.sort(key=lambda h: (sign * h[2], h[0], h[1]))
         return hits[offset : offset + k]
 
     def _eval_node(self, sp: OracleSplit, node, text_field: str) -> dict[int, float]:

@@ -31,10 +31,12 @@ FETCH_ALL = N_DOCS + 50  # > corpus: no top-k boundary
 def build_oracle(reader) -> OracleIndex:
     """Oracle over the reader's own (split_id, docid) assignment, scoring
     independently in pure python."""
-    docs = reader.docstore().select("split_id", "docid", "text").collect()
+    docs = (
+        reader.docstore().select("split_id", "docid", "text", "ts").collect()
+    )
     oi = OracleIndex(quantize=True)
     for r in docs:
-        oi.add(r["split_id"], r["docid"], r["text"])
+        oi.add(r["split_id"], r["docid"], r["text"], ts=r["ts"])
     return oi
 
 
@@ -195,3 +197,60 @@ def test_random_query_rank_matches_oracle_freq_fallback(
     freq_index, freq_oracle, seed
 ):
     run_differential(freq_index, freq_oracle, gen_query(seed, Vocab(freq_oracle)))
+
+
+@pytest.mark.parametrize("seed", range(200, 220))
+def test_random_request_matches_oracle(small_index, oracle, seed):
+    """Request-level fuzz: the same query grammar combined with random
+    sort-by-ts (asc/desc), semi-open timestamp windows, and pagination
+    offsets — the interplay the fixed gates cover only pointwise."""
+    rng = random.Random(seed)
+    v = Vocab(oracle)
+    q = gen_query(seed, v)
+
+    all_ts = sorted(
+        t for sp in oracle.splits.values() for t in sp.ts.values()
+    )
+    start = end = None
+    if rng.random() < 0.6:
+        i = rng.randrange(len(all_ts) // 2)
+        j = rng.randrange(len(all_ts) // 2, len(all_ts))
+        if rng.random() < 0.8:
+            start = all_ts[i]
+        if rng.random() < 0.8:
+            end = all_ts[j]
+    sort_by = "ts" if rng.random() < 0.5 else None
+    order = rng.choice(["asc", "desc"]) if sort_by else "desc"
+    offset = rng.choice([0, 0, 3, 17])
+
+    res = search(
+        small_index,
+        SearchRequest(
+            query=q,
+            max_hits=FETCH_ALL,
+            start_offset=offset,
+            sort_by_field=sort_by,
+            sort_order=order,
+            start_timestamp=start.isoformat() if start else None,
+            end_timestamp=end.isoformat() if end else None,
+            search_fields=("text",),
+        ),
+        quantize_norms=True,
+        fetch_fields=(),
+    )
+    engine = [(r["split_id"], r["docid"], r["score"]) for r in res.collect()]
+    expected = oracle.search_request(
+        q,
+        k=FETCH_ALL,
+        offset=offset,
+        sort_by_field=sort_by,
+        sort_order=order,
+        start_timestamp=start,
+        end_timestamp=end,
+        default_fields=("text",),
+    )
+    assert len(engine) == len(expected), (q, len(engine), len(expected))
+    # ts-epoch scores are ~1.7e9 — double rounding differs at ~1e-7
+    for (es, ed, ex), (os_, od, ox) in zip(engine, expected):
+        assert ex == pytest.approx(ox, abs=1e-6), (q, (es, ed), (os_, od))
+    assert canon(engine) == canon(expected), (q, sort_by, order, offset)
