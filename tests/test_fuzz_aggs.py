@@ -26,20 +26,22 @@ N = 400
 
 def make_rows():
     """Deterministic corpus: value multiples of 2.5 (exact doubles) with
-    nulls, a skewed low-cardinality kind, epochs spread over ~25 h."""
+    nulls, a skewed low-cardinality kind, epochs spread over ~25 h, and a
+    second categorical (device) for bucket-in-bucket nesting."""
     rows = []
     for i in range(N):
         value = None if i % 19 == 0 else (i % 23) * 2.5 - 10.0
         kind = "rare" if i % 97 == 0 else f"t{(i * i) % 6}"
         epoch = 1672531200 + (i * 137) % 90000
-        rows.append((value, kind, epoch))
+        device = f"d{(i * 7) % 4}"
+        rows.append((value, kind, epoch, device))
     return rows
 
 
 @pytest.fixture(scope="module")
 def ev(spark):
     df = spark.createDataFrame(
-        make_rows(), "value double, kind string, epoch long"
+        make_rows(), "value double, kind string, epoch long, device string"
     ).withColumn("ts", F.timestamp_seconds("epoch"))
     df.cache().count()
     return df
@@ -85,7 +87,7 @@ def _metric_cols(children):
 
 
 def _bucket_row(key_col, key, rows, mcols):
-    vals = [v for v, _, _ in rows if v is not None]
+    vals = [r[0] for r in rows if r[0] is not None]
     d = {key_col: key, "doc_count": len(rows)}
     for name, kind in mcols:
         d[name] = _m(vals, kind)
@@ -203,7 +205,7 @@ def oracle_terms(rows, params, children):
 
 
 def oracle_metric(rows, kind):
-    vals = [v for v, _, _ in rows if v is not None]
+    vals = [r[0] for r in rows if r[0] is not None]
     if kind == "stats":
         return [
             {
@@ -289,6 +291,135 @@ ORACLES = {
     "range": oracle_range,
     "terms": oracle_terms,
 }
+
+
+# ------------------------------------------------- nested bucket-in-bucket --
+
+
+def _nested_groups(rows, key_fn, mcols):
+    """(outer key, device) -> bucket dict rows, unranked."""
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        k = key_fn(r)
+        if k is None:
+            continue
+        groups.setdefault((k, r[3]), []).append(r)
+    out = []
+    for (k, term), rs in groups.items():
+        d = _bucket_row("key", k, rs, mcols)
+        d["term_key"] = term
+        out.append(d)
+    return out
+
+
+def oracle_nested_kv(rows, key_fn, size_per_bucket, mcols):
+    """histogram_terms / date_histogram_terms: per-bucket top
+    ``size_per_bucket`` terms (count desc, term asc), ordered by
+    (key asc, count desc, term asc)."""
+    cells = _nested_groups(rows, key_fn, mcols)
+    cells.sort(key=lambda d: (d["key"], -d["doc_count"], d["term_key"]))
+    out = []
+    per_key: dict = {}
+    for d in cells:
+        n = per_key.get(d["key"], 0)
+        if n < size_per_bucket:
+            out.append(d)
+            per_key[d["key"]] = n + 1
+    return out
+
+
+def oracle_terms_terms(rows, outer_size, size_per_bucket, mcols):
+    """terms_terms: top outer keys by total count (dense-ranked on
+    (total desc, key asc)), each with its top inner terms; final order
+    (outer total desc, key asc, count desc, term asc)."""
+    cells = _nested_groups(rows, lambda r: r[1], mcols)
+    totals: dict = {}
+    for d in cells:
+        totals[d["key"]] = totals.get(d["key"], 0) + d["doc_count"]
+    keep_keys = set(
+        sorted(totals, key=lambda k: (-totals[k], k))[:outer_size]
+    )
+    cells = [d for d in cells if d["key"] in keep_keys]
+    cells.sort(
+        key=lambda d: (-totals[d["key"]], d["key"], -d["doc_count"], d["term_key"])
+    )
+    out = []
+    per_key: dict = {}
+    for d in cells:
+        n = per_key.get(d["key"], 0)
+        if n < size_per_bucket:
+            row = {
+                "key": d["key"],
+                "outer_doc_count": totals[d["key"]],
+                "term_key": d["term_key"],
+                "doc_count": d["doc_count"],
+            }
+            for name, _ in mcols:
+                row[name] = d[name]
+            out.append(row)
+            per_key[d["key"]] = n + 1
+    return out
+
+
+def gen_nested_request(seed: int):
+    rng = random.Random(seed)
+    grandkids = {}
+    for j in range(rng.randint(0, 2)):
+        kind = rng.choice(["avg", "value_count", "max", "min", "sum", "stats"])
+        grandkids[f"g{j}"] = {kind: {"field": "value"}}
+    tsize = rng.choice([1, 2, 3])
+    child = {"terms": {"field": "device", "size": tsize}}
+    if grandkids:
+        child["aggs"] = grandkids
+
+    top = rng.choice(["histogram", "date_histogram", "terms"])
+    if top == "histogram":
+        params = {
+            "field": "value",
+            "interval": rng.choice([5.0, 12.5, 25.0]),
+            "offset": rng.choice([0.0, 2.5]),
+        }
+    elif top == "date_histogram":
+        params = {"field": "ts", "fixed_interval": rng.choice(["5m", "1h", "2h"])}
+    else:
+        params = {"field": "kind", "size": rng.choice([2, 3, 10])}
+    return (
+        {"a": {top: params, "aggs": {"sub": child}}},
+        (top, params, tsize, grandkids),
+    )
+
+
+@pytest.mark.parametrize("seed", range(100, 118))
+def test_random_nested_agg_matches_oracle(ev, seed):
+    req, (top, params, tsize, grandkids) = gen_nested_request(seed)
+    rows = make_rows()
+    mcols = _metric_cols(grandkids)
+    if top == "histogram":
+        interval, offset = params["interval"], params.get("offset", 0.0)
+
+        def key_fn(r):
+            if r[0] is None:
+                return None
+            return math.floor((r[0] - offset) / interval) * interval + offset
+
+        expected = oracle_nested_kv(rows, key_fn, tsize, mcols)
+    elif top == "date_histogram":
+        seconds = {"5m": 300, "1h": 3600, "2h": 7200}[params["fixed_interval"]]
+        expected = oracle_nested_kv(
+            rows, lambda r: (r[2] // seconds) * seconds, tsize, mcols
+        )
+    else:
+        expected = oracle_terms_terms(rows, params["size"], tsize, mcols)
+
+    got = [r.asDict() for r in run_agg_request(ev, req)["a"].collect()]
+    assert len(got) == len(expected), (req, len(got), len(expected))
+    for g, e in zip(got, expected):
+        assert set(g) == set(e), (req, g, e)
+        for c in e:
+            if isinstance(e[c], float):
+                assert g[c] == pytest.approx(e[c], rel=1e-9, abs=1e-9), (req, c, g, e)
+            else:
+                assert g[c] == e[c], (req, c, g, e)
 
 
 @pytest.mark.parametrize("seed", range(30))
