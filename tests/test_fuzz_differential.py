@@ -34,9 +34,11 @@ def build_oracle(reader) -> OracleIndex:
     docs = (
         reader.docstore().select("split_id", "docid", "text", "ts").collect()
     )
+    published = set(reader.manifest.stats())  # replaced splits linger until GC
     oi = OracleIndex(quantize=True)
     for r in docs:
-        oi.add(r["split_id"], r["docid"], r["text"], ts=r["ts"])
+        if r["split_id"] in published:
+            oi.add(r["split_id"], r["docid"], r["text"], ts=r["ts"])
     return oi
 
 
@@ -197,6 +199,60 @@ def test_random_query_rank_matches_oracle_freq_fallback(
     freq_index, freq_oracle, seed
 ):
     run_differential(freq_index, freq_oracle, gen_query(seed, Vocab(freq_oracle)))
+
+
+@pytest.fixture(scope="module")
+def merged_index(spark, pages_small, tmp_path_factory):
+    """12 tiny splits merged by the StableLog pipeline: the merged split's
+    recomputed BM25 stats (num_docs, avgdl, rebased docids) face the same
+    differential as a fresh build."""
+    from quickwit_spark.operators.build import IndexConfig, build_index
+    from quickwit_spark.operators.merge import run_merge_pipeline
+    from quickwit_spark.operators.search import IndexReader
+
+    index_dir = str(tmp_path_factory.mktemp("fuzz_merged") / "idx")
+    build_index(
+        spark, pages_small, index_dir, IndexConfig(index_id="pages_m", num_splits=12)
+    )
+    mm = run_merge_pipeline(spark, index_dir)
+    assert mm.num_ops >= 1, "merge policy found nothing to merge"
+    return IndexReader(spark, index_dir)
+
+
+@pytest.mark.parametrize("seed", range(300, 308))
+def test_random_query_rank_matches_oracle_merged(merged_index, seed):
+    oi = build_oracle(merged_index)
+    run_differential(merged_index, oi, gen_query(seed, Vocab(oi)))
+
+
+@pytest.fixture(scope="module")
+def streamed_index(spark, pages_small, tmp_path_factory):
+    """Index produced by the Structured Streaming path (availableNow
+    micro-batches, 2 files per trigger): per-batch generations and split
+    stats face the same differential."""
+    from quickwit_spark.operators.build import IndexConfig
+    from quickwit_spark.operators.search import IndexReader
+    from quickwit_spark.streaming.indexer import index_stream_available_now
+
+    base = tmp_path_factory.mktemp("fuzz_stream")
+    src = str(base / "src")
+    pages_small.repartition(4).write.parquet(src)
+    index_dir, ckpt = str(base / "idx"), str(base / "ckpt")
+    index_stream_available_now(
+        spark,
+        src,
+        index_dir,
+        ckpt,
+        cfg=IndexConfig(index_id="pages_s"),
+        max_files_per_trigger=2,
+    )
+    return IndexReader(spark, index_dir)
+
+
+@pytest.mark.parametrize("seed", range(400, 408))
+def test_random_query_rank_matches_oracle_streamed(streamed_index, seed):
+    oi = build_oracle(streamed_index)
+    run_differential(streamed_index, oi, gen_query(seed, Vocab(oi)))
 
 
 @pytest.mark.parametrize("seed", range(200, 220))
