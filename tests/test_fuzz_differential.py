@@ -255,6 +255,34 @@ def test_random_query_rank_matches_oracle_streamed(streamed_index, seed):
     run_differential(streamed_index, oi, gen_query(seed, Vocab(oi)))
 
 
+@pytest.fixture(scope="module")
+def deleted_index(spark, pages_small, tmp_path_factory):
+    """Index after delete_by_query + GC: rewritten splits must carry
+    recomputed BM25 stats (num_docs, avgdl) for the surviving docs — the
+    differential scores every query against exactly those."""
+    from quickwit_spark.operators.build import IndexConfig, build_index
+    from quickwit_spark.operators.janitor import delete_by_query
+    from quickwit_spark.operators.merge import garbage_collect
+    from quickwit_spark.operators.search import IndexReader
+
+    index_dir = str(tmp_path_factory.mktemp("fuzz_deleted") / "idx")
+    build_index(
+        spark, pages_small, index_dir, IndexConfig(index_id="pages_d", num_splits=6)
+    )
+    dm = delete_by_query(
+        spark, index_dir, "needleone OR needletwo", search_fields=("text",)
+    )
+    assert dm.matched_docs > 0
+    garbage_collect(index_dir)
+    return IndexReader(spark, index_dir)
+
+
+@pytest.mark.parametrize("seed", range(500, 508))
+def test_random_query_rank_matches_oracle_after_delete(deleted_index, seed):
+    oi = build_oracle(deleted_index)
+    run_differential(deleted_index, oi, gen_query(seed, Vocab(oi)))
+
+
 @pytest.mark.parametrize("seed", range(200, 220))
 def test_random_request_matches_oracle(small_index, oracle, seed):
     """Request-level fuzz: the same query grammar combined with random
