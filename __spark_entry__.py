@@ -131,8 +131,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_or_topk"] = lambda s, d: _fts_topk(s, d, "vector OR window", 10)
     q["fts_not_topk"] = lambda s, d: _fts_topk(s, d, "batch -scan", 10)
     q["fts_termset_topk"] = lambda s, d: _fts_topk(s, d, "text:IN [dup key]", 10)
-    q["fts_phrase_topk"] = lambda s, d: _fts_topk(s, d, '"fast key"', 10)
-    q["fts_phrase_slop"] = lambda s, d: _fts_topk(s, d, '"fast key"~1', 10)
+    def phrase_topk(s: SparkSession, d: str) -> DataFrame:
+        # one gate, both phrase semantics: exact (slop 0) plus slop 1 —
+        # union labeled by the slop so each variant hashes independently
+        exact = _fts_topk(s, d, '"fast key"', 10).withColumn(
+            "slop", F.lit(0).cast("long")
+        )
+        sloppy = _fts_topk(s, d, '"fast key"~1', 10).withColumn(
+            "slop", F.lit(1).cast("long")
+        )
+        return exact.unionByName(sloppy)
+
+    q["fts_phrase_topk"] = phrase_topk
     q["fts_pagination"] = lambda s, d: _fts_topk(s, d, "merge", 10, offset=10)
 
     def match_all_count(s: SparkSession, d: str) -> DataFrame:
@@ -178,8 +188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("score") + F.lit(1e-9), 4).alias("score"),
         ).orderBy(F.desc("score"), F.asc("doc_id"))
 
-    q["fts_multifield_topk"] = multifield_topk
-
     def search_fields_topk(s: SparkSession, d: str) -> DataFrame:
         # rest-api.md `search_field`: unqualified terms expand per-term over
         # the listed default fields ((text:dup OR title:dup) AND (text:common
@@ -202,38 +210,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("score") + F.lit(1e-9), 4).alias("score"),
         ).orderBy(F.desc("score"), F.asc("doc_id"))
 
-    q["fts_search_fields_topk"] = search_fields_topk
+    def multifield_variants(s: SparkSession, d: str) -> DataFrame:
+        # one gate, both multifield surfaces: field-qualified terms
+        # (title:de) and rest-api.md search_field expansion
+        return (
+            multifield_topk(s, d).withColumn("variant", F.lit("qualified"))
+            .unionByName(
+                search_fields_topk(s, d).withColumn(
+                    "variant", F.lit("search_fields")
+                )
+            )
+        )
+
+    q["fts_multifield_topk"] = multifield_variants
 
     def sort_fastfield(s: SparkSession, d: str) -> DataFrame:
+        # both sort orders in one gate (collector.rs:78-81 u64::MAX - v
+        # analog for asc), labeled by sort_order
         reader = gate_index(s, d)
-        res = search(
-            reader,
-            SearchRequest(query="spark", max_hits=15, sort_by_field="url"),
-            quantize_norms=False,
-            fetch_fields=(),
-        )
-        return res.select(F.col("score").cast("long").alias("doc_id")).orderBy(
-            F.desc("doc_id")
-        )
+        out = None
+        for order in ("desc", "asc"):
+            res = search(
+                reader,
+                SearchRequest(
+                    query="spark", max_hits=15, sort_by_field="url",
+                    sort_order=order,
+                ),
+                quantize_norms=False,
+                fetch_fields=(),
+            ).select(
+                F.lit(order).alias("sort_order"),
+                F.col("score").cast("long").alias("doc_id"),
+            )
+            out = res if out is None else out.unionByName(res)
+        return out
 
     q["fts_sort_fastfield"] = sort_fastfield
-
-    def sort_fastfield_asc(s: SparkSession, d: str) -> DataFrame:
-        # ascending fast-field sort (collector.rs:78-81 u64::MAX - v analog)
-        reader = gate_index(s, d)
-        res = search(
-            reader,
-            SearchRequest(
-                query="spark", max_hits=15, sort_by_field="url", sort_order="asc"
-            ),
-            quantize_norms=False,
-            fetch_fields=(),
-        )
-        return res.select(F.col("score").cast("long").alias("doc_id")).orderBy(
-            F.asc("doc_id")
-        )
-
-    q["fts_sort_fastfield_asc"] = sort_fastfield_asc
 
     def list_terms(s: SparkSession, d: str) -> DataFrame:
         reader = gate_index(s, d)
@@ -259,11 +271,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["terms_agg_docfreq"] = terms_agg_docfreq
-
-    def stream_export(s: SparkSession, d: str) -> DataFrame:
-        return _fts_matching(s, d, "dup")
-
-    q["stream_export_ids"] = stream_export
 
     def stream_export_partitioned(s: SparkSession, d: str) -> DataFrame:
         # search-stream with partition_by_field (search_stream/leaf.rs)
@@ -291,10 +298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # array<T> cardinality, nested object struct, datetime input formats ---
     # ip range over the canonical 16-byte domain: a plain STRING store would
     # order 10.0.0.200 < 10.0.0.63 lexicographically; canonical hex must not
+    # one gate covers both the ip RANGE and the ip TERM path (the canonical
+    # 16-byte compare is what makes 10.0.0.200 > 10.0.0.63 hold)
     q["ip_range_filter"] = lambda s, d: _fts_matching(
-        s, d, "synth_ip:[10.0.1.16 TO 10.0.1.63]"
+        s, d, "synth_ip:[10.0.1.16 TO 10.0.1.63] OR synth_ip:10.0.0.77"
     )
-    q["ip_term_filter"] = lambda s, d: _fts_matching(s, d, "synth_ip:10.0.0.77")
     # array<string> fast field: term matches ANY element (MultiValues)
     q["array_field_filter"] = lambda s, d: _fts_matching(s, d, "tags_arr:src7")
     # nested object struct: typed children addressed parent.child
@@ -325,26 +333,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dt_formats_parse"] = dt_formats_parse
 
     # --- aggregations over events (SURVEY §2.5 aggregation set) -----------
-    q["agg_histogram_value"] = lambda s, d: A.histogram(
-        _events(s, d), "value", interval=50.0
-    )
+    def histogram_variants(s: SparkSession, d: str) -> DataFrame:
+        # three histogram semantics in one gate, labeled by `variant`:
+        #  base    — plain fixed-interval histogram
+        #  filled  — ES/tantivy min_doc_count:0: empty buckets between the
+        #            observed min and max keys materialize with doc_count 0
+        #            (the value filter guarantees a hole mid-range)
+        #  bounds  — hard_bounds clips the DATA range (closed interval),
+        #            extended_bounds widens the RETURNED bucket range
+        #            (aggregation.md:237-265)
+        ev = _events(s, d)
+        base = A.histogram(ev, "value", interval=50.0)
+        filled = A.histogram(
+            ev.filter("value < 30 OR value > 120"),
+            "value", interval=25.0, fill_empty=True,
+        )
+        bounds = A.histogram(
+            ev, "value", interval=50.0,
+            hard_bounds=(25.0, 175.0), extended_bounds=(0.0, 300.0),
+        )
+        return (
+            base.withColumn("variant", F.lit("base"))
+            .unionByName(filled.withColumn("variant", F.lit("filled")))
+            .unionByName(bounds.withColumn("variant", F.lit("bounds")))
+        )
 
-    def histogram_filled(s: SparkSession, d: str) -> DataFrame:
-        # ES/tantivy min_doc_count:0 semantics — empty buckets between the
-        # observed min and max keys materialize with doc_count 0 (the value
-        # filter below guarantees a hole in the middle of the range)
-        ev = _events(s, d).filter("value < 30 OR value > 120")
-        return A.histogram(ev, "value", interval=25.0, fill_empty=True)
-
-    q["agg_histogram_filled"] = histogram_filled
-    q["agg_date_histogram"] = lambda s, d: A.date_histogram(
-        _events(s, d), "ts", 3600
-    )
+    q["agg_histogram_value"] = histogram_variants
     q["agg_range_value"] = lambda s, d: A.range_agg(
         _events(s, d), "value", [(None, 50.0), (50.0, 150.0), (150.0, None)]
-    )
-    q["agg_terms_event_type"] = lambda s, d: A.terms_agg(
-        _events(s, d), "event_type", size=5
     )
 
     def terms_sub_avg(s: SparkSession, d: str) -> DataFrame:
@@ -364,20 +380,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["agg_terms_sub_avg"] = terms_sub_avg
-
-    def histogram_bounds(s: SparkSession, d: str) -> DataFrame:
-        # hard_bounds clips the DATA range (closed interval), extended_bounds
-        # widens the RETURNED bucket range with empty buckets
-        # (aggregation.md:237-265)
-        return A.histogram(
-            _events(s, d),
-            "value",
-            interval=50.0,
-            hard_bounds=(25.0, 175.0),
-            extended_bounds=(0.0, 300.0),
-        )
-
-    q["agg_histogram_bounds"] = histogram_bounds
 
     def terms_min_doc_count(s: SparkSession, d: str) -> DataFrame:
         # buckets under min_doc_count are dropped but still feed
@@ -430,19 +432,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             },
         )["langs"]
         return out.select(
-            "key",
+            F.lit("terms").alias("variant"),
+            F.col("key").cast("string").alias("key"),
             "doc_count",
             F.round(F.col("avg_len") + F.lit(1e-9), 4).alias("avg_len"),
             "sum_other_doc_count",
         )
 
-    q["search_agg_json_terms"] = search_agg_json_terms
-
     def search_agg_json_dh(s: SparkSession, d: str) -> DataFrame:
         from quickwit_spark.operators.search import search_aggs
 
         s.conf.set("spark.sql.session.timeZone", "UTC")
-        return search_aggs(
+        out = search_aggs(
             gate_index(s, d),
             SearchRequest(query="dup", max_hits=1),
             {
@@ -454,8 +455,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 }
             },
         )["per_hour"]
+        return out.select(
+            F.lit("dh").alias("variant"),
+            F.col("key").cast("string").alias("key"),
+            "doc_count",
+            F.lit(None).cast("double").alias("avg_len"),
+            F.lit(None).cast("long").alias("sum_other_doc_count"),
+        )
 
-    q["search_agg_json_dh"] = search_agg_json_dh
+    # one gate for the ES-JSON aggs-riding-a-search surface: a terms agg
+    # (with metric sub-agg + sum_other accounting) AND a date_histogram,
+    # both folded over MATCHING docs only, unioned under a variant label
+    q["search_agg_json"] = lambda s, d: search_agg_json_terms(
+        s, d
+    ).unionByName(search_agg_json_dh(s, d))
 
     def date_histogram_stats(s: SparkSession, d: str) -> DataFrame:
         # date_histogram buckets carrying metric sub-aggs
@@ -504,10 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         ev = _events(s, d)
         return ev.filter(dynamic_path_filter(F.col("props"), "k", "69")).select(
-            "event_id"
+            F.lit("json_path").alias("variant"), "event_id"
         )
-
-    q["json_path_count"] = json_path_count
 
     def dynamic_field_query(s: SparkSession, d: str) -> DataFrame:
         # dynamic mode: unmapped columns funnel into _dynamic and stay
@@ -529,9 +540,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mapped = DocMapper(mapping).map(_events(s, d)).docs
         return mapped.filter(
             dynamic_path_filter(F.col("_dynamic"), "user_id", "7")
-        ).select("event_id")
+        ).select(F.lit("dynamic_mode").alias("variant"), "event_id")
 
-    q["dynamic_field_query"] = dynamic_field_query
+    # one gate for both dynamic-JSON query paths: an explicit json-typed
+    # column (props.k) and dynamic-mode _dynamic funneling
+    q["dynamic_path_query"] = lambda s, d: json_path_count(s, d).unionByName(
+        dynamic_field_query(s, d)
+    )
 
     def stats_by_type(s: SparkSession, d: str) -> DataFrame:
         return (
@@ -574,10 +589,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["vrl_transform"] = vrl_transform
 
     # --- training-data pipeline ops (dedup / textstats / similarity / mm) --
-    q["ts_token_count"] = lambda s, d: TS.token_count(docs_df(s, d))
-    q["ts_lang_id"] = lambda s, d: TS.lang_id(docs_df(s, d))
-    q["ts_quality"] = lambda s, d: TS.quality_score(docs_df(s, d))
-    q["ts_fingerprint"] = lambda s, d: TS.fingerprint(docs_df(s, d))
+    def ts_doc_stats(s: SparkSession, d: str) -> DataFrame:
+        # all four textstats operators in ONE tokenize pass (the shape a
+        # 100 TB pipeline would run them in): token count, heuristic
+        # language-ID, quality score, content fingerprint. Each column is
+        # exactly the corresponding operator's output expression
+        # (operators/textstats.py), so the single gate verifies all four.
+        from quickwit_spark.functions.tokenize import tokenize_expr
+
+        df = docs_df(s, d).select(
+            "doc_id", "text", tokenize_expr(F.col("text")).alias("_toks")
+        )
+        return df.select(
+            "doc_id",
+            F.size("_toks").alias("n_tokens"),
+            TS.lang_pred_expr(F.col("text"), F.col("_toks")).alias("lang_pred"),
+            TS.quality_expr(F.col("_toks")).alias("quality"),
+            F.md5(F.concat_ws(" ", "_toks")).alias("fingerprint"),
+        )
+
+    q["ts_doc_stats"] = ts_doc_stats
     q["dedup_exact"] = lambda s, d: DD.exact_dedup(docs_df(s, d))
     q["dedup_ngram_pairs"] = lambda s, d: DD.ngram_jaccard_pairs(
         docs_df(s, d), threshold=0.8
@@ -635,14 +666,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_ivf_topk"] = sim_ivf_topk
 
-    def sim_lsh_topk(s: SparkSession, d: str) -> DataFrame:
-        # approximate path — gated rows-only (no oracle entry)
-        emb = _emb(s, d)
-        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-        return SIM.lsh_topk(emb, qv, k=10, multiprobe=2)
-
-    q["sim_lsh_topk"] = sim_lsh_topk
-
     q["mm_features"] = lambda s, d: MM.extract_features(
         MM.synth_media(docs_df(s, d))
     ).select("media_id", "modality", "payload_bytes", "payload_sha")
@@ -656,6 +679,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return MM.image_decode_stats(media)
 
     q["mm_image_decode_stat"] = mm_image_stat
+
+    def sim_lsh_topk(s: SparkSession, d: str) -> DataFrame:
+        # approximate path — gated rows-only (no oracle entry); registered
+        # LAST so the weaker check never displaces an oracle-backed gate
+        emb = _emb(s, d)
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return SIM.lsh_topk(emb, qv, k=10, multiprobe=2)
+
+    q["sim_lsh_topk"] = sim_lsh_topk
     return q
 
 
@@ -673,8 +705,11 @@ SELECT doc_id, round(score + 1e-9, 4) AS score FROM (
 ) ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     o["fts_termset_topk"] = bm25_or_sql(["dup", "key"], 10)
-    o["fts_phrase_topk"] = phrase_sql(["fast", "key"], 10, slop=0)
-    o["fts_phrase_slop"] = phrase_sql(["fast", "key"], 10, slop=1)
+    o["fts_phrase_topk"] = f"""
+SELECT 0::BIGINT AS slop, * FROM ({phrase_sql(["fast", "key"], 10, slop=0)})
+UNION ALL
+SELECT 1::BIGINT AS slop, * FROM ({phrase_sql(["fast", "key"], 10, slop=1)})
+"""
     o["fts_pagination"] = bm25_and_sql(["merge"], 10, offset=10)
     o["fts_match_all_count"] = "SELECT count(*) AS num_hits FROM documents"
     o["fts_stem_topk"] = bm25_and_sql(
@@ -696,7 +731,7 @@ SELECT doc_id, round(score + 1e-9, 4) AS score FROM (
 """
     # title = 'common ' || lang => title doc length 2, avgdl_title 2, title:de
     # tf 1 => tf_norm = 2.2/(1 + 1.2) = 1.0; idf from per-split df of lang=de
-    o["fts_multifield_topk"] = f"""{ORACLE_PRELUDE},
+    _mf_qualified = f"""{ORACLE_PRELUDE},
 td AS (SELECT doc_id, doc_id % {N_GATE_SPLITS} AS split_id, lang FROM documents),
 tdf AS (SELECT split_id, count(*) AS df FROM td WHERE lang = 'de' GROUP BY split_id),
 tscore AS (
@@ -715,7 +750,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
     # search_field expansion: every title holds 'common' (title = "common "
     # + lang, dl = avgdl = 2 so tfnorm = 1), hence title-BM25(common) =
     # ln(1 + 0.5/(n_docs + 0.5)) per split; text-BM25(dup) from the prelude
-    o["fts_search_fields_topk"] = f"""{ORACLE_PRELUDE},
+    _mf_search_fields = f"""{ORACLE_PRELUDE},
 tscore AS (
   SELECT td.doc_id, td.split_id,
          ln(1.0 + 0.5 / (ss.n_docs + 0.5)) AS score
@@ -728,19 +763,22 @@ SELECT doc_id, round(s.score + t.score + 1e-9, 4) AS score FROM
 JOIN tscore t USING (doc_id, split_id)
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
-    o["fts_sort_fastfield"] = f"""
-WITH d AS (
-  SELECT doc_id, {TOKENIZE} AS toks FROM documents
-)
-SELECT doc_id FROM d WHERE list_contains(toks, 'spark')
-ORDER BY doc_id DESC LIMIT 15
+    o["fts_multifield_topk"] = f"""
+SELECT 'qualified' AS variant, * FROM ({_mf_qualified})
+UNION ALL
+SELECT 'search_fields' AS variant, * FROM ({_mf_search_fields})
 """
-    o["fts_sort_fastfield_asc"] = f"""
+    _sort_one = f"""
 WITH d AS (
   SELECT doc_id, {TOKENIZE} AS toks FROM documents
 )
 SELECT doc_id FROM d WHERE list_contains(toks, 'spark')
-ORDER BY doc_id ASC LIMIT 15
+ORDER BY doc_id __ORD__ LIMIT 15
+"""
+    o["fts_sort_fastfield"] = f"""
+SELECT 'desc' AS sort_order, * FROM ({_sort_one.replace("__ORD__", "DESC")})
+UNION ALL
+SELECT 'asc' AS sort_order, * FROM ({_sort_one.replace("__ORD__", "ASC")})
 """
     o["list_terms"] = f"""
 WITH d AS (SELECT doc_id, {TOKENIZE} AS toks FROM documents),
@@ -753,26 +791,33 @@ tok AS (SELECT doc_id, unnest(toks) AS term FROM d)
 SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok
 GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 10
 """
-    o["stream_export_ids"] = f"""
-WITH d AS (SELECT doc_id, {TOKENIZE} AS toks FROM documents)
-SELECT doc_id FROM d WHERE list_contains(toks, 'dup')
-"""
-    o["agg_histogram_value"] = """
+    _hist_base = """
 SELECT (floor(value / 50.0) * 50.0)::DOUBLE AS key, count(*) AS doc_count
-FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY key
+FROM events WHERE value IS NOT NULL GROUP BY 1
 """
-    o["agg_histogram_filled"] = """
+    _hist_filled = """
 WITH f AS (SELECT value FROM events WHERE value < 30 OR value > 120),
 g AS (SELECT floor(value / 25.0)::BIGINT AS bi, count(*) AS c
       FROM f WHERE value IS NOT NULL GROUP BY 1),
 b AS (SELECT unnest(generate_series((SELECT min(bi) FROM g),
                                     (SELECT max(bi) FROM g))) AS bi)
 SELECT (b.bi * 25.0)::DOUBLE AS key, coalesce(g.c, 0) AS doc_count
-FROM b LEFT JOIN g USING (bi) ORDER BY key
+FROM b LEFT JOIN g USING (bi)
 """
-    o["agg_date_histogram"] = """
-SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS key, count(*) AS doc_count
-FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY key
+    _hist_bounds = """
+WITH f AS (SELECT value FROM events WHERE value >= 25.0 AND value <= 175.0),
+g AS (SELECT floor(value / 50.0)::BIGINT AS bi, count(*) AS c
+      FROM f WHERE value IS NOT NULL GROUP BY 1),
+b AS (SELECT unnest(generate_series(
+        least((SELECT min(bi) FROM g), 0),
+        greatest((SELECT max(bi) FROM g), 6))) AS bi)
+SELECT (b.bi * 50.0)::DOUBLE AS key, coalesce(g.c, 0) AS doc_count
+FROM b LEFT JOIN g USING (bi)
+"""
+    o["agg_histogram_value"] = f"""
+SELECT 'base' AS variant, * FROM ({_hist_base})
+UNION ALL SELECT 'filled' AS variant, * FROM ({_hist_filled})
+UNION ALL SELECT 'bounds' AS variant, * FROM ({_hist_bounds})
 """
     o["agg_range_value"] = """
 SELECT CASE
@@ -782,24 +827,10 @@ SELECT CASE
   count(*) AS doc_count
 FROM events GROUP BY 1 ORDER BY range_key
 """
-    o["agg_terms_event_type"] = """
-SELECT event_type AS key, count(*) AS doc_count FROM events
-GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5
-"""
     o["agg_terms_sub_avg"] = """
 SELECT event_type AS key, count(*) AS doc_count,
   round(avg(value) + 1e-9, 4) AS avg_value, round(max(value) + 1e-9, 4) AS max_value
 FROM events GROUP BY 1 ORDER BY avg(value) DESC, key ASC LIMIT 5
-"""
-    o["agg_histogram_bounds"] = """
-WITH f AS (SELECT value FROM events WHERE value >= 25.0 AND value <= 175.0),
-g AS (SELECT floor(value / 50.0)::BIGINT AS bi, count(*) AS c
-      FROM f WHERE value IS NOT NULL GROUP BY 1),
-b AS (SELECT unnest(generate_series(
-        least((SELECT min(bi) FROM g), 0),
-        greatest((SELECT max(bi) FROM g), 6))) AS bi)
-SELECT (b.bi * 50.0)::DOUBLE AS key, coalesce(g.c, 0) AS doc_count
-FROM b LEFT JOIN g USING (bi) ORDER BY key
 """
     o["agg_terms_min_doc_count"] = """
 WITH g AS (SELECT event_type AS key, count(*) AS doc_count FROM events
@@ -827,24 +858,24 @@ SELECT key, outer_doc_count::BIGINT AS outer_doc_count, term_key, doc_count
 FROM ranked WHERE orank <= 3 AND irank <= 3
 ORDER BY outer_doc_count DESC, key, doc_count DESC, term_key
 """
-    o["search_agg_json_terms"] = f"""
+    o["search_agg_json"] = f"""
 WITH d AS (SELECT doc_id, lang, n_chars, {TOKENIZE} AS toks FROM documents),
 m AS (SELECT * FROM d WHERE list_contains(toks, 'dup')),
 g AS (SELECT lang AS key, count(*) AS doc_count,
              round(avg(n_chars) + 1e-9, 4) AS avg_len
       FROM m GROUP BY 1),
 kept AS (SELECT * FROM g ORDER BY doc_count DESC, key ASC LIMIT 5)
-SELECT key, doc_count, avg_len,
+SELECT 'terms' AS variant, key, doc_count, avg_len,
        ((SELECT sum(doc_count) FROM g)
         - (SELECT sum(doc_count) FROM kept))::BIGINT AS sum_other_doc_count
-FROM kept ORDER BY doc_count DESC, key ASC
-"""
-    o["search_agg_json_dh"] = f"""
-WITH d AS (SELECT doc_id, {TOKENIZE} AS toks FROM documents),
-m AS (SELECT doc_id FROM d WHERE list_contains(toks, 'dup'))
-SELECT (floor((1672531200 + doc_id * 60) / 3600) * 3600)::BIGINT AS key,
-       count(*) AS doc_count
-FROM m GROUP BY 1 ORDER BY key
+FROM kept
+UNION ALL
+SELECT 'dh' AS variant,
+       ((floor((1672531200 + doc_id * 60) / 3600) * 3600)::BIGINT)::VARCHAR
+         AS key,
+       count(*) AS doc_count,
+       NULL::DOUBLE AS avg_len, NULL::BIGINT AS sum_other_doc_count
+FROM m GROUP BY 2
 """
     o["agg_date_histogram_stats"] = """
 SELECT (floor(epoch(ts) / 21600) * 21600)::BIGINT AS key,
@@ -872,11 +903,10 @@ ORDER BY key, doc_count DESC, term_key ASC
 SELECT user_id AS trace_id, epoch_us(max(ts))::BIGINT AS max_ts_us
 FROM events GROUP BY 1 ORDER BY max_ts_us DESC, trace_id ASC LIMIT 10
 """
-    o["json_path_count"] = """
-SELECT event_id FROM events WHERE props->>'k' = '69'
-"""
-    o["dynamic_field_query"] = """
-SELECT event_id FROM events WHERE user_id = 7
+    o["dynamic_path_query"] = """
+SELECT 'json_path' AS variant, event_id FROM events WHERE props->>'k' = '69'
+UNION ALL
+SELECT 'dynamic_mode' AS variant, event_id FROM events WHERE user_id = 7
 """
     o["agg_stats_by_type"] = """
 SELECT event_type AS key, count(value) AS count,
@@ -903,9 +933,7 @@ GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5
     o["ip_range_filter"] = (
         "SELECT doc_id FROM documents "
         "WHERE (doc_id % 65536) BETWEEN 256 + 16 AND 256 + 63"
-    )
-    o["ip_term_filter"] = (
-        "SELECT doc_id FROM documents WHERE (doc_id % 65536) = 77"
+        " OR (doc_id % 65536) = 77"
     )
     o["array_field_filter"] = (
         "SELECT doc_id FROM documents WHERE lang = 'src7' OR source = 'src7'"
@@ -930,41 +958,34 @@ FROM documents
 WHERE lang IS NOT NULL
 ORDER BY doc_id
 """
-    o["ts_token_count"] = f"""
-SELECT doc_id, len({TOKENIZE}) AS n_tokens FROM documents
-"""
     hits = {
         lang: f"len(list_filter(toks, x -> list_contains({_sql_list(ws)}, x)))"
         for lang, ws in STOPWORDS.items()
     }
     mx = f"greatest({hits['de']}, {hits['en']}, {hits['es']}, {hits['fr']})"
-    o["ts_lang_id"] = f"""
-WITH t AS (SELECT doc_id, text, {TOKENIZE} AS toks FROM documents)
-SELECT doc_id, CASE
-  WHEN regexp_matches(text, '[一-鿿㐀-䶿]') THEN 'zh'
-  WHEN {mx} = 0 THEN 'und'
-  WHEN {hits['de']} = {mx} THEN 'de'
-  WHEN {hits['en']} = {mx} THEN 'en'
-  WHEN {hits['es']} = {mx} THEN 'es'
-  ELSE 'fr' END AS lang_pred
-FROM t
-"""
     all_stop = _sql_list(sorted({w for ws in STOPWORDS.values() for w in ws}))
-    o["ts_quality"] = f"""
-WITH t AS (SELECT doc_id, {TOKENIZE} AS toks FROM documents),
-m AS (SELECT doc_id, len(toks)::DOUBLE AS n,
-  len(list_filter(toks, x -> list_contains({all_stop}, x)))::DOUBLE AS nstop,
-  list_sum(list_transform(toks, x -> len(x)))::DOUBLE AS chars FROM t)
-SELECT doc_id, round((CASE WHEN n > 0 THEN
-    0.4 * least(1.0, n / 100.0)
-  + 0.3 * least(1.0, (nstop / n) * 5.0)
-  + 0.3 * least(1.0, (chars / n) / 8.0)
-  ELSE 0.0 END) + 1e-9, 4) AS quality
-FROM m
-"""
-    o["ts_fingerprint"] = f"""
-SELECT doc_id, md5(array_to_string({TOKENIZE}, ' ')) AS fingerprint
-FROM documents
+    o["ts_doc_stats"] = f"""
+WITH t AS (SELECT doc_id, text, {TOKENIZE} AS toks FROM documents)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  CASE
+    WHEN regexp_matches(text, '[一-鿿㐀-䶿]') THEN 'zh'
+    WHEN {mx} = 0 THEN 'und'
+    WHEN {hits['de']} = {mx} THEN 'de'
+    WHEN {hits['en']} = {mx} THEN 'en'
+    WHEN {hits['es']} = {mx} THEN 'es'
+    ELSE 'fr' END AS lang_pred,
+  round((CASE WHEN len(toks) > 0 THEN
+      0.4 * least(1.0, len(toks)::DOUBLE / 100.0)
+    + 0.3 * least(1.0,
+        (len(list_filter(toks, x -> list_contains({all_stop}, x)))::DOUBLE
+         / len(toks)::DOUBLE) * 5.0)
+    + 0.3 * least(1.0,
+        (list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+         / len(toks)::DOUBLE) / 8.0)
+    ELSE 0.0 END) + 1e-9, 4) AS quality,
+  md5(array_to_string(toks, ' ')) AS fingerprint
+FROM t
 """
     o["dedup_exact"] = f"""
 WITH f AS (SELECT doc_id, md5(array_to_string({TOKENIZE}, ' ')) AS fp
