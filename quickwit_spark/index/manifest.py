@@ -58,6 +58,11 @@ class SplitMetadata:
     # covers split rows that PREDATE this field — those were built without
     # positions, so the safe (fallback) direction is "freq"
     record: str = "freq"
+    # index-config generation this split was built under: leaf queries are
+    # planned against the split's OWN config (tokenizer, record, field set),
+    # the reference's per-split DocMapper (doc_mapper.rs:85-93). Splits
+    # predating the field carry generation 0 (the initial config).
+    config_generation: int = 0
 
     def field_avgdl(self, field_name: str | None) -> float:
         if field_name and self.field_total_tokens and field_name in self.field_total_tokens:
@@ -324,8 +329,54 @@ class Manifest:
     def save_index_config(self, cfg: dict) -> None:
         self.log.commit([{"op": "config", "config": cfg}])
 
-    def load_index_config(self) -> dict:
-        return dict(self.log.state()["config"])
+    def load_index_config(self, generation: int | None = None) -> dict:
+        """Latest config, or the config a given generation's splits were
+        built under (falls back to latest for pre-versioning logs)."""
+        state = self.log.state()
+        if generation is not None:
+            hist = state.get("configs") or {}
+            if str(generation) in hist:
+                return dict(hist[str(generation)])
+        return dict(state["config"])
+
+    def config_generations(self) -> list[int]:
+        """All config generations the log has seen (>=1 entry once any
+        config was saved; empty for a bare log)."""
+        state = self.log.state()
+        hist = state.get("configs") or {}
+        if hist:
+            return sorted(int(g) for g in hist)
+        return [0] if state.get("config") else []
+
+    # keys that define the physical LAYOUT of existing splits: evolving them
+    # in place would orphan or mis-route already-published data
+    _LAYOUT_KEYS = (
+        "index_id", "text_field", "doc_key", "tag_field", "timestamp_field",
+        "routing_col", "num_splits", "split_num_docs_target",
+        "split_memory_budget_bytes",
+    )
+
+    def update_index_config(self, new_cfg: dict) -> int:
+        """Schema evolution (doc_mapping update): bump the config generation
+        so NEW splits build under ``new_cfg`` while existing splits keep
+        being queried under the config they were built with. Layout keys
+        must not change (rebuild into a fresh index for that); the evolvable
+        surface is tokenizer, record, extra_text_fields, store_fields,
+        ip_fields and default_search_fields. Returns the new generation."""
+        cur = self.load_index_config()
+        if not cur:
+            raise ValueError("no existing index config to update")
+        for k in self._LAYOUT_KEYS:
+            if k in cur and k in new_cfg and cur[k] != new_cfg[k]:
+                raise ValueError(
+                    f"config update may not change layout key {k!r}: "
+                    f"{cur[k]!r} -> {new_cfg[k]!r}"
+                )
+        gen = int(cur.get("config_generation", 0)) + 1
+        out = dict(new_cfg)
+        out["config_generation"] = gen
+        self.save_index_config(out)
+        return gen
 
     def get(self, split_id: str) -> SplitMetadata | None:
         d = self.log.state()["splits"].get(split_id)
@@ -447,6 +498,7 @@ class Manifest:
                 "num_merge_ops": m.num_merge_ops,
                 "field_total_tokens": m.field_total_tokens,
                 "record": m.record,
+                "config_generation": m.config_generation,
             }
             for m in self.list_all()
             if m.state == "Published"

@@ -144,6 +144,11 @@ class TransactionLog:
                     rec.pop(str(pid), None)
             elif op == "config":
                 state["config"] = a["config"]
+                # per-generation config history: each split records the
+                # config_generation it was built under and leaf queries are
+                # built against THAT config (doc_mapper.rs:85-93 analog)
+                gen = str(a["config"].get("config_generation", 0))
+                state.setdefault("configs", {})[gen] = a["config"]
             elif op == "source":
                 # source-config registry (rest-api.md "Create a source";
                 # source_config.md shapes) — upsert by source_id

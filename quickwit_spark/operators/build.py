@@ -1314,9 +1314,15 @@ def build_index(
     # record='freq' index under the new default would make searchers take
     # the positions path against splits that have none)
     old_icfg = manifest.load_index_config()
+    config_gen = 0
     if old_icfg:
-        # missing keys mean the index predates the option — its splits were
-        # built with the then-defaults, which must keep winning
+        config_gen = int(old_icfg.get("config_generation", 0))
+        # evolvable format keys: a build must match the CURRENT config —
+        # schema evolution goes through Manifest.update_index_config, which
+        # bumps the config generation so old splits keep being queried under
+        # the config they were built with (per-split DocMapper,
+        # doc_mapper.rs:85-93). Missing keys mean the index predates the
+        # option — its splits were built with the then-defaults.
         legacy = {
             "text_field": "text",
             "tokenizer": "default",
@@ -1328,8 +1334,9 @@ def build_index(
             if have != new_icfg[k]:
                 raise ValueError(
                     f"index config mismatch on {k!r}: index has "
-                    f"{have!r}, build requested {new_icfg[k]!r} — "
-                    "rebuild into a fresh index_dir to change the format"
+                    f"{have!r}, build requested {new_icfg[k]!r} — call "
+                    "Manifest.update_index_config first (schema evolution) "
+                    "or rebuild into a fresh index_dir"
                 )
         # layout keys: changing routing or split count against existing
         # splits would orphan stale Published splits (duplicate/stale docs);
@@ -1343,6 +1350,7 @@ def build_index(
                     f"{old_icfg[k]!r}, build requested {new_icfg[k]!r} — "
                     "rebuild into a fresh index_dir to change the layout"
                 )
+    new_icfg["config_generation"] = config_gen
     manifest.save_index_config(new_icfg)
 
     # --- checkpoint-resume: skip partitions whose split is already Published
@@ -1684,6 +1692,11 @@ def _stage_and_publish(
     partitions. ``norm_stats`` rows are plain dicts with ISO-string time
     ranges (both build paths normalize into this shape)."""
     new_metas = []
+    # stamp each new split with the config generation it was built under
+    # (per-split DocMapper versioning; searchers plan leaves against it)
+    cgen = int(
+        (manifest.load_index_config() or {}).get("config_generation", 0)
+    )
     for row in norm_stats:
         tags = row["tags"]
         if len(tags) > cfg.max_tags:  # cardinality cap: record no tags
@@ -1704,6 +1717,7 @@ def _stage_and_publish(
             max_docid=row["num_docs"] - 1,
             record=cfg.record,
             field_total_tokens=row["ftt"],
+            config_generation=cgen,
         )
         new_metas.append(meta)
         metrics.num_docs += row["num_docs"]

@@ -254,6 +254,7 @@ def delete_by_query(
                 else None
             ),
             record="position" if with_pos else "freq",
+            config_generation=meta.config_generation,
         )
         manifest.stage(new_meta)
         manifest.publish([new_meta], replaced=[split_id])

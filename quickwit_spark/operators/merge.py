@@ -357,6 +357,9 @@ def execute_merge(
             if all(m.record == "position" for m in metas)
             else "freq"
         ),
+        # the planner only groups same-config-generation splits, so the
+        # merged split inherits its sources' (shared) config generation
+        config_generation=metas[0].config_generation,
     )
     manifest.stage(meta)
     manifest.publish([meta], replaced=op.split_ids)
@@ -401,7 +404,18 @@ def run_merge_pipeline(
     t0 = time.time()
     for _ in range(max_rounds):
         splits = manifest.list_published()
-        ops, _ = policy.operations(splits)
+        # never merge across config generations: splits built under
+        # different doc-mapper configs (tokenizer/record/field set) are not
+        # re-encodable into one split without re-analyzing — plan each
+        # generation's pool independently (the reference merge planner
+        # groups by doc-mapping version the same way)
+        by_gen: dict[int, list] = {}
+        for m in splits:
+            by_gen.setdefault(m.config_generation, []).append(m)
+        ops = []
+        for pool in by_gen.values():
+            gops, _ = policy.operations(pool)
+            ops.extend(gops)
         if not ops:
             break
         for op in ops:

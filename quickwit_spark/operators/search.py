@@ -421,18 +421,27 @@ class IndexReader:
             "split_id", "term", "doc_freq", "sum_tf"
         )
 
+    def _multi_config_gen(self) -> bool:
+        return len(self.manifest.config_generations()) > 1
+
     def postings(self) -> DataFrame:
         if self._postings is None:
-            self._postings = self.spark.read.parquet(
-                f"{self.index_dir}/postings"
-            )
+            r = self.spark.read
+            if self._multi_config_gen():
+                # schema evolution: a record=freq generation's splits have
+                # no pos_blocks column (and new text fields add namespaced
+                # terms only) — merge footers so the unified scan nulls the
+                # missing columns instead of sampling one footer's schema
+                r = r.option("mergeSchema", "true")
+            self._postings = r.parquet(f"{self.index_dir}/postings")
         return self._postings
 
     def docstore(self) -> DataFrame:
         if self._docstore is None:
-            self._docstore = self.spark.read.parquet(
-                f"{self.index_dir}/docstore"
-            )
+            r = self.spark.read
+            if self._multi_config_gen():
+                r = r.option("mergeSchema", "true")
+            self._docstore = r.parquet(f"{self.index_dir}/docstore")
         return self._docstore
 
     def stats_map(self) -> dict:
@@ -641,6 +650,67 @@ def _make_phrase_kernel(
     return kernel
 
 
+def _make_phrase_fb_kernel(
+    toks: list[str],
+    slop: int,
+    tokenizer: str,
+    index_dir: str,
+    quantize: bool,
+    field: str,
+    scoring: bool,
+    text_col: str,
+):
+    """mapInPandas kernel over CANDIDATE docstore rows (split_id, docid,
+    text) -> (split_id, docid, pf, dl): re-analyzes each candidate's stored
+    text with the index analyzer and runs the SAME greedy
+    ordered-within-slop matcher as the positions path
+    (functions/phrase.py), so a positions-less split scores phrases
+    rank-identically to a positions-bearing one. Candidates are the
+    postings AND-intersection — the same slice a term query touches — so
+    the per-row python matcher is bounded; it replaces a regex verify of
+    identical asymptotics that could not produce a phrase frequency."""
+
+    def kernel(batches):
+        from quickwit_spark.functions.phrase import phrase_freq, positions_of
+        from quickwit_spark.functions.tokenize import analyzer_py
+
+        analyze = analyzer_py(tokenizer)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pfs = np.fromiter(
+                (
+                    phrase_freq(toks, positions_of(analyze(t or "")), slop)
+                    for t in pdf[text_col]
+                ),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            keep = pfs > 0
+            if not keep.any():
+                continue
+            out = pd.DataFrame(
+                {
+                    "split_id": pdf["split_id"].to_numpy()[keep],
+                    "docid": pdf["docid"].to_numpy()[keep].astype(np.int64),
+                    "pf": pfs[keep],
+                }
+            )
+            if scoring:
+                dl = np.zeros(len(out), dtype=np.float64)
+                sids = out["split_id"].to_numpy()
+                dids = out["docid"].to_numpy()
+                for sid in pd.unique(out["split_id"]):
+                    m = sids == sid
+                    dl[m] = _norms_for(index_dir, sid, quantize, dids[m], field)
+                out["dl"] = dl
+            else:
+                out["dl"] = 0.0
+            yield out
+
+    return kernel
+
+
 def _make_decode_block_rows(
     index_dir: str, quantize: bool, avgdl_map: dict
 ):
@@ -718,6 +788,7 @@ class Searcher:
         ts_field: str | None = None,
         quantize_norms: bool = True,
         scoring: bool = True,
+        icfg: dict | None = None,
     ):
         self.reader = reader
         # scoring=False is the count/export/fast-field-sort opt-out: postings
@@ -725,8 +796,16 @@ class Searcher:
         # (collector.rs:413-421 analog). Membership semantics are identical.
         self.scoring = scoring
         # index-level config persisted at build time (the reference searcher
-        # builds its query against the split's own DocMapper/schema)
-        icfg = reader.manifest.load_index_config()
+        # builds its query against the split's own DocMapper/schema).
+        # ``icfg`` overrides it for per-config-generation sub-searchers:
+        # matching() plans each generation's splits under the config they
+        # were built with (doc_mapper.rs:85-93).
+        if icfg is None:
+            icfg = reader.manifest.load_index_config()
+        # text fields known to a NEWER config generation than this one:
+        # terms on them match nothing in this generation's splits (the
+        # postings simply predate the field) instead of erroring
+        self._lenient_fields: frozenset[str] = frozenset()
         self.default_field = default_field or icfg.get("text_field") or "text"
         self.extra_text_fields = tuple(icfg.get("extra_text_fields", []) or [])
         self.tag_field = tag_field or icfg.get("tag_field") or "lang"
@@ -1140,7 +1219,53 @@ class Searcher:
         start_ts: str | None = None,
         end_ts: str | None = None,
     ) -> DataFrame:
-        """AST -> DataFrame(split_id, docid, score)."""
+        """AST -> DataFrame(split_id, docid, score).
+
+        Config-generation routing: splits built under different doc-mapper
+        configs (schema evolution via Manifest.update_index_config) are
+        planned INDEPENDENTLY, each against its own config — tokenizer,
+        record mode, field set — then unioned (the reference plans every
+        leaf against that split's own DocMapper, doc_mapper.rs:85-93).
+        Scores stay per-split so the union preserves rank semantics."""
+        stats = self.reader.stats_map()
+        by_gen: dict[int, list[str]] = {}
+        for sid in split_ids:
+            g = int(stats.get(sid, {}).get("config_generation") or 0)
+            by_gen.setdefault(g, []).append(sid)
+        gens = self.reader.manifest.config_generations() or [0]
+        latest = max(gens)
+        if not by_gen or set(by_gen) == {latest}:
+            return self._matching_one(node, split_ids, start_ts, end_ts)
+        latest_cfg = self.reader.manifest.load_index_config()
+        latest_text = {
+            latest_cfg.get("text_field") or "text",
+            *(latest_cfg.get("extra_text_fields") or []),
+        }
+        parts = []
+        for g, sids in sorted(by_gen.items()):
+            sub = Searcher(
+                self.reader,
+                quantize_norms=self.quantize_norms,
+                scoring=self.scoring,
+                icfg=self.reader.manifest.load_index_config(g),
+            )
+            sub._lenient_fields = frozenset(
+                latest_text - {sub.default_field, *sub.extra_text_fields}
+            )
+            parts.append(sub._matching_one(node, sids, start_ts, end_ts))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _matching_one(
+        self,
+        node: Node,
+        split_ids: list[str],
+        start_ts: str | None = None,
+        end_ts: str | None = None,
+    ) -> DataFrame:
+        """matching() body for splits sharing ONE config generation."""
         self._split_ids = split_ids  # phrase path scopes its postings scan
         # phrase tokens stay OUT of the scored table only when the positions
         # path will actually handle them — which also requires every pruned
@@ -1227,6 +1352,10 @@ class Searcher:
                 scored,
                 docs,
             )
+        if node.field in self._lenient_fields:
+            # text field added by a NEWER config generation: this
+            # generation's splits predate it — zero matches, not an error
+            return self._zero(docs).limit(0)
         if node.field == self.tag_field:
             # raw-tokenizer keyword column: exact match on the docstore
             return docs.filter(F.col("tag") == node.value).select(
@@ -1267,6 +1396,8 @@ class Searcher:
                 .groupBy("split_id", "docid")
                 .agg(F.sum("score").alias("score"))
             )
+        if node.field in self._lenient_fields:
+            return self._zero(docs).limit(0)
         if node.field == self.tag_field:
             cond = F.col("tag").isin(node.values)
         else:
@@ -1285,14 +1416,42 @@ class Searcher:
     ) -> DataFrame:
         pre = self._ns_prefix(node.field)
         if pre is None:
+            if node.field in self._lenient_fields:
+                return self._zero(docs).limit(0)
             raise ValueError(f"phrase queries require a text field, got {node.field!r}")
         toks = self._tok(node.text)
         if not toks:
             return self._zero(docs).limit(0)
         if len(toks) == 1:
             return self._eval_term(Term(node.field, toks[0]), scored, docs)
-        if self.record == "position" and self._splits_have_positions():
-            return self._eval_phrase_positions(node, toks, pre)
+        # per-split routing (the reference builds each LEAF query against
+        # that split's own schema, doc_mapper.rs:85-93): splits that store
+        # positions take the vectorized positions kernel, positions-less
+        # splits (e.g. a merge of mixed sources) take the regex-verify
+        # fallback, and the two partial results union. Scoring is per-split
+        # in both paths, so rank-identity within each split is preserved —
+        # the old whole-query fallback paid a docstore text scan on splits
+        # with perfectly good positions.
+        if self.record == "position":
+            stats = self.reader.stats_map()
+            pos_sids = [
+                sid
+                for sid in self._split_ids
+                if stats.get(sid, {}).get("record", "freq") == "position"
+            ]
+            fb_sids = [
+                sid for sid in self._split_ids if sid not in set(pos_sids)
+            ]
+            if pos_sids and not fb_sids:
+                return self._eval_phrase_positions(node, toks, pre)
+            if pos_sids and fb_sids:
+                return self._eval_phrase_positions(
+                    node, toks, pre, split_ids=pos_sids
+                ).unionByName(
+                    self._eval_phrase_fallback(
+                        node, toks, scored, docs, split_ids=fb_sids
+                    )
+                )
         return self._eval_phrase_fallback(node, toks, scored, docs)
 
     def _splits_have_positions(self) -> bool:
@@ -1306,7 +1465,11 @@ class Searcher:
         )
 
     def _eval_phrase_positions(
-        self, node: Phrase, toks: list[str], pre: str = ""
+        self,
+        node: Phrase,
+        toks: list[str],
+        pre: str = "",
+        split_ids: list[str] | None = None,
     ) -> DataFrame:
         """True phrase scoring from stored positions (``record: position``).
 
@@ -1320,7 +1483,8 @@ class Searcher:
         is bounded by one split's phrase-term postings — the same slice a
         term query touches — so the plan survives scale (unlike the old
         full-docstore regex verify)."""
-        split_ids = self._split_ids
+        if split_ids is None:
+            split_ids = self._split_ids
         ns_toks = [pre + t for t in toks]
         uniq = sorted(set(ns_toks))
         stats_map = self.reader.stats_map()
@@ -1389,38 +1553,113 @@ class Searcher:
         )
 
     def _eval_phrase_fallback(
-        self, node: Phrase, toks: list[str], scored: DataFrame, docs: DataFrame
+        self,
+        node: Phrase,
+        toks: list[str],
+        scored: DataFrame,
+        docs: DataFrame,
+        split_ids: list[str] | None = None,
     ) -> DataFrame:
         """No positions stored (record=freq): candidates = AND of the
-        phrase's tokens, then an exact ordered-window regex verification over
-        the stored text of ONLY the candidate rows (semi-join first — the
-        regex must never scan the whole docstore). Scoring = sum of
-        constituent term BM25 (documented deviation)."""
+        phrase's tokens (postings intersection — bounded like a term
+        query), then the TRUE phrase frequency is recomputed executor-side
+        over ONLY the candidate rows' stored text (Arrow-batched kernel
+        running the same greedy matcher as the positions path) and BM25
+        scored with tf = pf, idf summed over the token sequence — so
+        positions-less splits are RANK-IDENTICAL to positions-bearing ones
+        and mixed-record routing (_eval_phrase) composes soundly. tantivy
+        would reject a phrase query on a positions-less field
+        (phrase_query.rs record check); reproducing the exact scores from
+        the docstore is strictly more useful. ``split_ids`` scopes the
+        fallback to the positions-less splits of a mixed index."""
+        eff_sids = split_ids if split_ids is not None else self._split_ids
+        if split_ids is not None:
+            flt = F.col("split_id").isin(split_ids)
+            scored = scored.filter(flt)
+            docs = docs.filter(flt)
         cand = self._eval_bool(
             Bool(must=[Term(node.field, t) for t in toks]), scored, docs
-        )
-        sep = r"[^\p{L}\p{N}]+"
-        gap = sep if node.slop == 0 else sep + rf"(?:[\p{{L}}\p{{N}}]+{sep}){{0,{node.slop}}}"
-        pattern = (
-            r"(?:^|[^\p{L}\p{N}])"
-            + gap.join(re_escape(t) for t in toks)
-            + r"(?:$|[^\p{L}\p{N}])"
-        )
+        ).select("split_id", "docid")
         text_col = (
             node.field
             if node.field and node.field in self.extra_text_fields
             else "text"
         )
-        verify = (
-            docs.join(
-                cand.select("split_id", "docid"),
-                ["split_id", "docid"],
-                "left_semi",
-            )
-            .filter(F.lower(F.col(text_col)).rlike(pattern))
-            .select("split_id", "docid")
+        pre = self._ns_prefix(node.field) or ""
+        fld = pre[:-1] if pre else ""
+        cand_docs = docs.join(
+            cand, ["split_id", "docid"], "left_semi"
+        ).select("split_id", "docid", text_col)
+        pf_df = cand_docs.mapInPandas(
+            _make_phrase_fb_kernel(
+                toks,
+                node.slop,
+                self.tokenizer,
+                self.reader.index_dir,
+                self.quantize_norms,
+                fld,
+                self.scoring,
+                text_col,
+            ),
+            "split_id string, docid long, pf long, dl double",
         )
-        return cand.join(verify, ["split_id", "docid"], "inner")
+        if not self.scoring:
+            return pf_df.select(
+                "split_id", "docid", F.lit(0.0).alias("score")
+            )
+        # per-split idf_sum over the token SEQUENCE (duplicates counted per
+        # occurrence, tantivy Bm25Weight::for_terms): postings metadata only
+        # (blocks stay pruned from the scan) + the broadcast split stats —
+        # all lazy column arithmetic, no driver collect.
+        from collections import Counter
+
+        ns_toks = [pre + t for t in toks]
+        mult = Counter(ns_toks)
+        meta = self.reader.postings().filter(
+            F.col("term").isin(sorted(mult)) & F.col("split_id").isin(eff_sids)
+        ).select("split_id", "term", "doc_freq")
+        stats = F.broadcast(
+            self.reader.split_stats().select("split_id", "n_docs")
+        )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+            / (F.col("doc_freq") + F.lit(0.5))
+        )
+        mult_expr = F.lit(0.0)
+        for t, m in mult.items():
+            mult_expr = F.when(F.col("term") == t, F.lit(float(m))).otherwise(
+                mult_expr
+            )
+        idf_df = F.broadcast(
+            meta.join(stats, "split_id")
+            .groupBy("split_id")
+            .agg(F.sum(idf * mult_expr).alias("idf_sum"))
+        )
+        amap = self._avgdl_map(eff_sids)
+        avg_rows = [
+            (sid, amap[(sid, fld)]) for sid in eff_sids if (sid, fld) in amap
+        ]
+        avg_df = F.broadcast(
+            self.reader.spark.createDataFrame(
+                avg_rows, "split_id string, avgdl double"
+            )
+        )
+        pf = F.col("pf").cast("double")
+        tf_norm = pf * F.lit(BM25_K1 + 1.0) / (
+            pf
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+        return (
+            pf_df.join(idf_df, "split_id")
+            .join(avg_df, "split_id")
+            .select(
+                "split_id",
+                "docid",
+                (F.col("idf_sum") * tf_norm).alias("score"),
+            )
+        )
 
     def _eval_range(self, node: Range, docs: DataFrame) -> DataFrame:
         col_name = self.fast_fields.get(node.field, node.field)
@@ -1550,12 +1789,6 @@ class Searcher:
             neg = self._eval(child, rel, docs).select("split_id", "docid")
             base = base.join(neg, ["split_id", "docid"], "left_anti")
         return base
-
-
-def re_escape(s: str) -> str:
-    import re
-
-    return re.escape(s)
 
 
 def make_snippet_udf(terms: list[str], window: int = 80, tokenizer: str = "default"):
@@ -1694,9 +1927,19 @@ def search(
         # once the pruned splits hold enough docs that decode dominates.
         # Below the threshold the exhaustive single-pass plan is faster.
         use_wand = sum(m.num_docs for m in splits) >= WAND_MIN_DOCS
+    # WAND analyzes tokens under ONE config — only sound when every pruned
+    # split was built under the latest config generation (schema-evolved
+    # splits route through matching()'s per-generation planner instead)
+    smap = reader.stats_map()
+    latest_gen = max(reader.manifest.config_generations() or [0])
+    single_latest_gen = {
+        int(smap.get(sid, {}).get("config_generation") or 0)
+        for sid in split_ids
+    } <= {latest_gen}
     wand_tokens = (
         searcher.disjunctive_tokens(ast)
         if use_wand
+        and single_latest_gen
         and request.sort_by_field in (None, "_score")
         and request.sort_order == "desc"  # WAND prunes for BEST-score top-k
         and request.start_timestamp is None
