@@ -33,6 +33,7 @@ from quickwit_spark.entry_helpers import (
     bm25_or_sql,
     docs_df,
     gate_index,
+    gate_index_evolved,
     minhash_lsh_sql,
     ngram_jaccard_sql,
     phrase_sql,
@@ -331,6 +332,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
 
     q["dt_formats_parse"] = dt_formats_parse
+
+    # --- schema evolution (per-split config generations, r4) ---------------
+    def mixed_record_phrase(s: SparkSession, d: str) -> DataFrame:
+        # phrase over an honestly MIXED-record index (gen 0 record=freq, no
+        # position payloads on disk; gen 1 record=position): per-split
+        # routing unions the positions kernel with the docstore pf
+        # recompute, both scoring true phrase-BM25 — one oracle covers both
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        reader = gate_index_evolved(s, d)
+        res = search(
+            reader,
+            SearchRequest(query='"fast key"~1', max_hits=10),
+            quantize_norms=False,
+            fetch_fields=("url",),
+        )
+        return res.select(
+            F.col("url").cast("long").alias("doc_id"),
+            F.round(F.col("score") + F.lit(1e-9), 4).alias("score"),
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+    q["fts_mixed_record_phrase"] = mixed_record_phrase
+
+    def schema_evolution_query(s: SparkSession, d: str) -> DataFrame:
+        # gen 1 added extra text field `title`; gen 0 splits predate it.
+        # The disjunction scores text-BM25(dup) on every split plus
+        # title-BM25(de) ONLY on gen-1 splits (parts 2,3) — old splits are
+        # lenient (zero matches), not an error
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        reader = gate_index_evolved(s, d)
+        res = search(
+            reader,
+            SearchRequest(query="dup OR title:de", max_hits=10),
+            quantize_norms=False,
+            fetch_fields=("url",),
+        )
+        return res.select(
+            F.col("url").cast("long").alias("doc_id"),
+            F.round(F.col("score") + F.lit(1e-9), 4).alias("score"),
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+    q["schema_evolution_query"] = schema_evolution_query
 
     # --- aggregations over events (SURVEY §2.5 aggregation set) -----------
     def histogram_variants(s: SparkSession, d: str) -> DataFrame:
@@ -947,6 +989,30 @@ GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5
         " + doc_id * INTERVAL 1 MINUTE AS when"
         " FROM documents ORDER BY doc_id"
     )
+
+    # schema-evolution gates run on the two-generation index whose routing
+    # is still doc_id % 4, so the same prelude applies; phrase scoring is
+    # record-independent (true phrase-BM25 on both generations)
+    o["fts_mixed_record_phrase"] = phrase_sql(["fast", "key"], 10, slop=1)
+    # title = 'common ' || lang on gen-1 splits only (parts 2,3): title dl =
+    # avgdl_title = 2 => tf_norm = 1.0, so title-BM25(de) = per-split idf of
+    # lang='de'; OR semantics sum the matched clauses' scores
+    o["schema_evolution_query"] = f"""{ORACLE_PRELUDE},
+tds AS (SELECT doc_id, doc_id % {N_GATE_SPLITS} AS split_id FROM documents
+        WHERE lang = 'de' AND doc_id % {N_GATE_SPLITS} >= 2),
+tdf AS (SELECT split_id, count(*) AS df FROM tds GROUP BY 1),
+tscore AS (
+  SELECT tds.doc_id, tds.split_id,
+         ln(1.0 + (ss.n_docs - df + 0.5) / (df + 0.5)) AS score
+  FROM tds JOIN tdf USING (split_id) JOIN ss USING (split_id)
+)
+SELECT doc_id,
+       round(coalesce(s.score, 0) + coalesce(t.score, 0) + 1e-9, 4) AS score
+FROM (SELECT doc_id, split_id, sum(score) AS score FROM scores
+      WHERE term = 'dup' GROUP BY 1, 2) s
+FULL OUTER JOIN tscore t USING (doc_id, split_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
 
     # --- training-data pipeline ops ---------------------------------------
     o["vrl_transform"] = """

@@ -114,6 +114,70 @@ def gate_index(
     return IndexReader(spark, index_dir)
 
 
+def gate_index_evolved(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Two-config-generation gate index (schema evolution, r4):
+
+    gen 0 — ``record='freq'``, no extra text fields — over docs with
+    doc_id %% 4 in (0, 1); the config is then updated
+    (Manifest.update_index_config) to ``record='position'`` +
+    ``extra_text_fields=('title',)`` and gen 1 is built over the other
+    half (parts 2, 3) with title = 'common ' || lang. Routing stays
+    ``doc_id %% 4`` so the oracle reproduces per-split BM25 stats in SQL;
+    the per-doc split is a pure function of doc_id on both sides."""
+    from quickwit_spark.index.manifest import Manifest
+
+    tag = sf_dir.strip("/").replace("/", "_") + "__evolved"
+    index_dir = os.path.join(_CACHE_ROOT, tag)
+    marker = os.path.join(index_dir, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        docs = (
+            docs_df(spark, sf_dir)
+            .withColumn("gate_part", (F.col("doc_id") % N_GATE_SPLITS).cast("int"))
+            .withColumn(
+                "synth_ts",
+                F.timestamp_seconds(
+                    F.lit(1672531200) + F.col("doc_id") * F.lit(60)
+                ),
+            )
+        )
+        base = dict(
+            index_id="docs",
+            num_splits=N_GATE_SPLITS,
+            text_field="text",
+            tag_field="lang",
+            timestamp_field="synth_ts",
+            doc_key="doc_id",
+            routing_col="gate_part",
+        )
+        build_index(
+            spark,
+            docs.filter(F.col("gate_part") < 2),
+            index_dir,
+            IndexConfig(**base, record="freq"),
+        )
+        man = Manifest(index_dir)
+        cfg = man.load_index_config()
+        cfg["record"] = "position"
+        cfg["extra_text_fields"] = ["title"]
+        man.update_index_config(cfg)
+        build_index(
+            spark,
+            docs.filter(F.col("gate_part") >= 2).withColumn(
+                "title", F.concat(F.lit("common "), F.col("lang"))
+            ),
+            index_dir,
+            IndexConfig(
+                **base,
+                record="position",
+                extra_text_fields=("title",),
+                generation=1,
+            ),
+        )
+        open(marker, "w").close()
+    return IndexReader(spark, index_dir)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL fragments. The tokenizer MUST match
 # quickwit_spark.functions.tokenize.tokenize_expr exactly.
