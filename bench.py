@@ -86,7 +86,15 @@ def main() -> None:
     # as tools/bench_scaling.py — at cluster scale storage bandwidth scales
     # with executors; the engine, not the sandbox disk, is what's measured).
     # The JSON records which was used.
-    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    # capacity guard (tmpfs is typically capped at 50% of RAM): the staged
+    # pages parquet + index build + docstore/postings is ~4 KB/doc with
+    # headroom — fall back to /tmp rather than ENOSPC mid-run at larger SF
+    scratch = "/tmp"
+    if os.path.isdir("/dev/shm"):
+        import shutil as _sh
+
+        if _sh.disk_usage("/dev/shm").free > n_docs * 4000 + (1 << 30):
+            scratch = "/dev/shm"
     index_dir = f"{scratch}/quickwit_spark_bench_idx_{n_docs}"
     shutil.rmtree(index_dir, ignore_errors=True)
 

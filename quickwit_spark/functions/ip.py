@@ -54,9 +54,48 @@ def ip_display_py(canon: str | None) -> str | None:
     return str(v4) if v4 is not None else str(addr)
 
 
+# strict dotted-quad (leading-zero octets rejected, matching the stdlib
+# parser): the dominant notation in web-log data, handled fully vectorized
+_V4_RE = (
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\."
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\."
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\."
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+)
+_V4_PREFIX = "00000000000000000000ffff"
+
+
+def ip_canon_batch(s: pd.Series) -> pd.Series:
+    """Vectorized batch form of ip_canon_py (r3 ADVICE: no per-element
+    Python in the ingest path): dotted-quad rows — the hot case — parse as
+    four numpy uint8 lanes packed big-endian and hex-ed in ONE buffer pass;
+    only the residue (IPv6 / odd notations / garbage) falls back to the
+    stdlib parser per element."""
+    import numpy as np
+
+    s = s.astype("string").str.strip()
+    groups = s.str.extract("^" + _V4_RE + "$")
+    is_v4 = groups[0].notna().to_numpy()
+    out = pd.Series([None] * len(s), index=s.index, dtype=object)
+    if is_v4.any():
+        octs = groups.loc[is_v4].to_numpy(dtype="uint64")
+        vals = (
+            (octs[:, 0] << 24) | (octs[:, 1] << 16)
+            | (octs[:, 2] << 8) | octs[:, 3]
+        ).astype(">u4")
+        big = vals.tobytes().hex()  # 8 hex chars per row, one pass
+        out[is_v4] = [
+            _V4_PREFIX + big[i * 8 : i * 8 + 8] for i in range(len(vals))
+        ]
+    rest = ~is_v4 & s.notna().to_numpy()
+    if rest.any():
+        out[rest] = s[rest].map(ip_canon_py)
+    return out
+
+
 @F.pandas_udf(T.StringType())
 def _ip_canon_udf(s: pd.Series) -> pd.Series:
-    return s.map(ip_canon_py)
+    return ip_canon_batch(s)
 
 
 @F.pandas_udf(T.StringType())

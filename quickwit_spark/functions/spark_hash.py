@@ -88,4 +88,10 @@ def perfect_partition_keys(
     # deterministic: i-th smallest key gets the remap claiming the i-th
     # discovered bucket (insertion order of `found` is discovery order)
     remaps = list(found.values())[: len(keys)]
+    # callers bind these to an IntegerType column; the ~n*ln(n) scan cannot
+    # realistically reach 2^31 but an overflow must fail loudly, not wrap
+    if remaps and max(remaps) > 2**31 - 1:
+        raise OverflowError(
+            f"perfect-partition remap scan exceeded int32 ({max(remaps)})"
+        )
     return {k: remaps[i] for i, k in enumerate(sorted(keys))}

@@ -95,11 +95,14 @@ class Manifest:
     into the log on first open; the migration commit is idempotent under a
     two-writer race because replay is last-writer-wins on identical rows."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, store=None):
+        """``store`` overrides the transaction log's claim backend (POSIX
+        hard-link by default; pass an ObjectStoreLogStore for S3-style
+        conditional-PUT commit atomicity on object storage)."""
         self.index_dir = index_dir
         self.dir = os.path.join(index_dir, "manifest")
         os.makedirs(self.dir, exist_ok=True)
-        self.log = TransactionLog(os.path.join(self.dir, "_txn"))
+        self.log = TransactionLog(os.path.join(self.dir, "_txn"), store=store)
         self._migrate_legacy()
 
     # -- legacy migration ---------------------------------------------------

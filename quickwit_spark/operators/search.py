@@ -1899,6 +1899,10 @@ def search(
         bad = set(exclude_split_ids)
         splits = [m for m in splits if m.split_id not in bad]
     split_ids = [m.split_id for m in splits]
+    if snippet_fields and not searcher._collect_text_terms(ast):
+        # validate BEFORE the empty-prune early return: an invalid request
+        # must fail identically whether or not any split survives pruning
+        raise ValueError("snippet fields require text terms in the query")
     if not split_ids:
         # schema must match the non-empty-prune path exactly — including
         # the requested fetch/snippet columns — or callers selecting a
@@ -1914,7 +1918,16 @@ def search(
             f for f in snippet_fields if f not in fetch_fields
         )
         if extra:
-            store_schema = reader.docstore().schema
+            try:
+                store_schema = reader.docstore().schema
+            except Exception:  # noqa: BLE001 — no docstore files yet
+                # an index with ZERO published splits (fresh streaming index,
+                # all-settled builds) has no docstore directory to copy the
+                # fetch-field types from: string placeholders keep the empty
+                # result constructible
+                store_schema = T.StructType(
+                    [T.StructField(f_, T.StringType()) for f_ in extra]
+                )
             for f_ in extra:
                 base = base.add(store_schema[f_])
         for f_ in snippet_fields:

@@ -360,3 +360,55 @@ def test_delete_by_query_timestamp_window(spark, pages_small, tmp_path):
         reader, SearchRequest(query="w0 w3"), "ts"
     ).count()
     assert left == len(tss) - in_window > 0
+
+
+def test_search_zero_published_splits_with_fetch_fields(spark, tmp_path):
+    """r4 ADVICE: an index with ZERO published splits (fresh streaming index
+    before its first batch) has no docstore directory — a fetch-field search
+    must return an empty frame with placeholder columns, not raise."""
+    from quickwit_spark.index.manifest import Manifest
+    from quickwit_spark.operators.search import (
+        IndexReader,
+        SearchRequest,
+        search,
+    )
+
+    d = str(tmp_path / "empty_idx")
+    Manifest(d)  # manifest exists, no splits, no docstore files
+    reader = IndexReader(spark, d)
+    res = search(
+        reader, SearchRequest(query="anything", max_hits=5),
+        fetch_fields=("url",),
+    )
+    assert res.columns == ["split_id", "docid", "score", "url"]
+    assert res.count() == 0
+
+
+def test_snippet_validation_is_prune_independent(spark, pages_small, tmp_path):
+    """r4 ADVICE: a termless query with snippet_fields must raise the SAME
+    error whether every split is time-pruned or not."""
+    import pytest
+
+    from quickwit_spark.operators.build import IndexConfig, build_index
+    from quickwit_spark.operators.search import (
+        IndexReader,
+        SearchRequest,
+        search,
+    )
+
+    d = str(tmp_path / "snip_idx")
+    build_index(spark, pages_small, d, IndexConfig(index_id="p", num_splits=2))
+    reader = IndexReader(spark, d)
+    with pytest.raises(ValueError, match="snippet fields require"):
+        search(reader, SearchRequest(query="*", max_hits=5),
+               snippet_fields=("text",))
+    with pytest.raises(ValueError, match="snippet fields require"):
+        search(
+            reader,
+            SearchRequest(
+                query="*", max_hits=5,
+                start_timestamp="2050-01-01T00:00:00",
+                end_timestamp="2050-01-02T00:00:00",
+            ),
+            snippet_fields=("text",),
+        )

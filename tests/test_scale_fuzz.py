@@ -1,0 +1,270 @@
+"""Scale-proof differential battery (r3 VERDICT "next" #7): 1M docs / 64
+splits — enough blocks per posting list (~15.6k docs/split, 128-doc blocks)
+to exercise block-boundary and width-overflow paths the 600-doc batteries
+cannot reach. The independent oracle is DuckDB over the SAME staged pages
+parquet, with split routing made SQL-reproducible (rid % 64) exactly like
+the driver gates.
+
+Gated behind QS_SCALE_FUZZ=1 (plus a `slow` marker): the battery costs a
+1M-doc build + several full-corpus DuckDB scans (~4 min), too heavy for the
+default suite. A recorded green run lives in BASELINE.md §round 4.
+
+Run: QS_SCALE_FUZZ=1 python -m pytest tests/test_scale_fuzz.py -x -q
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.operators.build import IndexConfig, build_index
+from quickwit_spark.operators.search import (
+    IndexReader,
+    SearchRequest,
+    count_hits,
+    search,
+)
+from quickwit_spark.sources.pages import synth_pages
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.environ.get("QS_SCALE_FUZZ"),
+        reason="1M-doc battery: set QS_SCALE_FUZZ=1 (recorded run in BASELINE.md)",
+    ),
+]
+
+N_DOCS = 1_000_000
+N_SPLITS = 64
+
+# MUST mirror quickwit_spark.functions.tokenize.tokenize_expr exactly
+TOKENIZE = (
+    "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), "
+    "t -> len(t) > 0 and len(t) <= 40)"
+)
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def big(spark, tmp_path_factory):
+    import duckdb
+
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = (
+        os.path.join(scratch, "qs_scale_fuzz")
+        if scratch
+        else str(tmp_path_factory.mktemp("scale"))
+    )
+    src = os.path.join(root, "pages")
+    idx = os.path.join(root, "idx")
+    pages = (
+        synth_pages(spark, N_DOCS, partitions=64)
+        .withColumn(
+            "rid", F.regexp_extract("url", r"p/(\d+)$", 1).cast("long")
+        )
+        .withColumn("gate_part", (F.col("rid") % N_SPLITS).cast("int"))
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        pages.write.mode("overwrite").parquet(src)
+    staged = spark.read.parquet(src)
+    if not os.path.exists(os.path.join(idx, "_FUZZ_BUILT")):
+        build_index(
+            spark, staged, idx,
+            IndexConfig(
+                index_id="big", num_splits=N_SPLITS, routing_col="gate_part"
+            ),
+        )
+        open(os.path.join(idx, "_FUZZ_BUILT"), "w").close()
+    reader = IndexReader(spark, idx)
+
+    con = duckdb.connect()
+    con.execute(
+        f"""CREATE TABLE d AS
+        SELECT url, (rid % {N_SPLITS}) AS split_id, {TOKENIZE} AS toks,
+               len({TOKENIZE}) AS dl
+        FROM read_parquet('{src}/*.parquet')"""
+    )
+    con.execute(
+        """CREATE TABLE ss AS
+        SELECT split_id, count(*) AS n_docs, avg(dl) AS avgdl
+        FROM d GROUP BY 1"""
+    )
+    yield reader, con
+    con.close()
+
+
+def _term_scores_sql(terms: list[str]) -> str:
+    """Per-(url, split) BM25 contributions for the given terms."""
+    parts = []
+    for t in terms:
+        parts.append(f"""
+SELECT url, split_id, '{t}' AS term,
+  ln(1.0 + (ss.n_docs - df.df + 0.5) / (df.df + 0.5))
+  * (tf * {K1 + 1.0}) / (tf + {K1} * ({1.0 - B} + {B} * dl / ss.avgdl))
+  AS score
+FROM (
+  SELECT url, split_id, dl,
+         len(list_filter(toks, x -> x = '{t}')) AS tf
+  FROM d WHERE list_contains(toks, '{t}')
+) m
+JOIN (SELECT split_id, count(*) AS df FROM d
+      WHERE list_contains(toks, '{t}') GROUP BY 1) df USING (split_id)
+JOIN ss USING (split_id)""")
+    return " UNION ALL ".join(parts)
+
+
+def _canon_topk(items):
+    """[(url, score)] in rank order -> (score sequence, {score: set(url)})
+    with the LAST (boundary) tie group dropped: raw doubles computed in
+    different arithmetic orders differ at 1e-15, which permutes rank inside
+    equal-rounded-score groups and changes which members of the boundary
+    group make the cut — both immaterial to rank identity."""
+    scores = [s for _, s in items]
+    groups: dict[float, set] = {}
+    for u, s in items:
+        groups.setdefault(s, set()).add(u)
+    if scores:
+        last = scores[-1]
+        groups.pop(last)
+        scores = [s for s in scores if s != last]
+    return scores, groups
+
+
+def _engine(reader, query, k, **kw):
+    res = search(
+        reader,
+        SearchRequest(query=query, max_hits=k, **kw),
+        quantize_norms=False,
+        fetch_fields=("url",),
+    )
+    return [
+        (r["url"], r["split_id"], round(r["score"] + 1e-9, 4))
+        for r in res.collect()
+    ]
+
+
+def test_rare_term_all_matches_score_parity(big):
+    """needleone (~1k docs): EVERY match's BM25 must agree — posting lists
+    span many blocks per split, so a single bit-unpack misalignment shows."""
+    reader, con = big
+    got = sorted((u, s) for u, _, s in _engine(reader, "needleone", 5000))
+    exp = sorted(
+        (u, round(s + 1e-9, 4))
+        for u, _sid, _t, s in con.execute(
+            _term_scores_sql(["needleone"])
+        ).fetchall()
+    )
+    assert len(got) == len(exp) > 500
+    assert got == exp
+
+
+def test_common_conjunction_topk_rank_identity(big):
+    """w3 AND w7 over ~1M docs: top-200 in exact engine order (score desc,
+    split asc, docid asc == url asc within split by doc_key sort)."""
+    reader, con = big
+    got = _engine(reader, "w3 w7", 200)
+    exp = con.execute(f"""
+WITH s AS ({_term_scores_sql(["w3", "w7"])}),
+agg AS (
+  SELECT url, split_id, sum(score) AS score, count(*) AS nt
+  FROM s GROUP BY 1, 2
+)
+SELECT url, split_id, round(score + 1e-9, 4) AS score
+FROM agg WHERE nt = 2
+ORDER BY score DESC, split_id ASC, url ASC LIMIT 200
+""").fetchall()
+    assert _canon_topk([(u, round(s, 4)) for u, _sid, s in exp]) == _canon_topk(
+        [(u, s) for u, _sid, s in got]
+    )
+
+
+def test_wand_disjunction_equals_exhaustive(big):
+    """Force the block-max WAND plan on the two most common tokens at 64
+    splits and compare against the exhaustive oracle — block skipping must
+    be sound across thousands of block boundaries."""
+    reader, con = big
+    res = search(
+        reader,
+        SearchRequest(query="w0 OR w1", max_hits=100),
+        quantize_norms=False,
+        fetch_fields=("url",),
+        use_wand=True,
+    )
+    got = [
+        (r["url"], round(r["score"] + 1e-9, 4)) for r in res.collect()
+    ]
+    exp = con.execute(f"""
+WITH s AS ({_term_scores_sql(["w0", "w1"])})
+SELECT url, round(sum(score) + 1e-9, 4) AS score
+FROM s GROUP BY url, split_id
+ORDER BY score DESC, split_id ASC, url ASC LIMIT 100
+""").fetchall()
+    assert _canon_topk([(u, round(s, 4)) for u, s in exp]) == _canon_topk(got)
+
+
+def test_phrase_positions_block_boundaries(big):
+    """True-position phrase over the 1M index: position payloads decode
+    through the ragged multi-block path; compare pf-BM25 on every match."""
+    reader, con = big
+    # a real corpus bigram: tokens 3,4 of the first staged doc
+    row = con.execute(
+        "SELECT toks FROM d WHERE len(toks) >= 8 LIMIT 1"
+    ).fetchone()
+    t1, t2 = row[0][3], row[0][4]
+    # REST cap is 10k; count parity is checked uncapped below
+    got_ranked = _engine(reader, f'"{t1} {t2}"', 10_000)
+    n_eng = count_hits(
+        reader, SearchRequest(query=f'"{t1} {t2}"')
+    ).collect()[0]["num_hits"]
+    exp = con.execute(f"""
+WITH pfq AS (
+  SELECT url, split_id, dl,
+    len(list_filter(range(1, len(toks)),
+        i -> toks[i] = '{t1}'
+         AND len(list_filter(range(i + 1, i + 2), j -> toks[j] = '{t2}')) > 0
+    )) AS pf
+  FROM d
+),
+idf AS (
+  SELECT df.split_id,
+         sum(ln(1.0 + (ss.n_docs - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
+  FROM (
+    SELECT split_id, 'a' AS t, count(*) AS df FROM d
+    WHERE list_contains(toks, '{t1}') GROUP BY 1
+    UNION ALL
+    SELECT split_id, 'b' AS t, count(*) AS df FROM d
+    WHERE list_contains(toks, '{t2}') GROUP BY 1
+  ) df JOIN ss USING (split_id)
+  GROUP BY 1
+)
+SELECT url,
+  round(idf_sum * (pf * {K1 + 1.0})
+        / (pf + {K1} * ({1.0 - B} + {B} * dl / ss.avgdl)) + 1e-9, 4) AS score
+FROM pfq JOIN ss USING (split_id) JOIN idf USING (split_id)
+WHERE pf > 0
+""").fetchall()
+    assert n_eng == len(exp) > 0, (t1, t2)
+    exp_ranked = sorted(
+        ((u, round(s, 4)) for u, s in exp),
+        key=lambda x: (-x[1], x[0]),
+    )[: len(got_ranked)]
+    got_c = _canon_topk([(u, s) for u, _sid, s in got_ranked])
+    exp_c = _canon_topk(exp_ranked)
+    assert got_c[0] == exp_c[0]
+    # per-score membership: the oracle-side re-sort inside a tie group may
+    # permute (split, url) order, so compare groups as sets
+    assert got_c[1] == exp_c[1], (t1, t2)
+
+
+def test_count_and_export_parity(big):
+    reader, con = big
+    n = count_hits(reader, SearchRequest(query="w0 w1")).collect()[0][
+        "num_hits"
+    ]
+    exp = con.execute(
+        "SELECT count(*) FROM d WHERE list_contains(toks, 'w0')"
+        " AND list_contains(toks, 'w1')"
+    ).fetchone()[0]
+    assert n == exp > 0

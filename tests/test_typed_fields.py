@@ -269,3 +269,26 @@ def test_unix_timestamp_nanos_exact_integer_division(spark):
         F.unix_micros(unix_timestamp_expr(F.col("v"))).alias("us")
     )
     assert df.first()["us"] == ns // 1000
+
+
+def test_ip_canon_batch_matches_per_element():
+    """Vectorized ingest path (r3 ADVICE #6): the numpy dotted-quad lane
+    must agree with the stdlib parser on every notation class, including
+    the rejects (leading-zero octets, out-of-range, truncated)."""
+    import pandas as pd
+
+    from quickwit_spark.functions.ip import ip_canon_batch
+
+    cases = [
+        "10.0.1.16", "255.255.255.255", "0.0.0.0", "01.2.3.4", "1.2.3.256",
+        "::ffff:10.0.0.1", "2001:db8::1", " 10.0.0.77 ", "garbage", "",
+        None, "1.2.3", "10.0.0.1.2", "::", "0:0:0:0:0:0:0:1", "00.0.0.0",
+    ]
+    got = ip_canon_batch(pd.Series(cases, dtype=object)).tolist()
+    assert got == [ip_canon_py(c) for c in cases]
+    # and a dense sweep through the packed-lane arithmetic
+    sweep = pd.Series(
+        [f"{a}.{b}.{c}.{d}" for a in (0, 1, 127, 255) for b in (0, 255)
+         for c in (0, 9, 10, 99, 100, 250) for d in range(256)]
+    )
+    assert ip_canon_batch(sweep).tolist() == [ip_canon_py(x) for x in sweep]
