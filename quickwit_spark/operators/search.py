@@ -71,6 +71,12 @@ WAND_BROADCAST_MAX_CANDIDATES = 200_000
 # as an In(...) when at most this many (a 10k-element In is slow to
 # translate; beyond it a [min,max] range still prunes row groups)
 FETCH_ISIN_MAX = 4_096
+# warm(): target in-cache partition size. The scan layer over-partitions a
+# small index to fill defaultParallelism; query jobs then pay a fixed
+# executor↔python-worker hand-off per task, which dominates when partitions
+# hold <1 MB. ceil(bytes/target) with a floor of 4 restores byte-sized
+# partitions; at per-split file sizes beyond the target it is a no-op.
+QUERY_PARTITION_TARGET_BYTES = 32 << 20
 # In(...) filter size cap for the point-lookup fetch: beyond this many
 # winner docids the pushed filter degrades to a [min,max] range (still a
 # row-group pruner) instead of a 10k-element In translation.
@@ -378,6 +384,32 @@ class IndexReader:
             df.unpersist()
         self._scratch = []
 
+    def _query_coalesce(self, df: DataFrame, subdir: str) -> DataFrame:
+        """Right-size the warmed relation's partition count by BYTES.
+
+        Spark's file scan shrinks its split size to fill defaultParallelism,
+        so a small index (sf0.1: ~25 MB of postings) is sliced into ~32
+        micro-partitions — and every query-side python-kernel job then pays
+        ~15 ms of executor↔worker hand-off PER TASK for partitions holding a
+        few hundred KB (measured: a no-op mapInArrow over 30 such partitions
+        costs ~0.5 s wall; the same data in ≤8 partitions, ~0.15 s; this is
+        the dominant term in small-corpus query latency). Coalesce the cached
+        relation to ceil(bytes / 32 MB), floored at 4 for parallelism and
+        capped at the scan's own partition count — so at 10^12-doc scale,
+        where per-split files exceed the target, this is exactly a no-op and
+        the per-split placement is preserved."""
+        try:
+            jvm = self.spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(f"{self.index_dir}/{subdir}")
+            fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            nbytes = fs.getContentSummary(hpath).getLength()
+        except Exception:  # noqa: BLE001 — sizing is best-effort
+            return df
+        cur = df.rdd.getNumPartitions()
+        want = max(1, -(-int(nbytes) // QUERY_PARTITION_TARGET_BYTES))
+        want = min(cur, max(want, min(4, cur)))
+        return df.coalesce(want) if want < cur else df
+
     def warm(self, materialize: bool = True, mode: str = "full") -> None:
         """Pin hot state in executor memory — the analog of the reference
         searcher's fast-field/footer caches (1 GB + 500 MB,
@@ -390,10 +422,17 @@ class IndexReader:
         the 10^12-doc setting, where postings/docstore stay on storage behind
         the parquet reader and the OS page cache, but term-existence checks,
         doc-freq lookups for WAND bounds, and split pruning never re-scan.
-        The term dict is a ~1% slice of postings bytes (blocks dominate)."""
+        The term dict is a ~1% slice of postings bytes (blocks dominate).
+
+        Both modes right-size the cached partitioning by bytes (see
+        ``_query_coalesce``) — a no-op at cluster scale, a ~1.1-1.6x query
+        latency win on corpora small enough to be over-partitioned."""
         if mode == "metadata":
-            td = self.postings().select(
-                "split_id", "term", "doc_freq", "sum_tf"
+            td = self._query_coalesce(
+                self.postings().select(
+                    "split_id", "term", "doc_freq", "sum_tf"
+                ),
+                "postings",
             ).cache()
             self._warmed = [td]
             self._term_dict = td
@@ -401,8 +440,8 @@ class IndexReader:
             if materialize:
                 td.count()
             return
-        p = self.postings().cache()
-        d = self.docstore().cache()
+        p = self._query_coalesce(self.postings(), "postings").cache()
+        d = self._query_coalesce(self.docstore(), "docstore").cache()
         self._warmed = [p, d]
         self._postings = p
         self._docstore = d

@@ -107,3 +107,27 @@ def test_cjk_term(small_index, oracle):
         run_engine(small_index, "搜索", k=10),
         oracle.search(["搜索"], "and", 10),
     )
+
+
+def test_warm_coalesces_to_byte_sized_partitions(spark, small_index):
+    # warm() right-sizes the cached partitioning by bytes: a tiny index must
+    # not keep the scan layer's defaultParallelism-filling micro-partitions
+    # (each query-side python-kernel task pays a fixed worker hand-off, so
+    # over-partitioning dominates small-corpus latency), and the results
+    # must be identical to an unwarmed reader on the same index.
+    cold = IndexReader(spark, small_index.index_dir)
+    orig_parts = cold.postings().rdd.getNumPartitions()
+    warmed = IndexReader(spark, small_index.index_dir)
+    warmed.warm()
+    got = warmed.postings().rdd.getNumPartitions()
+    assert got == min(orig_parts, 4)  # bytes << 32 MB target -> floor of 4
+    for q in ("needleone", '"w0 w1"', "w11 OR w13"):
+        a = [tuple(r) for r in search(
+            cold, SearchRequest(query=q, max_hits=10), fetch_fields=("url",)
+        ).collect()]
+        b = [tuple(r) for r in search(
+            warmed, SearchRequest(query=q, max_hits=10), fetch_fields=("url",)
+        ).collect()]
+        assert a == b, q
+    for df in warmed._warmed:
+        df.unpersist()
