@@ -51,6 +51,7 @@ from quickwit_spark.operators.search import (
     count_hits,
     export_fast_field,
     search,
+    search_many,
 )
 from quickwit_spark.plans.query import parse_query
 
@@ -145,6 +146,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_phrase_topk"] = phrase_topk
     q["fts_pagination"] = lambda s, d: _fts_topk(s, d, "merge", 10, offset=10)
+
+    def search_many_gate(s: SparkSession, d: str) -> DataFrame:
+        # batched multi-query: 3 requests through ONE scoring job + ONE
+        # fetch job (search_many); per-request results must equal the
+        # corresponding single-request gates' oracles
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        reader = gate_index(s, d)
+        res = search_many(
+            reader,
+            {
+                "term": SearchRequest(query="dup", max_hits=15),
+                "and": SearchRequest(query="spark merge", max_hits=10),
+                "or": SearchRequest(query="vector OR window", max_hits=10),
+            },
+            quantize_norms=False,
+            fetch_fields=("url",),
+        )
+        return res.select(
+            "query_id",
+            F.col("url").cast("long").alias("doc_id"),
+            F.round(F.col("score") + F.lit(1e-9), 4).alias("score"),
+        )
+
+    q["fts_search_many"] = search_many_gate
 
     def match_all_count(s: SparkSession, d: str) -> DataFrame:
         return count_hits(gate_index(s, d), SearchRequest(query="*"))
@@ -753,6 +778,13 @@ UNION ALL
 SELECT 1::BIGINT AS slop, * FROM ({phrase_sql(["fast", "key"], 10, slop=1)})
 """
     o["fts_pagination"] = bm25_and_sql(["merge"], 10, offset=10)
+    o["fts_search_many"] = f"""
+SELECT 'term' AS query_id, * FROM ({bm25_and_sql(["dup"], 15)})
+UNION ALL
+SELECT 'and' AS query_id, * FROM ({bm25_and_sql(["spark", "merge"], 10)})
+UNION ALL
+SELECT 'or' AS query_id, * FROM ({bm25_or_sql(["vector", "window"], 10)})
+"""
     o["fts_match_all_count"] = "SELECT count(*) AS num_hits FROM documents"
     o["fts_stem_topk"] = bm25_and_sql(
         ["merg", "tabl"], 10, prelude=ORACLE_PRELUDE_STEM

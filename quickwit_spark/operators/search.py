@@ -2105,6 +2105,153 @@ def search(
     return top.orderBy(*order)
 
 
+def search_many(
+    reader: IndexReader,
+    requests: "dict[str, SearchRequest]",
+    quantize_norms: bool = True,
+    fetch_fields: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """Batch search: N requests → ONE scoring job + ONE fetch job.
+
+    A single search pays a fixed ~2-job floor (scoring top-k collect +
+    point-lookup fetch), and a search head serving concurrent clients pays
+    it per request while serializing on driver-side plan construction.
+    Batching amortizes both: each request's matching plan is unioned under a
+    ``query_id`` lane, per-query top-k is one window pass, and all winners
+    share one point-lookup fetch — 2 jobs TOTAL for the whole batch. This is
+    the Spark-idiomatic analog of the reference root's concurrent fan-out
+    (root.rs drives a search's leaf requests concurrently; across REQUESTS
+    the vectorized answer is one plan, not one plan per request).
+
+    Per-request semantics match ``search()`` exactly — same AST, pruning,
+    per-query sort field/order, offset, and (score, split_id, docid)
+    tie-break — with two restrictions: snippets are unsupported (use
+    ``search()``), and plans are always exhaustive. Block-max WAND is a
+    per-query adaptive plan with driver-side seeding, so a request large
+    enough to want it (≥20M pruned docs) belongs in ``search()``; likewise
+    the window's per-query rank sorts ALL of that query's matches, where
+    ``search()`` uses a TakeOrderedAndProject heap — batch interactive
+    top-k lookups, not corpus-sized scans.
+
+    Returns (query_id, split_id, docid, score, *fetch_fields), ordered by
+    (query_id, rank). Requests whose time/tag pruning leaves no splits
+    contribute zero rows."""
+    if not requests:
+        raise ValueError("search_many needs at least one request")
+    parts = []
+    for qid, req in requests.items():
+        ast = parse_query(req.query)
+        needs_scores = req.sort_by_field in (None, "_score")
+        searcher = Searcher(
+            reader, quantize_norms=quantize_norms, scoring=needs_scores
+        )
+        ast = _with_search_fields(searcher, ast, req)
+        if req.sort_by_field == searcher.default_field:
+            raise ValueError("sort by a text field is not supported")
+        splits = reader.manifest.list_published(
+            req.start_timestamp,
+            req.end_timestamp,
+            tags=searcher.extract_tags(ast),
+        )
+        split_ids = [m.split_id for m in splits]
+        if not split_ids:
+            continue
+        m = searcher.matching(
+            ast, split_ids, req.start_timestamp, req.end_timestamp
+        )
+        if req.sort_by_field and req.sort_by_field != "_score":
+            ff = searcher.fast_fields.get(
+                req.sort_by_field, req.sort_by_field
+            )
+            docs = reader.docstore().select(
+                "split_id", "docid", F.col(ff).alias("_sort")
+            )
+            m = m.join(docs, ["split_id", "docid"]).withColumn(
+                "score", F.col("_sort").cast("double")
+            ).drop("_sort")
+        # one ascending window order serves both sort orders: rank by the
+        # sign-flipped score for desc, the raw score for asc
+        sign = -1.0 if req.sort_order == "desc" else 1.0
+        parts.append(
+            m.select(
+                F.lit(qid).alias("query_id"),
+                "split_id",
+                "docid",
+                "score",
+                (F.col("score") * F.lit(sign)).alias("_ord"),
+                F.lit(req.max_hits + req.start_offset).alias("_k"),
+                F.lit(req.start_offset).alias("_off"),
+            )
+        )
+    win_schema = T.StructType(
+        [
+            T.StructField("query_id", T.StringType()),
+            T.StructField("split_id", T.StringType()),
+            T.StructField("docid", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("_rn", T.IntegerType()),
+        ]
+    )
+    if parts:
+        allm = parts[0]
+        for p in parts[1:]:
+            allm = allm.unionByName(p)
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("_ord"), F.asc("split_id"), F.asc("docid")
+        )
+        rows = (
+            allm.withColumn("_rn", F.row_number().over(w))
+            .filter(
+                (F.col("_rn") <= F.col("_k")) & (F.col("_rn") > F.col("_off"))
+            )
+            .select(
+                "query_id",
+                "split_id",
+                "docid",
+                "score",
+                (F.col("_rn") - F.col("_off")).cast("int").alias("_rn"),
+            )
+            .collect()  # the batch's ONE scoring job; ≤ Σ max_hits rows
+        )
+    else:
+        rows = []
+    if not fetch_fields:
+        out = reader.spark.createDataFrame(rows, win_schema)
+        return out.orderBy("query_id", "_rn").drop("_rn")
+    try:
+        store = reader.docstore().select(
+            "split_id", "docid", *fetch_fields
+        )
+    except Exception:  # noqa: BLE001 — zero published splits, no docstore
+        store = None
+    if not rows or store is None:
+        base = list(win_schema.fields)
+        if store is not None:
+            base += [store.schema[f_] for f_ in fetch_fields]
+        else:
+            base += [
+                T.StructField(f_, T.StringType()) for f_ in fetch_fields
+            ]
+        return (
+            reader.spark.createDataFrame([], T.StructType(base))
+            .drop("_rn")
+        )
+    # one point-lookup fetch for every request's winners (search()'s fetch
+    # shape: static split prune + docid pushdown, winners broadcast)
+    w_splits = sorted({r["split_id"] for r in rows})
+    docids = sorted({int(r["docid"]) for r in rows})
+    store = store.filter(F.col("split_id").isin(w_splits))
+    if len(docids) <= FETCH_ISIN_MAX:
+        store = store.filter(F.col("docid").isin(docids))
+    else:
+        store = store.filter(
+            (F.col("docid") >= docids[0]) & (F.col("docid") <= docids[-1])
+        )
+    winners = reader.spark.createDataFrame(rows, win_schema)
+    out = F.broadcast(winners).join(store, ["split_id", "docid"], "inner")
+    return out.orderBy("query_id", "_rn").drop("_rn")
+
+
 def export_fast_field(
     reader: IndexReader,
     request: SearchRequest,

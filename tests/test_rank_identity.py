@@ -131,3 +131,67 @@ def test_warm_coalesces_to_byte_sized_partitions(spark, small_index):
         assert a == b, q
     for df in warmed._warmed:
         df.unpersist()
+
+
+def test_search_many_matches_search(spark, small_index):
+    # one batched plan must return exactly search()'s hits per request —
+    # same ranking, ties, offsets, sort orders, and time pruning
+    from quickwit_spark.operators.search import search_many
+
+    reqs = {
+        "rare": SearchRequest(query="needleone", max_hits=10),
+        "phrase": SearchRequest(query='"w0 w1"', max_hits=10),
+        "or": SearchRequest(query="w11 OR w13", max_hits=10),
+        "not": SearchRequest(query="w2 -w5", max_hits=10),
+        "paged": SearchRequest(query="w4", max_hits=10, start_offset=5),
+        "sorted": SearchRequest(
+            query="w1", max_hits=10, sort_by_field="warc_ts", sort_order="asc"
+        ),
+        "pruned": SearchRequest(
+            query="w0",
+            max_hits=10,
+            start_timestamp="1999-01-01T00:00:00",
+            end_timestamp="1999-01-02T00:00:00",
+        ),
+    }
+    batched = search_many(small_index, reqs, fetch_fields=("url",))
+    got = {}
+    for row in batched.collect():
+        got.setdefault(row["query_id"], []).append(
+            (row["split_id"], row["docid"], row["score"], row["url"])
+        )
+    for qid, req in reqs.items():
+        want = [
+            (r["split_id"], r["docid"], r["score"], r["url"])
+            for r in search(
+                small_index, req, fetch_fields=("url",)
+            ).collect()
+        ]
+        assert got.get(qid, []) == want, qid
+
+
+def test_search_many_empty_and_validation(spark, small_index):
+    from quickwit_spark.operators.search import search_many
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        search_many(small_index, {})
+    with _pytest.raises(ValueError):
+        search_many(
+            small_index,
+            {"bad": SearchRequest(query="w1", max_hits=5, sort_by_field="text")},
+        )
+    out = search_many(
+        small_index,
+        {
+            "none": SearchRequest(
+                query="w0",
+                max_hits=5,
+                start_timestamp="1999-01-01T00:00:00",
+                end_timestamp="1999-01-02T00:00:00",
+            )
+        },
+        fetch_fields=("url",),
+    )
+    assert out.columns == ["query_id", "split_id", "docid", "score", "url"]
+    assert out.count() == 0

@@ -122,6 +122,25 @@ def main() -> None:
         }
         print(json.dumps({f"clients_{n}": results[f"clients_{n}"]}))
 
+    # batched mode: the whole query set as ONE search_many call (one scoring
+    # job + one fetch job for all N requests) — the throughput ceiling when
+    # the caller can batch instead of running closed-loop clients
+    from quickwit_spark.operators.search import search_many
+
+    reqs = {name: SearchRequest(**kw) for name, kw in QUERY_SET}
+    search_many(reader, reqs, fetch_fields=("url",)).collect()  # warm shape
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        search_many(reader, reqs, fetch_fields=("url",)).collect()
+        best = min(best, time.time() - t0)
+    results["batched"] = {
+        "queries": len(reqs),
+        "wall_sec": round(best, 2),
+        "qps": round(len(reqs) / best, 2),
+    }
+    print(json.dumps({"batched": results["batched"]}))
+
     print(
         json.dumps(
             {
