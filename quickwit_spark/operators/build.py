@@ -72,6 +72,7 @@ from quickwit_spark.functions.tokenize import (
 )
 from quickwit_spark.index.codec import _pack_blocks_flat
 from quickwit_spark.index.manifest import Manifest, SplitMetadata
+from quickwit_spark.session import local_rows_df
 
 BLOCK_STRUCT = T.StructType(
     [
@@ -1433,8 +1434,8 @@ def build_index(
         # same values the docid window produced, without its extra
         # JVM row_number pass.
         remap = perfect_partition_keys(todo)
-        map_df = docs.sparkSession.createDataFrame(
-            list(remap.items()), "partition_id int, _rk int"
+        map_df = local_rows_df(
+            docs.sparkSession, list(remap.items()), "partition_id int, _rk int"
         )
         routed = (
             docs.select(*proj)

@@ -39,6 +39,7 @@ from quickwit_spark.operators.build import (
     _make_arrow_stream_kernel,
 )
 from quickwit_spark.operators.search import IndexReader, Searcher
+from quickwit_spark.session import local_rows_df
 from quickwit_spark.plans.query import parse_query
 
 
@@ -139,7 +140,8 @@ def delete_by_query(
 
     # (old split_id, new split_id, dense task key) mapping — broadcastable
     map_df = F.broadcast(
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(sid, nid, i) for i, (sid, nid) in enumerate(sorted(rewrite.items()))],
             "split_id string, new_split_id string, tmp_pid int",
         )

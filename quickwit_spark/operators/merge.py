@@ -41,6 +41,7 @@ from quickwit_spark.index.codec import (
     decode_struct_blocks,
 )
 from quickwit_spark.index.manifest import Manifest, SplitMetadata
+from quickwit_spark.session import local_rows_df
 from quickwit_spark.index.merge_policy import (
     MergeOperation,
     StableLogMergePolicy,
@@ -265,7 +266,8 @@ def execute_merge(
     src_ids = list(offsets)  # sorted
 
     off_df = F.broadcast(
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(sid, off) for sid, off in offsets.items()],
             "split_id string, _off long",
         )

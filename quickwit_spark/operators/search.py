@@ -41,6 +41,7 @@ from quickwit_spark.functions.tokenize import analyzer_py, tokenize_py, SPLIT_PA
 from quickwit_spark.index.codec import decode_struct_blocks as _decode_struct_blocks
 from quickwit_spark.operators.build import FIELD_SEP
 from quickwit_spark.index.manifest import Manifest
+from quickwit_spark.session import local_rows_df
 from quickwit_spark.plans.query import (
     Bool,
     Boost,
@@ -499,8 +500,8 @@ class IndexReader:
                 (sid, s["num_docs"], float(s["avgdl"]))
                 for sid, s in self.stats_map().items()
             ]
-            self._split_stats = self.spark.createDataFrame(
-                rows, "split_id string, n_docs long, avgdl double"
+            self._split_stats = local_rows_df(
+                self.spark, rows, "split_id string, n_docs long, avgdl double"
             )
         return self._split_stats
 
@@ -1561,8 +1562,8 @@ class Searcher:
             (sid, amap[(sid, fld)]) for sid in split_ids if (sid, fld) in amap
         ]
         avg_df = F.broadcast(
-            self.reader.spark.createDataFrame(
-                avg_rows, "split_id string, avgdl double"
+            local_rows_df(
+                self.reader.spark, avg_rows, "split_id string, avgdl double"
             )
         )
         pf = F.col("pf").cast("double")
@@ -1680,8 +1681,8 @@ class Searcher:
             (sid, amap[(sid, fld)]) for sid in eff_sids if (sid, fld) in amap
         ]
         avg_df = F.broadcast(
-            self.reader.spark.createDataFrame(
-                avg_rows, "split_id string, avgdl double"
+            local_rows_df(
+                self.reader.spark, avg_rows, "split_id string, avgdl double"
             )
         )
         pf = F.col("pf").cast("double")
@@ -2086,7 +2087,7 @@ def search(
                         (F.col("docid") >= docids[0])
                         & (F.col("docid") <= docids[-1])
                     )
-                winners = reader.spark.createDataFrame(rows, top.schema)
+                winners = local_rows_df(reader.spark, rows, top.schema)
                 top = F.broadcast(winners).join(
                     store, ["split_id", "docid"], "inner"
                 )
@@ -2216,7 +2217,7 @@ def search_many(
     else:
         rows = []
     if not fetch_fields:
-        out = reader.spark.createDataFrame(rows, win_schema)
+        out = local_rows_df(reader.spark, rows, win_schema)
         return out.orderBy("query_id", "_rn").drop("_rn")
     try:
         store = reader.docstore().select(
@@ -2247,7 +2248,7 @@ def search_many(
         store = store.filter(
             (F.col("docid") >= docids[0]) & (F.col("docid") <= docids[-1])
         )
-    winners = reader.spark.createDataFrame(rows, win_schema)
+    winners = local_rows_df(reader.spark, rows, win_schema)
     out = F.broadcast(winners).join(store, ["split_id", "docid"], "inner")
     return out.orderBy("query_id", "_rn").drop("_rn")
 
