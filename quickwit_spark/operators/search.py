@@ -518,6 +518,208 @@ BLOCK_ROW_SCHEMA = T.StructType(
     ]
 )
 
+LEAF_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("split_id", T.StringType()),
+        T.StructField("docid", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def _make_leaf_topk_kernel(
+    spec: dict,
+    n_docs_by_split: dict[str, int],
+    index_dir: str,
+    quantize: bool,
+    avgdl_map: dict,
+    k: int,
+):
+    """mapInArrow kernel: a whole flat boolean query evaluated SPLIT-LOCALLY,
+    emitting only each split's top-k — the reference leaf's architecture
+    (leaf.rs: every leaf evaluates the full query against its own splits and
+    returns k PartialHits; the root merges).
+
+    Input: postings rows (split_id, term, doc_freq, blocks) repartitioned by
+    split_id so one task holds every query term of its splits (a handful of
+    still-compressed rows per split — the same bytes a phrase query
+    shuffles). Per split: decode each term, attach |d| from the executor
+    fieldnorm cache, score BM25 with the exact `_score_decoded` arithmetic,
+    combine clauses in numpy (must = sorted-array intersection with score
+    sums, should = score-additive union, must_not = set difference), rank by
+    (score desc, docid asc), emit k rows. Compared to the general
+    `_eval_bool` plan this removes the per-matching-doc groupBy exchange:
+    rows leaving python drop from |matches| to |splits|·k, which is the
+    shape that survives a 10^12-doc corpus for sub-WAND-threshold queries.
+
+    ``spec``: {"must": [(token, boost)], "should": [(token, boost)],
+    "must_not": [token]} — compiled by ``Searcher.leaf_plan`` (single-token
+    text terms only; anything else stays on the general plan).
+    """
+    import math
+
+    must: list[tuple[str, float]] = spec["must"]
+    should: list[tuple[str, float]] = spec["should"]
+    must_not: list[str] = spec["must_not"]
+
+    def kernel(batches):
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        except Exception:  # noqa: BLE001
+            pass
+        # one postings row per (split, term): rows never straddle batches,
+        # so decode per batch and bucket the slices by split
+        rows: dict[str, dict[str, tuple]] = {}
+        for rb in batches:
+            dec = _decode_blocks_batch(rb, need_tf=True)
+            if dec is None:
+                continue
+            docids, tfs, _post_row, row_off = dec
+            names = rb.schema.names
+            sids = rb.column(names.index("split_id")).to_pylist()
+            terms = rb.column(names.index("term")).to_pylist()
+            dfs = rb.column(names.index("doc_freq")).to_numpy(
+                zero_copy_only=False
+            )
+            for i in range(rb.num_rows):
+                a, b = int(row_off[i]), int(row_off[i + 1])
+                if a == b:
+                    continue
+                rows.setdefault(sids[i], {})[terms[i]] = (
+                    docids[a:b],
+                    tfs[a:b],
+                    int(dfs[i]),
+                )
+        out_sid: list = []
+        out_doc: list = []
+        out_score: list = []
+        for sid in sorted(rows):
+            per_term = rows[sid]
+            try:
+                n_docs = n_docs_by_split[sid]
+            except KeyError:
+                raise KeyError(
+                    f"no num_docs for split={sid!r}: manifest stats out of "
+                    "sync with postings"
+                ) from None
+
+            def scored(tok: str, _sid=sid, _pt=per_term, _n=n_docs):
+                hit = _pt.get(tok)
+                if hit is None:
+                    return None
+                d, t, df = hit
+                fld = _term_field(tok)
+                dl = _norms_for(index_dir, _sid, quantize, d, fld)
+                try:
+                    avg = avgdl_map[(_sid, fld)]
+                except KeyError:
+                    raise KeyError(
+                        f"no avgdl for split={_sid!r} field={fld!r}: "
+                        "manifest field_total_tokens out of sync with "
+                        "postings"
+                    ) from None
+                # bit-for-bit the `_score_decoded` expression: idf scalar,
+                # then tf*(k1+1) / (tf + k1*((1-b) + (b*dl)/avg))
+                idf = math.log(1.0 + ((_n - df) + 0.5) / (df + 0.5))
+                tfd = t.astype(np.float64)
+                tf_norm = (
+                    tfd
+                    * (BM25_K1 + 1.0)
+                    / (tfd + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / avg))
+                )
+                return d, idf * tf_norm
+
+            base_d = None
+            base_s = None
+            dead = False
+            for tok, boost in must:
+                hit = scored(tok)
+                if hit is None:
+                    dead = True
+                    break
+                d, s = hit
+                if boost != 1.0:
+                    s = s * boost
+                if base_d is None:
+                    base_d, base_s = d, s
+                else:
+                    # postings docids are unique + ascending per term
+                    base_d, ia, ib = np.intersect1d(
+                        base_d, d, assume_unique=True, return_indices=True
+                    )
+                    base_s = base_s[ia] + s[ib]
+                if len(base_d) == 0:
+                    dead = True
+                    break
+            if dead:
+                continue
+            if should:
+                sh_d = []
+                sh_s = []
+                for tok, boost in should:
+                    hit = scored(tok)
+                    if hit is None:
+                        continue
+                    d, s = hit
+                    if boost != 1.0:
+                        s = s * boost
+                    sh_d.append(d)
+                    sh_s.append(s)
+                if sh_d:
+                    cd = np.concatenate(sh_d)
+                    cs = np.concatenate(sh_s)
+                    ud, inv = np.unique(cd, return_inverse=True)
+                    us = np.zeros(len(ud), dtype=np.float64)
+                    np.add.at(us, inv, cs)
+                else:
+                    ud = np.empty(0, dtype=np.int64)
+                    us = np.empty(0, dtype=np.float64)
+                if base_d is None:
+                    base_d, base_s = ud, us
+                elif len(ud):
+                    # should alongside must: optional, score-additive
+                    pos = np.searchsorted(ud, base_d)
+                    pos_c = np.minimum(pos, len(ud) - 1)
+                    hit_mask = ud[pos_c] == base_d
+                    add = np.zeros(len(base_d), dtype=np.float64)
+                    add[hit_mask] = us[pos_c[hit_mask]]
+                    base_s = base_s + add
+            if base_d is None or len(base_d) == 0:
+                continue
+            for tok in must_not:
+                hit = per_term.get(tok)
+                if hit is None:
+                    continue
+                keep = ~np.isin(base_d, hit[0], assume_unique=True)
+                base_d = base_d[keep]
+                base_s = base_s[keep]
+                if len(base_d) == 0:
+                    break
+            if len(base_d) == 0:
+                continue
+            if len(base_d) > k:
+                # (score desc, docid asc) — the per-split half of the
+                # global (score desc, split_id, docid) tie-break
+                idx = np.lexsort((base_d, -base_s))[:k]
+                base_d = base_d[idx]
+                base_s = base_s[idx]
+            out_sid.extend([sid] * len(base_d))
+            out_doc.append(base_d.astype(np.int64, copy=False))
+            out_score.append(base_s)
+        if out_sid:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_sid, type=pa.string()),
+                    pa.array(np.concatenate(out_doc), type=pa.int64()),
+                    pa.array(np.concatenate(out_score), type=pa.float64()),
+                ],
+                names=["split_id", "docid", "score"],
+            )
+
+    return kernel
+
+
 PHRASE_PF_SCHEMA = T.StructType(
     [
         T.StructField("split_id", T.StringType()),
@@ -1117,6 +1319,88 @@ class Searcher:
             # path; keep both paths identical by bailing out
             return sorted(out) if len(set(out)) == len(out) else None
         return None
+
+    # ---- leaf-local top-k (flat boolean trees) ---------------------------
+    def leaf_plan(self, node: Node) -> dict | None:
+        """Compile a FLAT boolean tree of single-token text terms (plus
+        per-term boosts) into the leaf-local top-k spec, or None when the
+        query needs the general plan (phrases, ranges, term-sets, nesting,
+        multi-token terms, match-all, pure-negative, duplicate tokens)."""
+
+        def term_of(n: Node) -> tuple[str, float] | None:
+            factor = 1.0
+            while isinstance(n, Boost):
+                factor *= n.factor
+                n = n.child
+            tok = self._simple_token(n)
+            return (tok, factor) if tok is not None else None
+
+        if isinstance(node, (Term, Boost)):
+            t = term_of(node)
+            if t is None:
+                return None
+            return {"must": [t], "should": [], "must_not": []}
+        if not isinstance(node, Bool):
+            return None
+        must: list[tuple[str, float]] = []
+        should: list[tuple[str, float]] = []
+        must_not: list[str] = []
+        for c in node.must:
+            t = term_of(c)
+            if t is None:
+                return None
+            must.append(t)
+        for c in node.should:
+            t = term_of(c)
+            if t is None:
+                return None
+            should.append(t)
+        for c in node.must_not:
+            t = term_of(c)
+            if t is None:
+                return None
+            must_not.append(t[0])
+        if not must and not should:
+            return None  # pure-negative: needs the all-docs base
+        toks = [t for t, _ in must] + [t for t, _ in should] + must_not
+        if len(set(toks)) != len(toks):
+            return None  # duplicate tokens: keep both paths identical
+        return {"must": must, "should": should, "must_not": must_not}
+
+    def scored_topk_leaf(
+        self, spec: dict, split_ids: list[str], k: int
+    ) -> DataFrame:
+        """Leaf-local evaluation of a ``leaf_plan`` spec: shuffle ONLY the
+        query terms' still-compressed postings rows to one task per split,
+        evaluate the whole boolean + BM25 inside the kernel, emit per-split
+        top-k. No per-matching-doc exchange — the rows that cross
+        python→JVM are |splits|·k, not |matches| (see the kernel
+        docstring)."""
+        uniq = sorted(
+            {t for t, _ in spec["must"]}
+            | {t for t, _ in spec["should"]}
+            | set(spec["must_not"])
+        )
+        sset = set(split_ids)
+        n_docs_by_split = {
+            sid: s["num_docs"]
+            for sid, s in self.reader.stats_map().items()
+            if sid in sset
+        }
+        post = self.reader.postings().filter(
+            F.col("term").isin(uniq) & F.col("split_id").isin(split_ids)
+        ).select("split_id", "term", "doc_freq", "blocks")
+        return post.repartition("split_id").mapInArrow(
+            _make_leaf_topk_kernel(
+                spec,
+                n_docs_by_split,
+                self.reader.index_dir,
+                self.quantize_norms,
+                self._avgdl_map(split_ids),
+                k,
+            ),
+            LEAF_TOPK_SCHEMA,
+        )
 
     def scored_topk_wand(
         self, tokens: list[str], split_ids: list[str], k: int
@@ -1900,6 +2184,7 @@ def search(
     snippet_fields: tuple[str, ...] = (),
     exclude_split_ids: tuple[str, ...] = (),
     fetch_mode: str | None = None,
+    leaf_topk: bool | None = None,
 ) -> DataFrame:
     """Full search: prune -> match/score -> global top-k -> fetch.
 
@@ -1999,8 +2284,28 @@ def search(
         and request.end_timestamp is None
         else None
     )
+    # leaf-local top-k: flat boolean trees of single-token terms evaluate
+    # whole-query inside one kernel task per split (the reference leaf's
+    # shape) when the result is score-ranked desc with no per-doc time
+    # filter — the same soundness conditions as WAND, minus the size gate
+    # (it replaces the general plan's per-matching-doc groupBy exchange at
+    # ANY corpus size; WAND still wins above its threshold by not decoding
+    # whole posting lists).
+    leaf_spec = (
+        searcher.leaf_plan(ast)
+        if leaf_topk is not False
+        and not wand_tokens
+        and single_latest_gen
+        and request.sort_by_field in (None, "_score")
+        and request.sort_order == "desc"
+        and request.start_timestamp is None
+        and request.end_timestamp is None
+        else None
+    )
     if wand_tokens:
         m = searcher.scored_topk_wand(wand_tokens, split_ids, k_total)
+    elif leaf_spec:
+        m = searcher.scored_topk_leaf(leaf_spec, split_ids, k_total)
     else:
         m = searcher.matching(
             ast, split_ids, request.start_timestamp, request.end_timestamp
