@@ -527,6 +527,29 @@ LEAF_TOPK_SCHEMA = T.StructType(
 )
 
 
+class _LeafBail(Exception):
+    """Query shape the leaf-local kernel can't evaluate: general plan."""
+
+
+def _leaf_spec_tokens(spec: dict) -> list[str]:
+    """Every postings token a compiled leaf spec tree needs."""
+    op = spec["op"]
+    if op == "term":
+        return [spec["tok"]]
+    if op == "termset":
+        return list(spec["toks"])
+    if op == "boost":
+        return _leaf_spec_tokens(spec["child"])
+    if op == "bool":
+        return [
+            t
+            for key in ("must", "should", "must_not")
+            for c in spec[key]
+            for t in _leaf_spec_tokens(c)
+        ]
+    return []
+
+
 def _make_leaf_topk_kernel(
     spec: dict,
     n_docs_by_split: dict[str, int],
@@ -535,7 +558,7 @@ def _make_leaf_topk_kernel(
     avgdl_map: dict,
     k: int,
 ):
-    """mapInArrow kernel: a whole flat boolean query evaluated SPLIT-LOCALLY,
+    """mapInArrow kernel: a whole boolean query tree evaluated SPLIT-LOCALLY,
     emitting only each split's top-k — the reference leaf's architecture
     (leaf.rs: every leaf evaluates the full query against its own splits and
     returns k PartialHits; the root merges).
@@ -545,22 +568,20 @@ def _make_leaf_topk_kernel(
     still-compressed rows per split — the same bytes a phrase query
     shuffles). Per split: decode each term, attach |d| from the executor
     fieldnorm cache, score BM25 with the exact `_score_decoded` arithmetic,
-    combine clauses in numpy (must = sorted-array intersection with score
-    sums, should = score-additive union, must_not = set difference), rank by
-    (score desc, docid asc), emit k rows. Compared to the general
-    `_eval_bool` plan this removes the per-matching-doc groupBy exchange:
-    rows leaving python drop from |matches| to |splits|·k, which is the
-    shape that survives a 10^12-doc corpus for sub-WAND-threshold queries.
+    then evaluate the compiled tree recursively in numpy — every node yields
+    (sorted-unique docids, scores): must = sorted-array intersection with
+    score sums, should/term-set = score-summing union, must_not = set
+    difference, boost = scalar multiply — rank by (score desc, docid asc),
+    emit k rows. Compared to the general `_eval_bool` plan this removes the
+    per-matching-doc groupBy exchange: rows leaving python drop from
+    |matches| to |splits|·k, which is the shape that survives a 10^12-doc
+    corpus for sub-WAND-threshold queries.
 
-    ``spec``: {"must": [(token, boost)], "should": [(token, boost)],
-    "must_not": [token]} — compiled by ``Searcher.leaf_plan`` (single-token
-    text terms only; anything else stays on the general plan).
+    ``spec``: a tree of ``{"op": "term"|"termset"|"boost"|"bool"|"empty"}``
+    nodes compiled by ``Searcher.leaf_plan`` (text terms only; phrases,
+    ranges, match-all and pure-negative subtrees stay on the general plan).
     """
     import math
-
-    must: list[tuple[str, float]] = spec["must"]
-    should: list[tuple[str, float]] = spec["should"]
-    must_not: list[str] = spec["must_not"]
 
     def kernel(batches):
         try:
@@ -604,9 +625,16 @@ def _make_leaf_topk_kernel(
                     "sync with postings"
                 ) from None
 
-            def scored(tok: str, _sid=sid, _pt=per_term, _n=n_docs):
+            tok_cache: dict[str, tuple | None] = {}
+
+            def scored(
+                tok: str, _sid=sid, _pt=per_term, _n=n_docs, _c=tok_cache
+            ):
+                if tok in _c:
+                    return _c[tok]
                 hit = _pt.get(tok)
                 if hit is None:
+                    _c[tok] = None
                     return None
                 d, t, df = hit
                 fld = _term_field(tok)
@@ -628,74 +656,86 @@ def _make_leaf_topk_kernel(
                     * (BM25_K1 + 1.0)
                     / (tfd + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / avg))
                 )
-                return d, idf * tf_norm
+                out = (d, idf * tf_norm)
+                _c[tok] = out
+                return out
 
-            base_d = None
-            base_s = None
-            dead = False
-            for tok, boost in must:
-                hit = scored(tok)
-                if hit is None:
-                    dead = True
-                    break
-                d, s = hit
-                if boost != 1.0:
-                    s = s * boost
-                if base_d is None:
-                    base_d, base_s = d, s
-                else:
-                    # postings docids are unique + ascending per term
-                    base_d, ia, ib = np.intersect1d(
-                        base_d, d, assume_unique=True, return_indices=True
+            empty = (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.float64),
+            )
+
+            def union_sum(parts, _empty=empty):
+                """Score-summing union of (docids, scores) pairs — the
+                groupBy(split,docid).sum(score) of the general plan."""
+                parts = [p for p in parts if len(p[0])]
+                if not parts:
+                    return _empty
+                if len(parts) == 1:
+                    return parts[0]
+                cd = np.concatenate([p[0] for p in parts])
+                cs = np.concatenate([p[1] for p in parts])
+                ud, inv = np.unique(cd, return_inverse=True)
+                us = np.zeros(len(ud), dtype=np.float64)
+                np.add.at(us, inv, cs)
+                return ud, us
+
+            def ev(n, _scored=scored, _empty=empty):
+                """Recursive tree eval -> (sorted-unique docids, scores);
+                mirrors `_eval`/`_eval_bool`/`_eval_termset` exactly."""
+                op = n["op"]
+                if op == "empty":
+                    return _empty
+                if op == "term":
+                    hit = _scored(n["tok"])
+                    return _empty if hit is None else hit
+                if op == "termset":
+                    return union_sum(
+                        [h for t in n["toks"] if (h := _scored(t)) is not None]
                     )
-                    base_s = base_s[ia] + s[ib]
-                if len(base_d) == 0:
-                    dead = True
-                    break
-            if dead:
-                continue
-            if should:
-                sh_d = []
-                sh_s = []
-                for tok, boost in should:
-                    hit = scored(tok)
-                    if hit is None:
+                if op == "boost":
+                    d, s = ev(n["child"])
+                    return d, s * n["factor"]
+                # bool node
+                base_d = base_s = None
+                for c in n["must"]:
+                    d, s = ev(c)
+                    if base_d is None:
+                        base_d, base_s = d, s
+                    else:
+                        # every node emits unique + ascending docids
+                        base_d, ia, ib = np.intersect1d(
+                            base_d, d, assume_unique=True, return_indices=True
+                        )
+                        base_s = base_s[ia] + s[ib]
+                    if len(base_d) == 0:
+                        return _empty
+                if n["should"]:
+                    ud, us = union_sum([ev(c) for c in n["should"]])
+                    if base_d is None:
+                        base_d, base_s = ud, us
+                    elif len(ud):
+                        # should alongside must: optional, score-additive
+                        pos = np.searchsorted(ud, base_d)
+                        pos_c = np.minimum(pos, len(ud) - 1)
+                        hit_mask = ud[pos_c] == base_d
+                        add = np.zeros(len(base_d), dtype=np.float64)
+                        add[hit_mask] = us[pos_c[hit_mask]]
+                        base_s = base_s + add
+                if base_d is None or len(base_d) == 0:
+                    return _empty  # pure-negative is rejected at compile
+                for c in n["must_not"]:
+                    nd, _ns = ev(c)
+                    if len(nd) == 0:
                         continue
-                    d, s = hit
-                    if boost != 1.0:
-                        s = s * boost
-                    sh_d.append(d)
-                    sh_s.append(s)
-                if sh_d:
-                    cd = np.concatenate(sh_d)
-                    cs = np.concatenate(sh_s)
-                    ud, inv = np.unique(cd, return_inverse=True)
-                    us = np.zeros(len(ud), dtype=np.float64)
-                    np.add.at(us, inv, cs)
-                else:
-                    ud = np.empty(0, dtype=np.int64)
-                    us = np.empty(0, dtype=np.float64)
-                if base_d is None:
-                    base_d, base_s = ud, us
-                elif len(ud):
-                    # should alongside must: optional, score-additive
-                    pos = np.searchsorted(ud, base_d)
-                    pos_c = np.minimum(pos, len(ud) - 1)
-                    hit_mask = ud[pos_c] == base_d
-                    add = np.zeros(len(base_d), dtype=np.float64)
-                    add[hit_mask] = us[pos_c[hit_mask]]
-                    base_s = base_s + add
-            if base_d is None or len(base_d) == 0:
-                continue
-            for tok in must_not:
-                hit = per_term.get(tok)
-                if hit is None:
-                    continue
-                keep = ~np.isin(base_d, hit[0], assume_unique=True)
-                base_d = base_d[keep]
-                base_s = base_s[keep]
-                if len(base_d) == 0:
-                    break
+                    keep = ~np.isin(base_d, nd, assume_unique=True)
+                    base_d = base_d[keep]
+                    base_s = base_s[keep]
+                    if len(base_d) == 0:
+                        return _empty
+                return base_d, base_s
+
+            base_d, base_s = ev(spec)
             if len(base_d) == 0:
                 continue
             if len(base_d) > k:
@@ -1320,52 +1360,63 @@ class Searcher:
             return sorted(out) if len(set(out)) == len(out) else None
         return None
 
-    # ---- leaf-local top-k (flat boolean trees) ---------------------------
+    # ---- leaf-local top-k (boolean trees of text terms) ------------------
     def leaf_plan(self, node: Node) -> dict | None:
-        """Compile a FLAT boolean tree of single-token text terms (plus
-        per-term boosts) into the leaf-local top-k spec, or None when the
-        query needs the general plan (phrases, ranges, term-sets, nesting,
-        multi-token terms, match-all, pure-negative, duplicate tokens)."""
+        """Compile a boolean tree of text terms / term-sets (with boosts,
+        arbitrary nesting, multi-token terms) into the leaf-local top-k spec
+        tree, or None when the query needs the general plan (phrases,
+        ranges, match-all, non-text fields, pure-negative subtrees)."""
 
-        def term_of(n: Node) -> tuple[str, float] | None:
-            factor = 1.0
-            while isinstance(n, Boost):
-                factor *= n.factor
-                n = n.child
-            tok = self._simple_token(n)
-            return (tok, factor) if tok is not None else None
+        def comp(n: Node) -> dict:
+            if isinstance(n, Boost):
+                return {
+                    "op": "boost",
+                    "factor": float(n.factor),
+                    "child": comp(n.child),
+                }
+            if isinstance(n, Term):
+                pre = self._ns_prefix(n.field)
+                if pre is None:
+                    raise _LeafBail
+                toks = (
+                    [n.value] if n.pre_analyzed else self._tok(n.value)
+                )
+                if not toks:
+                    return {"op": "empty"}
+                if len(toks) == 1:
+                    return {"op": "term", "tok": pre + toks[0]}
+                # multi-token value => implicit AND (same as _eval_term)
+                return {
+                    "op": "bool",
+                    "must": [{"op": "term", "tok": pre + t} for t in toks],
+                    "should": [],
+                    "must_not": [],
+                }
+            if isinstance(n, TermSet):
+                pre = self._ns_prefix(n.field)
+                if pre is None:
+                    raise _LeafBail
+                return {
+                    "op": "termset",
+                    "toks": sorted(
+                        {pre + t for v in n.values for t in self._tok(v)}
+                    ),
+                }
+            if isinstance(n, Bool):
+                if not n.must and not n.should:
+                    raise _LeafBail  # pure-negative: needs the all-docs base
+                return {
+                    "op": "bool",
+                    "must": [comp(c) for c in n.must],
+                    "should": [comp(c) for c in n.should],
+                    "must_not": [comp(c) for c in n.must_not],
+                }
+            raise _LeafBail  # Phrase / Range / MatchAll: general plan
 
-        if isinstance(node, (Term, Boost)):
-            t = term_of(node)
-            if t is None:
-                return None
-            return {"must": [t], "should": [], "must_not": []}
-        if not isinstance(node, Bool):
+        try:
+            return comp(node)
+        except _LeafBail:
             return None
-        must: list[tuple[str, float]] = []
-        should: list[tuple[str, float]] = []
-        must_not: list[str] = []
-        for c in node.must:
-            t = term_of(c)
-            if t is None:
-                return None
-            must.append(t)
-        for c in node.should:
-            t = term_of(c)
-            if t is None:
-                return None
-            should.append(t)
-        for c in node.must_not:
-            t = term_of(c)
-            if t is None:
-                return None
-            must_not.append(t[0])
-        if not must and not should:
-            return None  # pure-negative: needs the all-docs base
-        toks = [t for t, _ in must] + [t for t, _ in should] + must_not
-        if len(set(toks)) != len(toks):
-            return None  # duplicate tokens: keep both paths identical
-        return {"must": must, "should": should, "must_not": must_not}
 
     def scored_topk_leaf(
         self, spec: dict, split_ids: list[str], k: int
@@ -1376,11 +1427,7 @@ class Searcher:
         top-k. No per-matching-doc exchange — the rows that cross
         python→JVM are |splits|·k, not |matches| (see the kernel
         docstring)."""
-        uniq = sorted(
-            {t for t, _ in spec["must"]}
-            | {t for t, _ in spec["should"]}
-            | set(spec["must_not"])
-        )
+        uniq = sorted(set(_leaf_spec_tokens(spec)))
         sset = set(split_ids)
         n_docs_by_split = {
             sid: s["num_docs"]

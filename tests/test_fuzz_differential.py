@@ -149,12 +149,13 @@ def canon(hits: list[tuple[str, int, float]]):
     return [sorted(g) for g in groups]
 
 
-def run_differential(reader, oracle, q):
+def run_differential(reader, oracle, q, leaf_topk=None):
     res = search(
         reader,
         SearchRequest(query=q, max_hits=FETCH_ALL, search_fields=("text",)),
         quantize_norms=True,
         fetch_fields=(),
+        leaf_topk=leaf_topk,
     )
     engine = [(r["split_id"], r["docid"], r["score"]) for r in res.collect()]
     expected = oracle.search_query(q, k=FETCH_ALL, default_fields=("text",))
@@ -171,6 +172,16 @@ def run_differential(reader, oracle, q):
 @pytest.mark.parametrize("seed", range(40))
 def test_random_query_rank_matches_oracle(small_index, oracle, seed):
     run_differential(small_index, oracle, gen_query(seed, Vocab(oracle)))
+
+
+@pytest.mark.parametrize("seed", range(700, 712))
+def test_random_query_general_plan_matches_oracle(small_index, oracle, seed):
+    """Same differential with leaf_topk=False: boolean trees of text terms
+    default to the leaf-local kernel, so this keeps the general
+    `_eval_bool` relational plan under fuzz for those shapes too."""
+    run_differential(
+        small_index, oracle, gen_query(seed, Vocab(oracle)), leaf_topk=False
+    )
 
 
 @pytest.fixture(scope="module")
