@@ -536,7 +536,7 @@ def _leaf_spec_tokens(spec: dict) -> list[str]:
     op = spec["op"]
     if op == "term":
         return [spec["tok"]]
-    if op == "termset":
+    if op in ("termset", "phrase"):
         return list(spec["toks"])
     if op == "boost":
         return _leaf_spec_tokens(spec["child"])
@@ -548,6 +548,23 @@ def _leaf_spec_tokens(spec: dict) -> list[str]:
             for t in _leaf_spec_tokens(c)
         ]
     return []
+
+
+def _leaf_spec_phrase_tokens(spec: dict) -> set[str]:
+    """Tokens needing POSITION payloads (phrase nodes only)."""
+    op = spec["op"]
+    if op == "phrase":
+        return set(spec["toks"])
+    if op == "boost":
+        return _leaf_spec_phrase_tokens(spec["child"])
+    if op == "bool":
+        return {
+            t
+            for key in ("must", "should", "must_not")
+            for c in spec[key]
+            for t in _leaf_spec_phrase_tokens(c)
+        }
+    return set()
 
 
 def _make_leaf_topk_kernel(
@@ -577,11 +594,17 @@ def _make_leaf_topk_kernel(
     |matches| to |splits|·k, which is the shape that survives a 10^12-doc
     corpus for sub-WAND-threshold queries.
 
-    ``spec``: a tree of ``{"op": "term"|"termset"|"boost"|"bool"|"empty"}``
-    nodes compiled by ``Searcher.leaf_plan`` (text terms only; phrases,
-    ranges, match-all and pure-negative subtrees stay on the general plan).
+    ``spec``: a tree of ``{"op": "term"|"termset"|"phrase"|"boost"|"bool"|
+    "empty"}`` nodes compiled by ``Searcher.leaf_plan`` (text terms only;
+    ranges, match-all and pure-negative subtrees stay on the general plan;
+    phrase nodes require every pruned split to store positions). Phrase
+    nodes run the same vectorized global-coordinate matcher as the
+    standalone phrase kernel and score with tf = phrase frequency, idf
+    summed over the token sequence (tantivy Bm25Weight::for_terms).
     """
     import math
+
+    phrase_toks = _leaf_spec_phrase_tokens(spec)
 
     def kernel(batches):
         try:
@@ -592,6 +615,7 @@ def _make_leaf_topk_kernel(
         # one postings row per (split, term): rows never straddle batches,
         # so decode per batch and bucket the slices by split
         rows: dict[str, dict[str, tuple]] = {}
+        pcoords: dict[str, dict[str, np.ndarray]] = {}
         for rb in batches:
             dec = _decode_blocks_batch(rb, need_tf=True)
             if dec is None:
@@ -612,6 +636,16 @@ def _make_leaf_topk_kernel(
                     tfs[a:b],
                     int(dfs[i]),
                 )
+            if phrase_toks:
+                mask = [t in phrase_toks for t in terms]
+                if any(mask):
+                    # position payloads only for the phrase's tokens (the
+                    # scan carries pos_blocks only when the spec has one)
+                    _accumulate_phrase_coords(
+                        rb.filter(pa.array(mask, type=pa.bool_())),
+                        pcoords,
+                        {},  # doc freqs already in `rows`
+                    )
         out_sid: list = []
         out_doc: list = []
         out_score: list = []
@@ -680,9 +714,17 @@ def _make_leaf_topk_kernel(
                 np.add.at(us, inv, cs)
                 return ud, us
 
-            def ev(n, _scored=scored, _empty=empty):
+            def ev(
+                n,
+                _scored=scored,
+                _empty=empty,
+                _sid=sid,
+                _pt=per_term,
+                _n=n_docs,
+            ):
                 """Recursive tree eval -> (sorted-unique docids, scores);
-                mirrors `_eval`/`_eval_bool`/`_eval_termset` exactly."""
+                mirrors `_eval`/`_eval_bool`/`_eval_termset`/
+                `_eval_phrase_positions` exactly."""
                 op = n["op"]
                 if op == "empty":
                     return _empty
@@ -693,6 +735,45 @@ def _make_leaf_topk_kernel(
                     return union_sum(
                         [h for t in n["toks"] if (h := _scored(t)) is not None]
                     )
+                if op == "phrase":
+                    by_term = pcoords.get(_sid, {})
+                    if any(u not in by_term for u in n["uniq"]):
+                        return _empty
+                    udoc, pf = _phrase_freqs(by_term, n["toks"], n["slop"])
+                    if len(udoc) == 0:
+                        return _empty
+                    # idf summed over the token SEQUENCE (duplicates counted
+                    # per occurrence); doc freqs from the blocks decode
+                    idf_sum = float(
+                        sum(
+                            np.log(
+                                1.0
+                                + (_n - _pt[t][2] + 0.5) / (_pt[t][2] + 0.5)
+                            )
+                            for t in n["toks"]
+                        )
+                    )
+                    fld = n["field"]
+                    dl = _norms_for(index_dir, _sid, quantize, udoc, fld)
+                    try:
+                        avg = avgdl_map[(_sid, fld)]
+                    except KeyError:
+                        raise KeyError(
+                            f"no avgdl for split={_sid!r} field={fld!r}: "
+                            "manifest field_total_tokens out of sync with "
+                            "postings"
+                        ) from None
+                    tfd = pf.astype(np.float64)
+                    tf_norm = (
+                        tfd
+                        * (BM25_K1 + 1.0)
+                        / (
+                            tfd
+                            + BM25_K1
+                            * ((1.0 - BM25_B) + BM25_B * dl / avg)
+                        )
+                    )
+                    return udoc, idf_sum * tf_norm
                 if op == "boost":
                     d, s = ev(n["child"])
                     return d, s * n["factor"]
@@ -776,6 +857,110 @@ PHRASE_PF_SCHEMA = T.StructType(
 _PHRASE_SHIFT = np.int64(1) << np.int64(32)
 
 
+def _accumulate_phrase_coords(
+    rb, acc: dict[str, dict], dfs: dict[str, dict]
+) -> None:
+    """Decode one postings batch (blocks + pos_blocks) into per-(split,
+    term) sorted global coordinates ``docid * 2^32 + pos`` in ``acc`` and
+    doc frequencies in ``dfs`` — the shared batch stage of the phrase
+    kernel and the leaf-local kernel's phrase nodes."""
+    from quickwit_spark.index.codec import binary_np, decode_blocks_ragged
+
+    if rb.num_rows == 0:
+        return
+    names = rb.schema.names
+    bls = rb.column(names.index("blocks"))
+    pls = rb.column(names.index("pos_blocks"))
+    valid = np.asarray(pls.is_valid(), dtype=bool)
+    # positions-less rows (mixed-merge split): the driver normally
+    # routes such queries to the fallback; never crash the executor
+    # on a null payload — skip them here
+    loffs = bls.offsets.to_numpy().astype(np.int64)
+    row_off = loffs - loffs[0]
+    bl = bls.flatten()
+    if len(bl) == 0:
+        return
+    docids, tfs, cnt = _decode_struct_blocks(bl, need_tf=True)
+    nblocks_per_row = np.diff(row_off)
+    blk_row = np.repeat(
+        np.arange(rb.num_rows, dtype=np.int64), nblocks_per_row
+    )
+    per_row_posts = np.zeros(rb.num_rows + 1, dtype=np.int64)
+    np.add.at(per_row_posts, blk_row + 1, cnt)
+    post_off = np.cumsum(per_row_posts)
+    # positions: one ragged batched decode of every valid row's
+    # payload, then absolute positions by segmented cumsum with a
+    # reset at each posting start (the stored +1-shift delta form)
+    ploffs = pls.offsets.to_numpy().astype(np.int64)
+    prow_off = ploffs - ploffs[0]
+    pbl = pls.flatten()
+    if len(pbl) == 0:
+        return
+    pws = pbl.field("pos_bits").to_numpy().astype(np.int64)
+    nps = pbl.field("n_pos").to_numpy().astype(np.int64)
+    pdata, poffs = binary_np(pbl.field("positions"))
+    gvals = decode_blocks_ragged(pws, nps, pdata, poffs)
+    # occurrences per row (valid rows only appear in the flatten)
+    npb_per_row = np.diff(prow_off) * valid
+    pblk_row = np.repeat(
+        np.arange(rb.num_rows, dtype=np.int64), npb_per_row
+    )
+    per_row_occ = np.zeros(rb.num_rows + 1, dtype=np.int64)
+    np.add.at(per_row_occ, pblk_row + 1, nps)
+    occ_off = np.cumsum(per_row_occ)
+    # absolute positions: cumsum with reset at posting starts. The
+    # flattened occurrence stream covers VALID rows only, so the
+    # posting tfs must be filtered the same way before cumsum.
+    vrows = np.flatnonzero(valid)
+    tf_valid = np.concatenate(
+        [tfs[post_off[r] : post_off[r + 1]] for r in vrows]
+    ) if len(vrows) else np.zeros(0, np.int64)
+    a2 = gvals.copy()
+    pstarts = np.concatenate([[0], np.cumsum(tf_valid)])[:-1]
+    pstarts = pstarts[tf_valid > 0]
+    a2[pstarts] -= 1  # undo the +1 posting-start shift
+    cacc = np.cumsum(a2)
+    base = cacc[pstarts] - a2[pstarts]
+    flat_abs = cacc - np.repeat(base, tf_valid[tf_valid > 0])
+    sids = rb.column(names.index("split_id")).to_pylist()
+    terms = rb.column(names.index("term")).to_pylist()
+    dfreqs = rb.column(names.index("doc_freq")).to_pylist()
+    for r in vrows:
+        a, b = int(post_off[r]), int(post_off[r + 1])
+        oa, ob = int(occ_off[r]), int(occ_off[r + 1])
+        d = docids[a:b]
+        t = tfs[a:b]
+        g = np.repeat(d, t) * _PHRASE_SHIFT + flat_abs[oa:ob]
+        acc.setdefault(sids[r], {})[terms[r]] = g
+        dfs.setdefault(sids[r], {})[terms[r]] = int(dfreqs[r])
+
+
+def _phrase_freqs(
+    by_term: dict[str, np.ndarray], ordered: list[str], slop: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy ordered-within-slop matcher over one split's per-term global
+    coordinates -> (matching docids asc-unique, phrase frequencies). The
+    whole split is ONE vectorized pass: every candidate start advances
+    simultaneously via searchsorted; cross-doc jumps can never pass the
+    stretch check because doc boundaries are 2^32 apart."""
+    n_terms = len(ordered)
+    starts = by_term[ordered[0]]
+    prev = starts
+    valid = np.ones(len(starts), dtype=bool)
+    for tok in ordered[1:]:
+        g = by_term[tok]
+        js = np.searchsorted(g, prev + 1)
+        inb = js < len(g)
+        nxt = np.where(inb, g[np.minimum(js, len(g) - 1)], np.int64(2**62))
+        valid &= inb
+        prev = nxt
+    match = valid & (prev - starts - (n_terms - 1) <= slop)
+    if not match.any():
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    mdoc = (starts[match] // _PHRASE_SHIFT).astype(np.int64)
+    return np.unique(mdoc, return_counts=True)
+
+
 def _make_phrase_kernel(
     ordered: list[str],
     uniq: list[str],
@@ -805,79 +990,10 @@ def _make_phrase_kernel(
             pa.set_io_thread_count(1)
         except Exception:  # noqa: BLE001
             pass
-        from quickwit_spark.index.codec import binary_np, decode_blocks_ragged
-
         acc: dict[str, dict[str, tuple]] = {}
         dfs: dict[str, dict[str, int]] = {}
         for rb in batches:
-            if rb.num_rows == 0:
-                continue
-            names = rb.schema.names
-            bls = rb.column(names.index("blocks"))
-            pls = rb.column(names.index("pos_blocks"))
-            valid = np.asarray(pls.is_valid(), dtype=bool)
-            # positions-less rows (mixed-merge split): the driver normally
-            # routes such queries to the fallback; never crash the executor
-            # on a null payload — skip them here
-            loffs = bls.offsets.to_numpy().astype(np.int64)
-            row_off = loffs - loffs[0]
-            bl = bls.flatten()
-            if len(bl) == 0:
-                continue
-            docids, tfs, cnt = _decode_struct_blocks(bl, need_tf=True)
-            nblocks_per_row = np.diff(row_off)
-            blk_row = np.repeat(
-                np.arange(rb.num_rows, dtype=np.int64), nblocks_per_row
-            )
-            per_row_posts = np.zeros(rb.num_rows + 1, dtype=np.int64)
-            np.add.at(per_row_posts, blk_row + 1, cnt)
-            post_off = np.cumsum(per_row_posts)
-            # positions: one ragged batched decode of every valid row's
-            # payload, then absolute positions by segmented cumsum with a
-            # reset at each posting start (the stored +1-shift delta form)
-            ploffs = pls.offsets.to_numpy().astype(np.int64)
-            prow_off = ploffs - ploffs[0]
-            pbl = pls.flatten()
-            if len(pbl) == 0:
-                continue
-            pws = pbl.field("pos_bits").to_numpy().astype(np.int64)
-            nps = pbl.field("n_pos").to_numpy().astype(np.int64)
-            pdata, poffs = binary_np(pbl.field("positions"))
-            gvals = decode_blocks_ragged(pws, nps, pdata, poffs)
-            # occurrences per row (valid rows only appear in the flatten)
-            npb_per_row = np.diff(prow_off) * valid
-            pblk_row = np.repeat(
-                np.arange(rb.num_rows, dtype=np.int64), npb_per_row
-            )
-            per_row_occ = np.zeros(rb.num_rows + 1, dtype=np.int64)
-            np.add.at(per_row_occ, pblk_row + 1, nps)
-            occ_off = np.cumsum(per_row_occ)
-            # absolute positions: cumsum with reset at posting starts. The
-            # flattened occurrence stream covers VALID rows only, so the
-            # posting tfs must be filtered the same way before cumsum.
-            vrows = np.flatnonzero(valid)
-            tf_valid = np.concatenate(
-                [tfs[post_off[r] : post_off[r + 1]] for r in vrows]
-            ) if len(vrows) else np.zeros(0, np.int64)
-            tot_occ = int(tf_valid.sum())
-            a2 = gvals.copy()
-            pstarts = np.concatenate([[0], np.cumsum(tf_valid)])[:-1]
-            pstarts = pstarts[tf_valid > 0]
-            a2[pstarts] -= 1  # undo the +1 posting-start shift
-            cacc = np.cumsum(a2)
-            base = cacc[pstarts] - a2[pstarts]
-            flat_abs = cacc - np.repeat(base, tf_valid[tf_valid > 0])
-            sids = rb.column(names.index("split_id")).to_pylist()
-            terms = rb.column(names.index("term")).to_pylist()
-            dfreqs = rb.column(names.index("doc_freq")).to_pylist()
-            for r in vrows:
-                a, b = int(post_off[r]), int(post_off[r + 1])
-                oa, ob = int(occ_off[r]), int(occ_off[r + 1])
-                d = docids[a:b]
-                t = tfs[a:b]
-                g = np.repeat(d, t) * _PHRASE_SHIFT + flat_abs[oa:ob]
-                acc.setdefault(sids[r], {})[terms[r]] = g
-                dfs.setdefault(sids[r], {})[terms[r]] = int(dfreqs[r])
+            _accumulate_phrase_coords(rb, acc, dfs)
         out = []
         for sid, by_term in acc.items():
             if any(u not in by_term for u in uniq):
@@ -891,21 +1007,9 @@ def _make_phrase_kernel(
                     for t in ordered
                 )
             )
-            starts = by_term[ordered[0]]
-            prev = starts
-            valid = np.ones(len(starts), dtype=bool)
-            for tok in ordered[1:]:
-                g = by_term[tok]
-                js = np.searchsorted(g, prev + 1)
-                inb = js < len(g)
-                nxt = np.where(inb, g[np.minimum(js, len(g) - 1)], np.int64(2**62))
-                valid &= inb
-                prev = nxt
-            match = valid & (prev - starts - (n_terms - 1) <= slop)
-            if not match.any():
+            udoc, pf = _phrase_freqs(by_term, ordered, slop)
+            if len(udoc) == 0:
                 continue
-            mdoc = (starts[match] // _PHRASE_SHIFT).astype(np.int64)
-            udoc, pf = np.unique(mdoc, return_counts=True)
             out.append(
                 pa.RecordBatch.from_arrays(
                     [
@@ -1361,13 +1465,33 @@ class Searcher:
         return None
 
     # ---- leaf-local top-k (boolean trees of text terms) ------------------
-    def leaf_plan(self, node: Node) -> dict | None:
-        """Compile a boolean tree of text terms / term-sets (with boosts,
-        arbitrary nesting, multi-token terms) into the leaf-local top-k spec
-        tree, or None when the query needs the general plan (phrases,
-        ranges, match-all, non-text fields, pure-negative subtrees)."""
+    def leaf_plan(self, node: Node, allow_phrase: bool = False) -> dict | None:
+        """Compile a boolean tree of text terms / term-sets / phrases (with
+        boosts, arbitrary nesting, multi-token terms) into the leaf-local
+        top-k spec tree, or None when the query needs the general plan
+        (ranges, match-all, non-text fields, pure-negative subtrees, and
+        phrases unless ``allow_phrase`` — i.e. unless every pruned split
+        stores positions)."""
 
         def comp(n: Node) -> dict:
+            if isinstance(n, Phrase):
+                if not allow_phrase:
+                    raise _LeafBail
+                pre = self._ns_prefix(n.field)
+                if pre is None:
+                    raise _LeafBail  # lenient zero-match / field error
+                toks = self._tok(n.text)
+                if not toks:
+                    return {"op": "empty"}
+                if len(toks) == 1:  # single-token phrase == term (_eval_phrase)
+                    return {"op": "term", "tok": pre + toks[0]}
+                return {
+                    "op": "phrase",
+                    "toks": [pre + t for t in toks],
+                    "uniq": sorted({pre + t for t in toks}),
+                    "slop": int(n.slop),
+                    "field": pre[:-1] if pre else "",
+                }
             if isinstance(n, Boost):
                 return {
                     "op": "boost",
@@ -1434,9 +1558,14 @@ class Searcher:
             for sid, s in self.reader.stats_map().items()
             if sid in sset
         }
+        cols = ["split_id", "term", "doc_freq", "blocks"]
+        if _leaf_spec_phrase_tokens(spec):
+            # position payloads ride along ONLY when the tree has a phrase
+            # (pos_blocks stays pruned from pure term/bool scans)
+            cols.append("pos_blocks")
         post = self.reader.postings().filter(
             F.col("term").isin(uniq) & F.col("split_id").isin(split_ids)
-        ).select("split_id", "term", "doc_freq", "blocks")
+        ).select(*cols)
         return post.repartition("split_id").mapInArrow(
             _make_leaf_topk_kernel(
                 spec,
@@ -2338,17 +2467,24 @@ def search(
     # (it replaces the general plan's per-matching-doc groupBy exchange at
     # ANY corpus size; WAND still wins above its threshold by not decoding
     # whole posting lists).
-    leaf_spec = (
-        searcher.leaf_plan(ast)
-        if leaf_topk is not False
+    leaf_spec = None
+    if (
+        leaf_topk is not False
         and not wand_tokens
         and single_latest_gen
         and request.sort_by_field in (None, "_score")
         and request.sort_order == "desc"
         and request.start_timestamp is None
         and request.end_timestamp is None
-        else None
-    )
+    ):
+        # phrase nodes are leaf-evaluable only when EVERY pruned split
+        # stores positions (mixed-record indexes route per split in the
+        # general plan's _eval_phrase instead)
+        allow_phrase = searcher.record == "position" and all(
+            smap.get(sid, {}).get("record", "freq") == "position"
+            for sid in split_ids
+        )
+        leaf_spec = searcher.leaf_plan(ast, allow_phrase=allow_phrase)
     if wand_tokens:
         m = searcher.scored_topk_wand(wand_tokens, split_ids, k_total)
     elif leaf_spec:

@@ -26,8 +26,13 @@ def test_term_query_plan_shape(small_index):
     assert "PushedFilters" in p and "term" in p.split("PushedFilters", 1)[1][:400]
     # positions never read on the term path
     assert "pos_blocks" not in p
-    # per-split stats joined via broadcast
-    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p
+    # leaf-local top-k: ONE exchange (split co-location), the per-split
+    # Arrow kernel, and the partial-top-k root merge — no broadcast stats
+    # join and no per-matching-doc groupBy exchange (stats ride in the
+    # kernel closure; see _make_leaf_topk_kernel)
+    assert "MapInArrow" in p
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange") <= 2  # split repartition (+AQE read), no 2nd shuffle
 
 
 def test_fetch_plan_is_point_lookup(small_index):
