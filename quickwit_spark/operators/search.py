@@ -306,6 +306,108 @@ def _norms_for(
     return dls[np.searchsorted(idx, docids)]
 
 
+# executor-side fast-field cache: same shape as the fieldnorm cache above
+# (tantivy's fast-field files live in the same 1 GB searcher cache). One
+# entry per (index_dir, split_id, column) — the docid->value array of a
+# sortable/filterable docstore column, read once with column pruning.
+_FAST_CACHE: dict = {}
+_FAST_CACHE_MAX_BYTES = 512 * 1024 * 1024
+_FAST_CACHE_BYTES = 0
+
+
+def _load_fast(index_dir: str, split_id: str, col: str):
+    """-> (sorted docid array | None, values, valid mask, is_ts).
+
+    ``values`` is int64 epoch-MICROS for timestamp columns (exact window
+    comparisons) and float64 with Spark ``cast(double)`` semantics for
+    numeric/bool columns; ``valid`` marks non-null rows. ``None`` docids
+    mean docid-dense (docid == row index), as in the fieldnorm cache."""
+    key = (index_dir, split_id, col)
+    hit = _FAST_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{index_dir}/docstore/split_id={split_id}", columns=["docid", col]
+    )
+    docids = tbl.column("docid").to_numpy().astype(np.int64)
+    arr = tbl.column(col).combine_chunks()
+    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
+    is_ts = pa.types.is_timestamp(arr.type)
+    if is_ts:
+        a = arr.cast(pa.timestamp("us"))
+        a = pc.fill_null(a, pa.scalar(0, pa.timestamp("us")))
+        vals = a.cast(pa.int64()).to_numpy().astype(np.int64)
+    else:
+        # Spark's cast(col AS double): bool -> 0/1, integral -> nearest
+        # double — pyarrow's float64 cast rounds identically
+        a = pc.fill_null(arr.cast(pa.float64()), 0.0)
+        vals = a.to_numpy().astype(np.float64)
+    order = np.argsort(docids, kind="stable")
+    docids = docids[order]
+    vals = vals[order]
+    valid = valid[order]
+    dense = len(docids) > 0 and docids[0] == 0 and docids[-1] == len(docids) - 1
+    entry = (None if dense else docids, vals, valid, is_ts)
+    global _FAST_CACHE_BYTES
+    nbytes = vals.nbytes + valid.nbytes + (docids.nbytes if not dense else 0)
+    while _FAST_CACHE and _FAST_CACHE_BYTES + nbytes > _FAST_CACHE_MAX_BYTES:
+        oldest = next(iter(_FAST_CACHE))
+        oi, ov, ovd, _ = _FAST_CACHE.pop(oldest)
+        _FAST_CACHE_BYTES -= ov.nbytes + ovd.nbytes + (
+            oi.nbytes if oi is not None else 0
+        )
+    _FAST_CACHE[key] = entry
+    _FAST_CACHE_BYTES += nbytes
+    return entry
+
+
+def _fast_for(index_dir: str, split_id: str, col: str, docids: np.ndarray):
+    """Fast-field values + validity for the given docids of one split."""
+    idx, vals, valid, is_ts = _load_fast(index_dir, split_id, col)
+    if idx is None:
+        return vals[docids], valid[docids], is_ts
+    p = np.searchsorted(idx, docids)
+    return vals[p], valid[p], is_ts
+
+
+# docstore dtypes the leaf kernel can sort by under Spark's cast-to-double
+# semantics (text sorts are rejected upstream; anything else routes to the
+# general plan's docstore join)
+_LEAF_SORTABLE_DTYPES = frozenset(
+    {"timestamp", "bigint", "int", "smallint", "tinyint", "double", "float",
+     "boolean"}
+)
+
+# Spark's string->timestamp cast is the engine's window-bound semantics
+# (session-timezone parse, many accepted layouts); replicating it in Python
+# risks divergence, so each distinct (string, timezone) is evaluated BY
+# Spark once — a one-row local job — and memoized for every later request.
+_TS_PARSE_CACHE: dict = {}
+
+
+def _ts_micros(spark, s: str | None, *, is_start: bool) -> int | None:
+    """Epoch-micros of ``cast(s AS timestamp)`` as the general plan's
+    filter would see it. An unparseable string casts to NULL, whose
+    comparison matches nothing — encoded as an impossible bound."""
+    if s is None:
+        return None
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    key = (s, tz)
+    if key not in _TS_PARSE_CACHE:
+        _TS_PARSE_CACHE[key] = (
+            spark.range(1)
+            .select(F.unix_micros(F.lit(s).cast("timestamp")).alias("v"))
+            .first()["v"]
+        )
+    v = _TS_PARSE_CACHE[key]
+    if v is None:
+        return (1 << 62) if is_start else -(1 << 62)
+    return int(v)
+
+
 def _term_field(term: str) -> str:
     """'' for the default field; the field name for namespaced terms."""
     i = term.find(FIELD_SEP)
@@ -574,6 +676,9 @@ def _make_leaf_topk_kernel(
     quantize: bool,
     avgdl_map: dict,
     k: int,
+    ts_bounds: tuple | None = None,
+    sort_spec: tuple | None = None,
+    order: str = "desc",
 ):
     """mapInArrow kernel: a whole boolean query tree evaluated SPLIT-LOCALLY,
     emitting only each split's top-k — the reference leaf's architecture
@@ -601,10 +706,22 @@ def _make_leaf_topk_kernel(
     nodes run the same vectorized global-coordinate matcher as the
     standalone phrase kernel and score with tf = phrase frequency, idf
     summed over the token sequence (tantivy Bm25Weight::for_terms).
+
+    ``ts_bounds``: optional (start_us|None, end_us|None) semi-open epoch-
+    micros window applied per matching doc via the split's ts fast field
+    (filters.rs:26-107 semantics) — null ts never matches. ``sort_spec``:
+    optional (docstore_column, "asc"|"desc") — the emitted ``score`` is
+    then the field value under Spark's cast-to-double semantics (null
+    preserved; BM25 scoring and its fieldnorm reads are skipped entirely,
+    matching tantivy's scoring opt-out on sorted requests). ``order`` is
+    the score direction when ``sort_spec`` is None ("asc" permits
+    worst-score-first top-k; per-split trim stays rank-identical because
+    the global order concatenates independent per-split scores).
     """
     import math
 
     phrase_toks = _leaf_spec_phrase_tokens(spec)
+    need_scores = sort_spec is None
 
     def kernel(batches):
         try:
@@ -649,6 +766,7 @@ def _make_leaf_topk_kernel(
         out_sid: list = []
         out_doc: list = []
         out_score: list = []
+        out_null: list = []
         for sid in sorted(rows):
             per_term = rows[sid]
             try:
@@ -671,6 +789,12 @@ def _make_leaf_topk_kernel(
                     _c[tok] = None
                     return None
                 d, t, df = hit
+                if not need_scores:
+                    # field-sorted request: scores are discarded, so skip
+                    # the fieldnorm read and BM25 arithmetic entirely
+                    out = (d, np.zeros(len(d), dtype=np.float64))
+                    _c[tok] = out
+                    return out
                 fld = _term_field(tok)
                 dl = _norms_for(index_dir, _sid, quantize, d, fld)
                 try:
@@ -742,6 +866,8 @@ def _make_leaf_topk_kernel(
                     udoc, pf = _phrase_freqs(by_term, n["toks"], n["slop"])
                     if len(udoc) == 0:
                         return _empty
+                    if not need_scores:
+                        return udoc, np.zeros(len(udoc), dtype=np.float64)
                     # idf summed over the token SEQUENCE (duplicates counted
                     # per occurrence); doc freqs from the blocks decode
                     idf_sum = float(
@@ -819,21 +945,71 @@ def _make_leaf_topk_kernel(
             base_d, base_s = ev(spec)
             if len(base_d) == 0:
                 continue
+            if ts_bounds is not None:
+                # semi-open [start, end) per-doc window over the ts fast
+                # field (null ts matches nothing) — same split-local read
+                # the fieldnorm path uses, no docstore join
+                tvals, tvalid, _ = _fast_for(index_dir, sid, "ts", base_d)
+                tm = tvalid
+                lo, hi = ts_bounds
+                if lo is not None:
+                    tm = tm & (tvals >= lo)
+                if hi is not None:
+                    tm = tm & (tvals < hi)
+                base_d = base_d[tm]
+                base_s = base_s[tm]
+                if len(base_d) == 0:
+                    continue
+            null_mask = None
+            if sort_spec is not None:
+                scol, sorder = sort_spec
+                svals, svalid, is_ts = _fast_for(index_dir, sid, scol, base_d)
+                base_s = svals.astype(np.float64, copy=True)
+                if is_ts:
+                    # Spark cast(timestamp AS double) = fractional epoch
+                    # seconds (micros / 1e6 in double arithmetic)
+                    base_s = base_s / 1e6
+                if not svalid.all():
+                    null_mask = ~svalid
+                asc = sorder == "asc"
+            else:
+                asc = order == "asc"
             if len(base_d) > k:
-                # (score desc, docid asc) — the per-split half of the
-                # global (score desc, split_id, docid) tie-break
-                idx = np.lexsort((base_d, -base_s))[:k]
+                # per-split half of the global (key, split_id, docid)
+                # tie-break. Null/NaN placement replicates Spark's orderBy:
+                # asc = nulls FIRST, NaN LAST; desc = NaN FIRST, nulls LAST
+                # (NaN compares greater than every value, null less).
+                prim = base_s.copy() if asc else -base_s
+                nanm = np.isnan(base_s)
+                if null_mask is not None:
+                    prim[null_mask] = -np.inf if asc else np.inf
+                    nanm &= ~null_mask
+                if nanm.any():
+                    prim[nanm] = np.inf if asc else -np.inf
+                idx = np.lexsort((base_d, prim))[:k]
                 base_d = base_d[idx]
                 base_s = base_s[idx]
+                if null_mask is not None:
+                    null_mask = null_mask[idx]
             out_sid.extend([sid] * len(base_d))
             out_doc.append(base_d.astype(np.int64, copy=False))
             out_score.append(base_s)
+            out_null.append(
+                null_mask
+                if null_mask is not None
+                else np.zeros(len(base_d), dtype=bool)
+            )
         if out_sid:
+            nulls = np.concatenate(out_null)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_sid, type=pa.string()),
                     pa.array(np.concatenate(out_doc), type=pa.int64()),
-                    pa.array(np.concatenate(out_score), type=pa.float64()),
+                    pa.array(
+                        np.concatenate(out_score),
+                        type=pa.float64(),
+                        mask=nulls if nulls.any() else None,
+                    ),
                 ],
                 names=["split_id", "docid", "score"],
             )
@@ -1543,7 +1719,13 @@ class Searcher:
             return None
 
     def scored_topk_leaf(
-        self, spec: dict, split_ids: list[str], k: int
+        self,
+        spec: dict,
+        split_ids: list[str],
+        k: int,
+        ts_bounds: tuple | None = None,
+        sort_spec: tuple | None = None,
+        order: str = "desc",
     ) -> DataFrame:
         """Leaf-local evaluation of a ``leaf_plan`` spec: shuffle ONLY the
         query terms' still-compressed postings rows to one task per split,
@@ -1574,6 +1756,9 @@ class Searcher:
                 self.quantize_norms,
                 self._avgdl_map(split_ids),
                 k,
+                ts_bounds=ts_bounds,
+                sort_spec=sort_spec,
+                order=order,
             ),
             LEAF_TOPK_SCHEMA,
         )
@@ -2468,27 +2653,53 @@ def search(
     # ANY corpus size; WAND still wins above its threshold by not decoding
     # whole posting lists).
     leaf_spec = None
-    if (
-        leaf_topk is not False
-        and not wand_tokens
-        and single_latest_gen
-        and request.sort_by_field in (None, "_score")
-        and request.sort_order == "desc"
-        and request.start_timestamp is None
-        and request.end_timestamp is None
-    ):
-        # phrase nodes are leaf-evaluable only when EVERY pruned split
-        # stores positions (mixed-record indexes route per split in the
-        # general plan's _eval_phrase instead)
-        allow_phrase = searcher.record == "position" and all(
-            smap.get(sid, {}).get("record", "freq") == "position"
-            for sid in split_ids
-        )
-        leaf_spec = searcher.leaf_plan(ast, allow_phrase=allow_phrase)
+    leaf_sort = None  # (docstore col, order) when the kernel does the sort
+    leaf_ts = None  # (start_us|None, end_us|None) when it does the window
+    if leaf_topk is not False and not wand_tokens and single_latest_gen:
+        leaf_ok = True
+        if request.sort_by_field not in (None, "_score"):
+            # field sorts ride the kernel only for fast non-text columns
+            # (Spark cast-to-double semantics); everything else keeps the
+            # general plan's docstore join — including the text-sort error
+            scol = searcher.fast_fields.get(
+                request.sort_by_field, request.sort_by_field
+            )
+            try:
+                sdt = dict(reader.docstore().dtypes).get(scol)
+            except Exception:  # noqa: BLE001 — no docstore files yet
+                sdt = None
+            if sdt in _LEAF_SORTABLE_DTYPES:
+                leaf_sort = (scol, request.sort_order)
+            else:
+                leaf_ok = False
+        if leaf_ok and (
+            request.start_timestamp is not None
+            or request.end_timestamp is not None
+        ):
+            leaf_ts = (
+                _ts_micros(reader.spark, request.start_timestamp, is_start=True),
+                _ts_micros(reader.spark, request.end_timestamp, is_start=False),
+            )
+        if leaf_ok:
+            # phrase nodes are leaf-evaluable only when EVERY pruned split
+            # stores positions (mixed-record indexes route per split in the
+            # general plan's _eval_phrase instead)
+            allow_phrase = searcher.record == "position" and all(
+                smap.get(sid, {}).get("record", "freq") == "position"
+                for sid in split_ids
+            )
+            leaf_spec = searcher.leaf_plan(ast, allow_phrase=allow_phrase)
     if wand_tokens:
         m = searcher.scored_topk_wand(wand_tokens, split_ids, k_total)
     elif leaf_spec:
-        m = searcher.scored_topk_leaf(leaf_spec, split_ids, k_total)
+        m = searcher.scored_topk_leaf(
+            leaf_spec,
+            split_ids,
+            k_total,
+            ts_bounds=leaf_ts,
+            sort_spec=leaf_sort,
+            order=request.sort_order,
+        )
     else:
         m = searcher.matching(
             ast, split_ids, request.start_timestamp, request.end_timestamp
@@ -2497,7 +2708,11 @@ def search(
     if request.sort_by_field == searcher.default_field:
         # sort fields must be fast, non-text (query_builder.rs:255-300)
         raise ValueError("sort by a text field is not supported")
-    if request.sort_by_field and request.sort_by_field != "_score":
+    if (
+        request.sort_by_field
+        and request.sort_by_field != "_score"
+        and not (leaf_spec and leaf_sort)
+    ):
         ff = searcher.fast_fields.get(request.sort_by_field, request.sort_by_field)
         docs = reader.docstore().select(
             "split_id", "docid", F.col(ff).alias("_sort")
