@@ -628,6 +628,20 @@ LEAF_TOPK_SCHEMA = T.StructType(
     ]
 )
 
+LEAF_DOCIDS_SCHEMA = T.StructType(
+    [
+        T.StructField("split_id", T.StringType()),
+        T.StructField("docid", T.LongType()),
+    ]
+)
+
+LEAF_COUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("split_id", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
 
 class _LeafBail(Exception):
     """Query shape the leaf-local kernel can't evaluate: general plan."""
@@ -679,6 +693,7 @@ def _make_leaf_topk_kernel(
     ts_bounds: tuple | None = None,
     sort_spec: tuple | None = None,
     order: str = "desc",
+    emit: str = "topk",
 ):
     """mapInArrow kernel: a whole boolean query tree evaluated SPLIT-LOCALLY,
     emitting only each split's top-k — the reference leaf's architecture
@@ -717,11 +732,21 @@ def _make_leaf_topk_kernel(
     the score direction when ``sort_spec`` is None ("asc" permits
     worst-score-first top-k; per-split trim stays rank-identical because
     the global order concatenates independent per-split scores).
+
+    ``emit`` selects the output shape — the three collectors the reference
+    leaf implements over ONE matching pass (collector.rs):
+      * ``"topk"``  — per-split top-k (split_id, docid, score);
+      * ``"docids"``— EVERY matching (split_id, docid), unscored and
+        untrimmed: the feeder for aggregations / search-stream exports
+        (their buckets never need BM25, so fieldnorm reads and tf
+        arithmetic are skipped entirely);
+      * ``"count"`` — one (split_id, n) row per split: num_hits costs
+        |splits| rows across the python→JVM boundary, not |matches|.
     """
     import math
 
     phrase_toks = _leaf_spec_phrase_tokens(spec)
-    need_scores = sort_spec is None
+    need_scores = sort_spec is None and emit == "topk"
 
     def kernel(batches):
         try:
@@ -960,6 +985,14 @@ def _make_leaf_topk_kernel(
                 base_s = base_s[tm]
                 if len(base_d) == 0:
                     continue
+            if emit == "count":
+                out_sid.append(sid)
+                out_doc.append(len(base_d))
+                continue
+            if emit == "docids":
+                out_sid.extend([sid] * len(base_d))
+                out_doc.append(base_d.astype(np.int64, copy=False))
+                continue
             null_mask = None
             if sort_spec is not None:
                 scol, sorder = sort_spec
@@ -1000,19 +1033,38 @@ def _make_leaf_topk_kernel(
                 else np.zeros(len(base_d), dtype=bool)
             )
         if out_sid:
-            nulls = np.concatenate(out_null)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(out_sid, type=pa.string()),
-                    pa.array(np.concatenate(out_doc), type=pa.int64()),
-                    pa.array(
-                        np.concatenate(out_score),
-                        type=pa.float64(),
-                        mask=nulls if nulls.any() else None,
-                    ),
-                ],
-                names=["split_id", "docid", "score"],
-            )
+            if emit == "count":
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_sid, type=pa.string()),
+                        pa.array(out_doc, type=pa.int64()),
+                    ],
+                    names=["split_id", "n"],
+                )
+            elif emit == "docids":
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_sid, type=pa.string()),
+                        pa.array(
+                            np.concatenate(out_doc), type=pa.int64()
+                        ),
+                    ],
+                    names=["split_id", "docid"],
+                )
+            else:
+                nulls = np.concatenate(out_null)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_sid, type=pa.string()),
+                        pa.array(np.concatenate(out_doc), type=pa.int64()),
+                        pa.array(
+                            np.concatenate(out_score),
+                            type=pa.float64(),
+                            mask=nulls if nulls.any() else None,
+                        ),
+                    ],
+                    names=["split_id", "docid", "score"],
+                )
 
     return kernel
 
@@ -1733,6 +1785,70 @@ class Searcher:
         top-k. No per-matching-doc exchange — the rows that cross
         python→JVM are |splits|·k, not |matches| (see the kernel
         docstring)."""
+        return self._leaf_kernel_df(
+            spec,
+            split_ids,
+            k,
+            ts_bounds=ts_bounds,
+            sort_spec=sort_spec,
+            order=order,
+            emit="topk",
+            schema=LEAF_TOPK_SCHEMA,
+        )
+
+    def leaf_matching(
+        self,
+        spec: dict,
+        split_ids: list[str],
+        ts_bounds: tuple | None = None,
+    ) -> DataFrame:
+        """Every matching (split_id, docid) from ONE kernel pass per split —
+        the unscored feeder for aggregations and search-stream exports.
+        Replaces the general plan's per-term join tree + per-matching-doc
+        groupBy exchange with a single postings shuffle of the query terms;
+        fieldnorm reads and BM25 arithmetic are skipped (aggs/export buckets
+        never consume scores — the reference collector's scoring opt-out)."""
+        return self._leaf_kernel_df(
+            spec,
+            split_ids,
+            0,
+            ts_bounds=ts_bounds,
+            emit="docids",
+            schema=LEAF_DOCIDS_SCHEMA,
+        )
+
+    def leaf_count(
+        self,
+        spec: dict,
+        split_ids: list[str],
+        ts_bounds: tuple | None = None,
+    ) -> DataFrame:
+        """Per-split match counts (split_id, n): num_hits costs |splits|
+        rows across the python→JVM boundary instead of |matches| — the
+        reference leaf's count collector (collector.rs:226 counts leaf-
+        locally; the root sums)."""
+        return self._leaf_kernel_df(
+            spec,
+            split_ids,
+            0,
+            ts_bounds=ts_bounds,
+            emit="count",
+            schema=LEAF_COUNT_SCHEMA,
+        )
+
+    def _leaf_kernel_df(
+        self,
+        spec: dict,
+        split_ids: list[str],
+        k: int,
+        ts_bounds: tuple | None = None,
+        sort_spec: tuple | None = None,
+        order: str = "desc",
+        emit: str = "topk",
+        schema: T.StructType = LEAF_TOPK_SCHEMA,
+    ) -> DataFrame:
+        """Shared leaf-kernel runner: query-term postings scan, repartition
+        by split so one task owns each split's terms, whole-tree kernel."""
         uniq = sorted(set(_leaf_spec_tokens(spec)))
         sset = set(split_ids)
         n_docs_by_split = {
@@ -1759,8 +1875,9 @@ class Searcher:
                 ts_bounds=ts_bounds,
                 sort_spec=sort_spec,
                 order=order,
+                emit=emit,
             ),
-            LEAF_TOPK_SCHEMA,
+            schema,
         )
 
     def scored_topk_wand(
@@ -2956,11 +3073,75 @@ def search_many(
     return out.orderBy("query_id", "_rn").drop("_rn")
 
 
+def _leaf_match_plan(
+    reader: IndexReader,
+    searcher: "Searcher",
+    ast: Node,
+    split_ids: list[str],
+    request: SearchRequest,
+) -> tuple[dict | None, tuple | None]:
+    """Gate + compile a request onto the leaf-local MATCHING kernel for the
+    scoring-opt-out consumers (count / aggs / export): same soundness
+    conditions as search()'s leaf-local top-k — every pruned split on the
+    latest config generation, text-only boolean tree, phrases only when
+    every split stores positions. Returns (spec, ts_bounds) or (None, None)
+    when the request needs the general plan."""
+    smap = reader.stats_map()
+    latest_gen = max(reader.manifest.config_generations() or [0])
+    if {
+        int(smap.get(sid, {}).get("config_generation") or 0)
+        for sid in split_ids
+    } - {latest_gen}:
+        return None, None
+    allow_phrase = searcher.record == "position" and all(
+        smap.get(sid, {}).get("record", "freq") == "position"
+        for sid in split_ids
+    )
+    spec = searcher.leaf_plan(ast, allow_phrase=allow_phrase)
+    if spec is None:
+        return None, None
+    ts = None
+    if (
+        request.start_timestamp is not None
+        or request.end_timestamp is not None
+    ):
+        ts = (
+            _ts_micros(reader.spark, request.start_timestamp, is_start=True),
+            _ts_micros(reader.spark, request.end_timestamp, is_start=False),
+        )
+    return spec, ts
+
+
+def _matching_or_leaf(
+    reader: IndexReader,
+    searcher: "Searcher",
+    ast: Node,
+    split_ids: list[str],
+    request: SearchRequest,
+    leaf_match: bool | None = None,
+) -> DataFrame:
+    """(split_id, docid) of every matching doc — through the leaf-local
+    kernel when the query compiles (one pass per split, no join tree), the
+    general matching() plan otherwise. ``leaf_match=False`` forces the
+    general plan (differential tests pin both paths against each other)."""
+    if leaf_match is not False:
+        spec, ts = _leaf_match_plan(reader, searcher, ast, split_ids, request)
+        if spec is not None:
+            return searcher.leaf_matching(spec, split_ids, ts)
+    return searcher.matching(
+        ast,
+        split_ids,
+        request.start_timestamp,
+        request.end_timestamp,
+    ).select("split_id", "docid")
+
+
 def export_fast_field(
     reader: IndexReader,
     request: SearchRequest,
     column: str,
     partition_by: tuple[str, ...] = (),
+    leaf_match: bool | None = None,
 ) -> DataFrame:
     """Search-stream export (search_stream/leaf.rs:106-311): one fast-field
     column for ALL matching docs, optionally alongside partition-by columns.
@@ -2974,19 +3155,13 @@ def export_fast_field(
         request.end_timestamp,
         tags=searcher.extract_tags(ast),
     )
-    m = searcher.matching(
-        ast,
-        [s.split_id for s in splits],
-        request.start_timestamp,
-        request.end_timestamp,
+    m = _matching_or_leaf(
+        reader, searcher, ast, [s.split_id for s in splits], request,
+        leaf_match=leaf_match,
     )
     cols = (column,) + tuple(c for c in partition_by if c != column)
     docs = reader.docstore().select("split_id", "docid", *cols)
-    return (
-        m.select("split_id", "docid")
-        .join(docs, ["split_id", "docid"])
-        .select(*cols)
-    )
+    return m.join(docs, ["split_id", "docid"]).select(*cols)
 
 
 def format_export_chunks(
@@ -3125,7 +3300,10 @@ def _with_failures(fn, reader: IndexReader, request: SearchRequest, **kwargs):
 
 
 def search_aggs(
-    reader: IndexReader, request: SearchRequest, aggs: dict
+    reader: IndexReader,
+    request: SearchRequest,
+    aggs: dict,
+    leaf_match: bool | None = None,
 ) -> "dict[str, DataFrame]":
     """Aggregations over the docs MATCHING a query — the reference's
     execution model: an ES-JSON ``aggs`` object rides the search request and
@@ -3170,15 +3348,10 @@ def search_aggs(
         or request.end_timestamp is not None
     )
     if not (isinstance(ast, MatchAll) and not bounded):
-        m = searcher.matching(
-            ast,
-            split_ids,
-            request.start_timestamp,
-            request.end_timestamp,
+        m = _matching_or_leaf(
+            reader, searcher, ast, split_ids, request, leaf_match=leaf_match
         )
-        docs = docs.join(
-            m.select("split_id", "docid"), ["split_id", "docid"], "left_semi"
-        )
+        docs = docs.join(m, ["split_id", "docid"], "left_semi")
     return run_agg_request(docs, aggs, field_map=fmap)
 
 
@@ -3186,9 +3359,12 @@ def count_hits(
     reader: IndexReader,
     request: SearchRequest,
     exclude_split_ids: tuple[str, ...] = (),
+    leaf_match: bool | None = None,
 ) -> DataFrame:
-    """num_hits counts ALL matches (collector.rs:226) — single aggregate,
-    over the docids-only (no tf/norms/stats) matching plan."""
+    """num_hits counts ALL matches (collector.rs:226) — leaf-local when the
+    query compiles onto the kernel (each split counts its own matches, the
+    root sums |splits| scalars — the reference's count collector shape),
+    else a single aggregate over the docids-only general matching plan."""
     ast = parse_query(request.query)
     searcher = Searcher(reader, scoring=False)
     ast = _with_search_fields(searcher, ast, request)
@@ -3201,6 +3377,14 @@ def count_hits(
     if exclude_split_ids:
         bad = set(exclude_split_ids)
         split_ids = [s for s in split_ids if s not in bad]
+    if leaf_match is not False:
+        spec, ts = _leaf_match_plan(reader, searcher, ast, split_ids, request)
+        if spec is not None:
+            return searcher.leaf_count(spec, split_ids, ts).agg(
+                F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias(
+                    "num_hits"
+                )
+            )
     m = searcher.matching(
         ast,
         split_ids,

@@ -1,0 +1,120 @@
+"""Leaf-local matching kernel for the scoring-opt-out consumers.
+
+count_hits / search_aggs / export_fast_field route through the leaf kernel
+(emit="count" / emit="docids") whenever the query compiles; every shape the
+gate accepts must agree exactly with the general matching() plan — and the
+gate must bail (not mis-answer) on shapes the kernel can't evaluate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from quickwit_spark.operators.search import (
+    SearchRequest,
+    Searcher,
+    _leaf_match_plan,
+    count_hits,
+    export_fast_field,
+    search_aggs,
+)
+from quickwit_spark.plans.query import parse_query
+
+QUERIES = [
+    "w1",
+    "w1 w4",
+    "w1 OR w4",
+    "w2 -w9",
+    "needleone",
+    "text:IN [w1 w2 w3]",
+    "(w1 OR w2) AND (w3 OR -w4)",
+    '"w1 w2"',
+    "w1^2 OR w4",
+]
+
+
+def _count(reader, q, **req_kw):
+    leaf = count_hits(reader, SearchRequest(query=q, **req_kw)).collect()
+    gen = count_hits(
+        reader, SearchRequest(query=q, **req_kw), leaf_match=False
+    ).collect()
+    return leaf[0]["num_hits"], gen[0]["num_hits"]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_count_leaf_matches_general(small_index, q):
+    leaf, gen = _count(small_index, q)
+    assert leaf == gen
+    assert leaf > 0  # the comparison exercised real matches
+
+
+def test_count_gate_actually_compiles(small_index):
+    s = Searcher(small_index, scoring=False)
+    req = SearchRequest(query="w1 OR w4")
+    spec, ts = _leaf_match_plan(
+        small_index, s, parse_query(req.query),
+        [m.split_id for m in small_index.manifest.list_published()], req,
+    )
+    assert spec is not None and ts is None
+
+
+def test_count_ts_window_matches_general(small_index):
+    leaf, gen = _count(
+        small_index,
+        "w1 OR w2",
+        start_timestamp="2023-01-01T00:30:00",
+        end_timestamp="2023-01-01T03:00:00",
+    )
+    assert leaf == gen > 0
+
+
+def test_count_match_all_bails_to_general(small_index):
+    # '*' can't leaf-compile; both paths must hit the docstore count
+    leaf, gen = _count(small_index, "*")
+    assert leaf == gen == 600
+
+
+def test_count_empty_result_is_zero_long(small_index):
+    row = count_hits(
+        small_index, SearchRequest(query="zzznothing")
+    ).collect()[0]
+    assert row["num_hits"] == 0
+
+
+def test_aggs_leaf_matches_general(small_index):
+    aggs = {
+        "langs": {
+            "terms": {"field": "lang", "size": 10},
+            "aggs": {"n_urls": {"value_count": {"field": "url"}}},
+        }
+    }
+    req = SearchRequest(query="w1 OR w4", max_hits=0)
+    leaf = search_aggs(small_index, req, aggs)["langs"].orderBy("key").collect()
+    gen = search_aggs(small_index, req, aggs, leaf_match=False)[
+        "langs"
+    ].orderBy("key").collect()
+    assert [r.asDict() for r in leaf] == [r.asDict() for r in gen]
+    assert leaf  # non-empty buckets
+
+
+def test_export_leaf_matches_general(small_index):
+    req = SearchRequest(query="w2 -w9")
+    leaf = export_fast_field(small_index, req, "url", partition_by=("tag",))
+    gen = export_fast_field(
+        small_index, req, "url", partition_by=("tag",), leaf_match=False
+    )
+    key = [F.asc("url"), F.asc("tag")]
+    assert leaf.orderBy(*key).collect() == gen.orderBy(*key).collect()
+    assert leaf.count() > 0
+
+
+def test_count_plan_rows_are_per_split(small_index):
+    # the leaf count plan ships |splits| rows, not |matches|: the kernel DF
+    # itself must have at most one row per published split
+    s = Searcher(small_index, scoring=False)
+    sids = [m.split_id for m in small_index.manifest.list_published()]
+    spec = s.leaf_plan(parse_query("w1 OR w2"), allow_phrase=True)
+    per_split = s.leaf_count(spec, sids).collect()
+    assert 0 < len(per_split) <= len(sids)
+    assert sum(r["n"] for r in per_split) == _count(small_index, "w1 OR w2")[1]
