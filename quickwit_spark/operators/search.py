@@ -373,6 +373,56 @@ def _fast_for(index_dir: str, split_id: str, col: str, docids: np.ndarray):
     return vals[p], valid[p], is_ts
 
 
+# typed-column loader for the leaf "fields" collector. Unlike _load_fast's
+# cast-to-double lowering, aggregations and exports consume the column's
+# REAL values (strings for terms buckets, exact integers for sums), so the
+# cached entry keeps the Arrow array as read; timestamps are lowered to
+# epoch-micros int64 only at emit time and restored JVM-side. Entries share
+# the fast-field cache dict and byte budget (tuple shape matches the
+# eviction arithmetic: (idx|None, .nbytes-carrier, .nbytes-carrier, flag)).
+_EMPTY_U8 = np.empty(0, dtype=np.uint8)
+
+
+def _load_col(index_dir: str, split_id: str, col: str):
+    """-> (sorted docid array | None, pyarrow Array in docid order)."""
+    key = (index_dir, split_id, "\x00typed", col)
+    hit = _FAST_CACHE.get(key)
+    if hit is not None:
+        return hit[0], hit[1]
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{index_dir}/docstore/split_id={split_id}", columns=["docid", col]
+    )
+    docids = tbl.column("docid").to_numpy().astype(np.int64)
+    arr = tbl.column(col).combine_chunks()
+    order = np.argsort(docids, kind="stable")
+    docids = docids[order]
+    arr = arr.take(pa.array(order))
+    dense = len(docids) > 0 and docids[0] == 0 and docids[-1] == len(docids) - 1
+    entry = (None if dense else docids, arr, _EMPTY_U8, False)
+    global _FAST_CACHE_BYTES
+    nbytes = arr.nbytes + (docids.nbytes if not dense else 0)
+    while _FAST_CACHE and _FAST_CACHE_BYTES + nbytes > _FAST_CACHE_MAX_BYTES:
+        oldest = next(iter(_FAST_CACHE))
+        oi, ov, ovd, _ = _FAST_CACHE.pop(oldest)
+        _FAST_CACHE_BYTES -= ov.nbytes + ovd.nbytes + (
+            oi.nbytes if oi is not None else 0
+        )
+    _FAST_CACHE[key] = entry
+    _FAST_CACHE_BYTES += nbytes
+    return entry[0], entry[1]
+
+
+def _col_for(index_dir: str, split_id: str, col: str, docids: np.ndarray):
+    """Typed column values (pyarrow Array, nulls preserved) for the given
+    docids of one split — the leaf-fields collector's gather."""
+    idx, arr = _load_col(index_dir, split_id, col)
+    if idx is None:
+        return arr.take(pa.array(docids))
+    return arr.take(pa.array(np.searchsorted(idx, docids)))
+
+
 # docstore dtypes the leaf kernel can sort by under Spark's cast-to-double
 # semantics (text sorts are rejected upstream; anything else routes to the
 # general plan's docstore join)
@@ -380,6 +430,22 @@ _LEAF_SORTABLE_DTYPES = frozenset(
     {"timestamp", "bigint", "int", "smallint", "tinyint", "double", "float",
      "boolean"}
 )
+
+# dtypes the leaf "fields" collector can attach split-locally (simpleString
+# -> (Spark wire type, Arrow wire type)); timestamps travel as epoch-micros
+# int64 and are restored with F.timestamp_micros. Arrays/structs/binary and
+# struct paths stay on the general docstore-join plan.
+_LEAF_FIELD_WIRE: dict = {
+    "string": (T.StringType(), pa.string()),
+    "bigint": (T.LongType(), pa.int64()),
+    "int": (T.IntegerType(), pa.int32()),
+    "smallint": (T.ShortType(), pa.int16()),
+    "tinyint": (T.ByteType(), pa.int8()),
+    "double": (T.DoubleType(), pa.float64()),
+    "float": (T.FloatType(), pa.float32()),
+    "boolean": (T.BooleanType(), pa.bool_()),
+    "timestamp": (T.LongType(), pa.int64()),
+}
 
 # Spark's string->timestamp cast is the engine's window-bound semantics
 # (session-timezone parse, many accepted layouts); replicating it in Python
@@ -694,6 +760,8 @@ def _make_leaf_topk_kernel(
     sort_spec: tuple | None = None,
     order: str = "desc",
     emit: str = "topk",
+    fields: tuple = (),
+    field_types: tuple = (),
 ):
     """mapInArrow kernel: a whole boolean query tree evaluated SPLIT-LOCALLY,
     emitting only each split's top-k — the reference leaf's architecture
@@ -741,7 +809,14 @@ def _make_leaf_topk_kernel(
         (their buckets never need BM25, so fieldnorm reads and tf
         arithmetic are skipped entirely);
       * ``"count"`` — one (split_id, n) row per split: num_hits costs
-        |splits| rows across the python→JVM boundary, not |matches|.
+        |splits| rows across the python→JVM boundary, not |matches|;
+      * ``"fields"`` — every matching (split_id, docid, *fields) with the
+        requested docstore columns gathered SPLIT-LOCALLY (typed, nulls
+        preserved; timestamps lowered to epoch-micros int64 per
+        ``field_types``): aggregations and search-stream exports read
+        their fast fields in the same pass that matched the docs, so no
+        docstore join — the reference leaf's fast-field collector
+        (search_stream/leaf.rs reads fast-field readers inside the leaf).
     """
     import math
 
@@ -792,6 +867,7 @@ def _make_leaf_topk_kernel(
         out_doc: list = []
         out_score: list = []
         out_null: list = []
+        out_fields: list[list] = [[] for _ in fields]
         for sid in sorted(rows):
             per_term = rows[sid]
             try:
@@ -993,6 +1069,17 @@ def _make_leaf_topk_kernel(
                 out_sid.extend([sid] * len(base_d))
                 out_doc.append(base_d.astype(np.int64, copy=False))
                 continue
+            if emit == "fields":
+                out_sid.extend([sid] * len(base_d))
+                out_doc.append(base_d.astype(np.int64, copy=False))
+                for j, fcol in enumerate(fields):
+                    arr = _col_for(index_dir, sid, fcol, base_d)
+                    if pa.types.is_timestamp(arr.type):
+                        # epoch micros regardless of source unit/tz; nulls
+                        # survive both casts
+                        arr = arr.cast(pa.timestamp("us", arr.type.tz))
+                    out_fields[j].append(arr.cast(field_types[j]))
+                continue
             null_mask = None
             if sort_spec is not None:
                 scol, sorder = sort_spec
@@ -1050,6 +1137,22 @@ def _make_leaf_topk_kernel(
                         ),
                     ],
                     names=["split_id", "docid"],
+                )
+            elif emit == "fields":
+                cols = [
+                    pa.array(out_sid, type=pa.string()),
+                    pa.array(np.concatenate(out_doc), type=pa.int64()),
+                ]
+                for chunks in out_fields:
+                    cols.append(
+                        pa.concat_arrays(chunks)
+                        if len(chunks) > 1
+                        else chunks[0]
+                    )
+                yield pa.RecordBatch.from_arrays(
+                    cols,
+                    names=["split_id", "docid"]
+                    + [f"f{j}" for j in range(len(fields))],
                 )
             else:
                 nulls = np.concatenate(out_null)
@@ -1817,6 +1920,71 @@ class Searcher:
             schema=LEAF_DOCIDS_SCHEMA,
         )
 
+    def leaf_fields_plan(self, cols: "list[str] | tuple") -> "list | None":
+        """(Spark wire type, Arrow wire type, is_timestamp) per requested
+        docstore column, or None when any column is absent or not
+        kernel-attachable (arrays/structs/binary and ``a.b`` struct paths
+        route to the general docstore-join plan)."""
+        schema = {f.name: f for f in self.reader.docstore().schema.fields}
+        out = []
+        for c in cols:
+            f = schema.get(c)
+            if f is None:
+                return None
+            s = f.dataType.simpleString()
+            wire = _LEAF_FIELD_WIRE.get(s)
+            if wire is None:
+                return None
+            out.append((wire[0], wire[1], s == "timestamp"))
+        return out
+
+    def leaf_matching_fields(
+        self,
+        spec: dict,
+        split_ids: list[str],
+        ts_bounds: tuple | None,
+        cols: "list[str]",
+    ) -> DataFrame:
+        """Every matching (split_id, docid, *cols) from ONE kernel pass per
+        split, the requested docstore columns gathered split-locally — the
+        aggregation / search-stream feeder with NO docstore join: the only
+        full-data pass is the split-local postings decode + fast-field
+        gather, and the first shuffle downstream is Catalyst's partial-agg
+        merge at |splits|·|buckets| rows (the reference's leaf collector
+        reads fast-field readers inside the leaf, collector.rs:364-399,
+        search_stream/leaf.rs:106-311). Caller must have checked
+        ``leaf_fields_plan(cols)`` is not None."""
+        plan = self.leaf_fields_plan(cols)
+        if plan is None:
+            raise ValueError(f"columns {cols!r} not kernel-attachable")
+        schema = T.StructType(
+            [
+                T.StructField("split_id", T.StringType()),
+                T.StructField("docid", T.LongType()),
+            ]
+            + [
+                T.StructField(f"f{i}", p[0])
+                for i, p in enumerate(plan)
+            ]
+        )
+        df = self._leaf_kernel_df(
+            spec,
+            split_ids,
+            0,
+            ts_bounds=ts_bounds,
+            emit="fields",
+            schema=schema,
+            fields=tuple(cols),
+            field_types=tuple(p[1] for p in plan),
+        )
+        sel = [F.col("split_id"), F.col("docid")]
+        for i, (c, p) in enumerate(zip(cols, plan)):
+            e = F.col(f"f{i}")
+            if p[2]:
+                e = F.timestamp_micros(e)
+            sel.append(e.alias(c))
+        return df.select(*sel)
+
     def leaf_count(
         self,
         spec: dict,
@@ -1846,6 +2014,8 @@ class Searcher:
         order: str = "desc",
         emit: str = "topk",
         schema: T.StructType = LEAF_TOPK_SCHEMA,
+        fields: tuple = (),
+        field_types: tuple = (),
     ) -> DataFrame:
         """Shared leaf-kernel runner: query-term postings scan, repartition
         by split so one task owns each split's terms, whole-tree kernel."""
@@ -1876,6 +2046,8 @@ class Searcher:
                 sort_spec=sort_spec,
                 order=order,
                 emit=emit,
+                fields=fields,
+                field_types=field_types,
             ),
             schema,
         )
@@ -3155,11 +3327,22 @@ def export_fast_field(
         request.end_timestamp,
         tags=searcher.extract_tags(ast),
     )
+    split_ids = [s.split_id for s in splits]
+    cols = (column,) + tuple(c for c in partition_by if c != column)
+    if leaf_match is not False:
+        # leaf-fields fast path: the exported fast-field columns ride out
+        # of the matching kernel itself (the reference's search_stream leaf
+        # reads fast-field readers in the leaf, leaf.rs:106-311) — no
+        # docstore join, no per-matching-doc exchange before the sink
+        spec, ts = _leaf_match_plan(reader, searcher, ast, split_ids, request)
+        if spec is not None and searcher.leaf_fields_plan(cols):
+            return searcher.leaf_matching_fields(
+                spec, split_ids, ts, list(cols)
+            ).select(*cols)
     m = _matching_or_leaf(
-        reader, searcher, ast, [s.split_id for s in splits], request,
+        reader, searcher, ast, split_ids, request,
         leaf_match=leaf_match,
     )
-    cols = (column,) + tuple(c for c in partition_by if c != column)
     docs = reader.docstore().select("split_id", "docid", *cols)
     return m.join(docs, ["split_id", "docid"]).select(*cols)
 
@@ -3322,7 +3505,10 @@ def search_aggs(
     persisted index config (timestamp_field -> ``ts``, tag_field ->
     ``tag``); store_fields keep their names, struct fields address as
     ``a.b`` paths."""
-    from quickwit_spark.plans.agg_request import run_agg_request
+    from quickwit_spark.plans.agg_request import (
+        collect_agg_fields,
+        run_agg_request,
+    )
 
     ast = parse_query(request.query)
     searcher = Searcher(reader, scoring=False)
@@ -3342,16 +3528,36 @@ def search_aggs(
         fmap[cfg["tag_field"]] = "tag"
     if cfg.get("timestamp_field"):
         fmap[cfg["timestamp_field"]] = "ts"
-    docs = reader.docstore().filter(F.col("split_id").isin(split_ids))
     bounded = (
         request.start_timestamp is not None
         or request.end_timestamp is not None
     )
     if not (isinstance(ast, MatchAll) and not bounded):
+        if leaf_match is not False:
+            # leaf-fields fast path: the kernel gathers the request's
+            # columns split-locally alongside the match, so the docstore is
+            # never scanned or joined — the only shuffle left is Catalyst's
+            # partial-agg merge at |splits|·|buckets| rows
+            spec, ts = _leaf_match_plan(
+                reader, searcher, ast, split_ids, request
+            )
+            if spec is not None:
+                try:
+                    cols = collect_agg_fields(aggs, field_map=fmap)
+                except ValueError:
+                    cols = None  # malformed: general path raises canonically
+                if cols is not None and searcher.leaf_fields_plan(cols):
+                    docs = searcher.leaf_matching_fields(
+                        spec, split_ids, ts, cols
+                    )
+                    return run_agg_request(docs, aggs, field_map=fmap)
         m = _matching_or_leaf(
             reader, searcher, ast, split_ids, request, leaf_match=leaf_match
         )
+        docs = reader.docstore().filter(F.col("split_id").isin(split_ids))
         docs = docs.join(m, ["split_id", "docid"], "left_semi")
+    else:
+        docs = reader.docstore().filter(F.col("split_id").isin(split_ids))
     return run_agg_request(docs, aggs, field_map=fmap)
 
 

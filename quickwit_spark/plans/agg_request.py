@@ -285,6 +285,31 @@ def compile_one(name: str, spec: dict, field_map=None):
     )
 
 
+def collect_agg_fields(
+    aggs: dict, field_map: "dict[str, str] | None" = None
+) -> "list[str]":
+    """Every DataFrame column a request will read, mapped through
+    ``field_map`` — the same ``_field`` resolutions ``compile_one`` makes,
+    in one pre-pass. The leaf-fields matching kernel attaches exactly these
+    columns split-locally so aggregations never join the docstore. Raises
+    the same ``ValueError`` shapes as compilation on malformed requests
+    (callers that want the canonical error surface fall back to the general
+    plan and let ``run_agg_request`` raise it)."""
+    if not isinstance(aggs, dict) or not aggs:
+        raise ValueError("aggs must be a non-empty object of named aggs")
+    out: list[str] = []
+
+    def walk(name: str, spec: dict) -> None:
+        kind = _agg_kind(spec, name)
+        out.append(_field(spec[kind], field_map, kind))
+        for cname, cspec in _children(spec).items():
+            walk(cname, cspec)
+
+    for name, spec in aggs.items():
+        walk(name, spec)
+    return list(dict.fromkeys(out))
+
+
 def run_agg_request(
     df: DataFrame, aggs: dict, field_map: "dict[str, str] | None" = None
 ) -> "dict[str, DataFrame]":

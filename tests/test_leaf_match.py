@@ -118,3 +118,117 @@ def test_count_plan_rows_are_per_split(small_index):
     per_split = s.leaf_count(spec, sids).collect()
     assert 0 < len(per_split) <= len(sids)
     assert sum(r["n"] for r in per_split) == _count(small_index, "w1 OR w2")[1]
+
+
+# ---- leaf "fields" collector: aggs/exports with NO docstore join ----------
+
+
+@pytest.fixture
+def fields_spy(monkeypatch):
+    """Record leaf_matching_fields invocations (the no-join fast path)."""
+    calls: list = []
+    orig = Searcher.leaf_matching_fields
+
+    def spy(self, *a, **k):
+        calls.append(a)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(Searcher, "leaf_matching_fields", spy)
+    return calls
+
+
+AGG_SHAPES = [
+    {"langs": {"terms": {"field": "lang", "size": 10},
+               "aggs": {"n_urls": {"value_count": {"field": "url"}}}}},
+    {"by_len": {"histogram": {"field": "doc_len", "interval": 50.0},
+                "aggs": {"s": {"stats": {"field": "norm_len"}}}}},
+    {"over_time": {"date_histogram": {"field": "ts", "fixed_interval": "1h"}}},
+    {"len_ranges": {"range": {"field": "doc_len",
+                              "ranges": [{"to": 100}, {"from": 100}]}}},
+    {"avg_len": {"avg": {"field": "doc_len"}},
+     "n": {"value_count": {"field": "url"}}},
+    {"nested": {"terms": {"field": "lang", "size": 5},
+                "aggs": {"tags2": {"terms": {"field": "lang", "size": 3}}}}},
+]
+
+
+@pytest.mark.parametrize("aggs", AGG_SHAPES)
+def test_aggs_fields_path_taken_and_matches_general(
+    small_index, fields_spy, aggs
+):
+    req = SearchRequest(query="w1 OR w4", max_hits=0)
+    leaf = search_aggs(small_index, req, aggs)
+    assert fields_spy, "leaf-fields fast path was not taken"
+    gen = search_aggs(small_index, req, aggs, leaf_match=False)
+    for name in aggs:
+        cols = leaf[name].columns
+        lrows = [r.asDict() for r in leaf[name].orderBy(*cols).collect()]
+        grows = [r.asDict() for r in gen[name].orderBy(*cols).collect()]
+        # float partials accumulate in partition order, which differs
+        # between the two plans — compare floats at pytest.approx (the
+        # driver gate also rounds floats, to 6 significant digits)
+        assert len(lrows) == len(grows)
+        for lr, gr in zip(lrows, grows):
+            assert set(lr) == set(gr)
+            for k, lv in lr.items():
+                gv = gr[k]
+                if isinstance(lv, float) and isinstance(gv, float):
+                    assert lv == pytest.approx(gv, rel=1e-9)
+                else:
+                    assert lv == gv
+        assert lrows
+
+
+def test_aggs_ts_window_fields_path(small_index, fields_spy):
+    aggs = {"over_time": {"date_histogram": {"field": "ts",
+                                             "fixed_interval": "30m"}}}
+    req = SearchRequest(
+        query="w1 OR w2",
+        max_hits=0,
+        start_timestamp="2023-01-01T00:30:00",
+        end_timestamp="2023-01-01T03:00:00",
+    )
+    leaf = search_aggs(small_index, req, aggs)["over_time"]
+    assert fields_spy
+    gen = search_aggs(small_index, req, aggs, leaf_match=False)["over_time"]
+    assert (
+        leaf.orderBy("key").collect() == gen.orderBy("key").collect()
+    )
+
+
+def test_export_fields_path_taken(small_index, fields_spy):
+    req = SearchRequest(query="w2 -w9")
+    leaf = export_fast_field(small_index, req, "url", partition_by=("tag",))
+    assert fields_spy
+    gen = export_fast_field(
+        small_index, req, "url", partition_by=("tag",), leaf_match=False
+    )
+    key = [F.asc("url"), F.asc("tag")]
+    assert leaf.orderBy(*key).collect() == gen.orderBy(*key).collect()
+
+
+def test_leaf_fields_ts_roundtrip_exact(small_index):
+    """Kernel-lowered epoch-micros -> timestamp_micros must reproduce the
+    docstore's timestamp values bit-for-bit (nulls included)."""
+    s = Searcher(small_index, scoring=False)
+    sids = [m.split_id for m in small_index.manifest.list_published()]
+    spec = s.leaf_plan(parse_query("w1 OR w2"), allow_phrase=True)
+    got = s.leaf_matching_fields(spec, sids, None, ["ts", "tag"])
+    via_join = (
+        s.leaf_matching(spec, sids)
+        .join(
+            small_index.docstore().select("split_id", "docid", "ts", "tag"),
+            ["split_id", "docid"],
+        )
+    )
+    key = ["split_id", "docid"]
+    assert (
+        got.orderBy(*key).collect() == via_join.orderBy(*key).collect()
+    )
+
+
+def test_leaf_fields_plan_gates(small_index):
+    s = Searcher(small_index, scoring=False)
+    assert s.leaf_fields_plan(["tag", "url", "ts", "doc_len"]) is not None
+    assert s.leaf_fields_plan(["no_such_column"]) is None
+    assert s.leaf_fields_plan(["meta.len"]) is None  # struct paths bail
