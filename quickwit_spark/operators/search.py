@@ -3308,6 +3308,26 @@ def _matching_or_leaf(
     ).select("split_id", "docid")
 
 
+def _matchall_docs(
+    reader: IndexReader, split_ids: list[str], request: SearchRequest
+) -> DataFrame:
+    """Docstore rows of a match-all request, optionally time-bounded: ONE
+    pruned scan with the semi-open window as parquet-pushable filters —
+    match-all never needs query evaluation or a matching join (the window
+    casts are the exact expressions _matching_one applies, so null ts
+    matches nothing and unparseable bounds cast to NULL = empty)."""
+    docs = reader.docstore().filter(F.col("split_id").isin(split_ids))
+    if request.start_timestamp is not None:
+        docs = docs.filter(
+            F.col("ts") >= F.lit(request.start_timestamp).cast("timestamp")
+        )
+    if request.end_timestamp is not None:
+        docs = docs.filter(
+            F.col("ts") < F.lit(request.end_timestamp).cast("timestamp")
+        )
+    return docs
+
+
 def export_fast_field(
     reader: IndexReader,
     request: SearchRequest,
@@ -3329,6 +3349,8 @@ def export_fast_field(
     )
     split_ids = [s.split_id for s in splits]
     cols = (column,) + tuple(c for c in partition_by if c != column)
+    if isinstance(ast, MatchAll) and leaf_match is not False:
+        return _matchall_docs(reader, split_ids, request).select(*cols)
     if leaf_match is not False:
         # leaf-fields fast path: the exported fast-field columns ride out
         # of the matching kernel itself (the reference's search_stream leaf
@@ -3528,6 +3550,12 @@ def search_aggs(
         fmap[cfg["tag_field"]] = "tag"
     if cfg.get("timestamp_field"):
         fmap[cfg["timestamp_field"]] = "ts"
+    if isinstance(ast, MatchAll) and leaf_match is not False:
+        # match-all (bounded or not) short-circuits query evaluation: one
+        # pruned docstore scan with the window pushed to parquet, no
+        # matching join at all
+        docs = _matchall_docs(reader, split_ids, request)
+        return run_agg_request(docs, aggs, field_map=fmap)
     bounded = (
         request.start_timestamp is not None
         or request.end_timestamp is not None
@@ -3584,6 +3612,12 @@ def count_hits(
         bad = set(exclude_split_ids)
         split_ids = [s for s in split_ids if s not in bad]
     if leaf_match is not False:
+        if isinstance(ast, MatchAll):
+            # match-all count: one pruned docstore scan (docid-only after
+            # column pruning), no query evaluation or matching join
+            return _matchall_docs(reader, split_ids, request).agg(
+                F.count(F.lit(1)).alias("num_hits")
+            )
         spec, ts = _leaf_match_plan(reader, searcher, ast, split_ids, request)
         if spec is not None:
             return searcher.leaf_count(spec, split_ids, ts).agg(

@@ -70,7 +70,8 @@ def test_count_ts_window_matches_general(small_index):
 
 
 def test_count_match_all_bails_to_general(small_index):
-    # '*' can't leaf-compile; both paths must hit the docstore count
+    # '*' can't leaf-compile; default path takes the direct pruned-scan
+    # count (_matchall_docs), the forced-general path the matching plan
     leaf, gen = _count(small_index, "*")
     assert leaf == gen == 600
 
@@ -232,3 +233,31 @@ def test_leaf_fields_plan_gates(small_index):
     assert s.leaf_fields_plan(["tag", "url", "ts", "doc_len"]) is not None
     assert s.leaf_fields_plan(["no_such_column"]) is None
     assert s.leaf_fields_plan(["meta.len"]) is None  # struct paths bail
+
+
+def test_matchall_bounded_aggs_and_count(small_index):
+    """'*' with a time window: direct pruned-scan plan == general plan."""
+    req_kw = dict(
+        start_timestamp="2023-01-01T00:30:00",
+        end_timestamp="2023-01-01T03:00:00",
+    )
+    leaf, gen = _count(small_index, "*", **req_kw)
+    assert leaf == gen > 0
+    aggs = {"langs": {"terms": {"field": "lang", "size": 10}}}
+    req = SearchRequest(query="*", max_hits=0, **req_kw)
+    lr = search_aggs(small_index, req, aggs)["langs"].orderBy("key").collect()
+    gr = search_aggs(small_index, req, aggs, leaf_match=False)[
+        "langs"
+    ].orderBy("key").collect()
+    assert lr == gr and lr
+
+
+def test_matchall_export_no_join(small_index):
+    req = SearchRequest(query="*", start_timestamp="2023-01-01T01:00:00")
+    leaf = export_fast_field(small_index, req, "url")
+    gen = export_fast_field(small_index, req, "url", leaf_match=False)
+    assert sorted(r["url"] for r in leaf.collect()) == sorted(
+        r["url"] for r in gen.collect()
+    )
+    plan = leaf._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
