@@ -56,15 +56,35 @@ def main() -> None:
 
     sections: list[tuple[str, str, list[tuple[str, bool]]]] = []
 
+    # default path: the whole boolean tree + BM25 runs leaf-locally in ONE
+    # kernel per split; no stats join, no per-matching-doc exchange — the
+    # root just merges |splits|·k rows (TakeOrderedAndProject)
     term = search(reader, SearchRequest(query="w0 w3", max_hits=10), fetch_fields=())
     p = plan_of(term)
     checks = [
         ("postings term filter pushed to parquet", "PushedFilters" in p and "term" in p.split("PushedFilters", 1)[1][:400]),
         ("positions column pruned from term scan", "pos_blocks" not in p),
-        ("split-stats join broadcast", "BroadcastHashJoin" in p or "BroadcastExchange" in p),
+        ("leaf top-k plan is join-free (stats/norms read in-kernel)", "Join" not in p),
+        ("root merge is a partial top-k (TakeOrderedAndProject)", "TakeOrderedAndProject" in p),
         ("scoring plan never reads the docstore", "docstore" not in p),
     ]
-    sections.append(("AND term query (scoring plan, no fetch)", p, checks))
+    sections.append(("AND term query (leaf-local top-k kernel, no fetch)", p, checks))
+
+    # forced general plan (leaf_topk=False): per-term scored join tree —
+    # still the path for WAND, ranges and mixed-generation indexes
+    term_g = search(
+        reader,
+        SearchRequest(query="w0 w3", max_hits=10),
+        fetch_fields=(),
+        leaf_topk=False,
+    )
+    pg = plan_of(term_g)
+    checks_g = [
+        ("general plan: split-stats join broadcast", "BroadcastHashJoin" in pg or "BroadcastExchange" in pg),
+        ("general plan: postings filter pushed", "PushedFilters" in pg),
+        ("general plan never reads the docstore", "docstore" not in pg),
+    ]
+    sections.append(("AND term query (forced general plan)", pg, checks_g))
 
     fetched = search(
         reader,
@@ -110,23 +130,43 @@ def main() -> None:
 
     import re
 
+    # default path: the must_not clause is evaluated inside the leaf kernel
+    # (numpy set difference) — no anti-join, no extra exchange
     neg = search(
         reader, SearchRequest(query="w2 -w5", max_hits=10), fetch_fields=()
     )
     p3n = plan_of(neg)
     checks3n = [
+        ("NOT evaluated in-kernel (join-free plan)", "Join" not in p3n),
+        ("negated term's postings filter pushed alongside",
+         "PushedFilters" in p3n and "w5" in p3n.split("PushedFilters", 1)[1][:400]),
+        ("NOT query never reads positions or docstore",
+         "pos_blocks" not in p3n and "docstore" not in p3n),
+    ]
+    sections.append(("NOT query (leaf-local kernel)", p3n, checks3n))
+
+    # forced general plan: per-clause scoring opt-out — the negated term
+    # decodes docids-only and exclusion is an anti-join
+    neg_g = search(
+        reader,
+        SearchRequest(query="w2 -w5", max_hits=10),
+        fetch_fields=(),
+        leaf_topk=False,
+    )
+    p3g = plan_of(neg_g)
+    checks3g = [
         # must_not-only terms are membership tests: their decode kernel is
         # the 3-arg docids-only one (split_id, term, blocks -> no doc_freq,
         # no tf, no dl/avgdl), the per-clause collector.rs:413-421 opt-out
         ("negated term decodes docids-only (3-arg kernel)",
-         re.search(r"kernel\(split_id#\d+, term#\d+, blocks#\d+\)", p3n)
+         re.search(r"kernel\(split_id#\d+, term#\d+, blocks#\d+\)", p3g)
          is not None),
-        ("positive term still scored (dl/avgdl kernel)", "avgdl#" in p3n),
-        ("exclusion is an anti-join", "LeftAnti" in p3n),
+        ("positive term still scored (dl/avgdl kernel)", "avgdl#" in p3g),
+        ("exclusion is an anti-join", "LeftAnti" in p3g),
     ]
-    sections.append(("NOT query (per-clause scoring opt-out)", p3n, checks3n))
+    sections.append(("NOT query (forced general plan: per-clause opt-out)", p3g, checks3g))
 
-    from quickwit_spark.operators.search import search_aggs
+    from quickwit_spark.operators.search import export_fast_field, search_aggs
 
     ag = search_aggs(
         reader,
@@ -137,10 +177,54 @@ def main() -> None:
     checks4 = [
         # buckets never need BM25: matching runs the scoring opt-out
         ("aggs matching is scoring-free (no avgdl/n_docs)", "avgdl" not in p4 and "n_docs" not in p4),
-        ("aggs docstore restricted by semi-join", "LeftSemi" in p4),
+        # leaf-fields collector: the kernel gathers the agg's columns
+        # split-locally, so the plan has NO docstore scan and NO join —
+        # the first exchange after the kernel is the partial-agg merge
+        ("aggs read fast fields inside the leaf kernel (no docstore scan)", "docstore" not in p4),
+        ("aggs plan is join-free", "Join" not in p4),
         ("aggs never read text or positions", "pos_blocks" not in p4 and '"text"' not in p4),
     ]
-    sections.append(("search aggregation (aggs over matches)", p4, checks4))
+    sections.append(("search aggregation (leaf-fields collector)", p4, checks4))
+
+    # general fallback: a range clause can't leaf-compile, so the agg plan
+    # must restrict the docstore by semi-join instead
+    ag_rng = search_aggs(
+        reader,
+        SearchRequest(query="w0 AND url:[100 TO 900]", max_hits=1),
+        {"langs": {"terms": {"field": "lang", "size": 5}}},
+    )["langs"]
+    p4r = plan_of(ag_rng)
+    checks4r = [
+        ("fallback aggs docstore restricted by semi-join", "LeftSemi" in p4r),
+        ("fallback aggs matching is scoring-free", "avgdl" not in p4r),
+    ]
+    sections.append(("search aggregation (non-leaf fallback: range clause)", p4r, checks4r))
+
+    # match-all + window: one pruned docstore scan, no query evaluation
+    ag_ma = search_aggs(
+        reader,
+        SearchRequest(query="*", max_hits=0, end_timestamp="2023-01-01T10:00:00"),
+        {"langs": {"terms": {"field": "lang", "size": 5}}},
+    )["langs"]
+    p4m = plan_of(ag_ma)
+    checks4m = [
+        ("match-all aggs: no postings scan", "postings" not in p4m),
+        ("match-all aggs: join-free single scan", "Join" not in p4m),
+        ("match-all window pushed into docstore scan",
+         "PushedFilters" in p4m and "ts" in p4m.split("PushedFilters", 1)[1][:400]),
+    ]
+    sections.append(("match-all aggregation (bounded '*')", p4m, checks4m))
+
+    exp = export_fast_field(
+        reader, SearchRequest(query="w0 w3"), "url", partition_by=("tag",)
+    )
+    p5 = plan_of(exp)
+    checks5 = [
+        ("export columns ride the leaf kernel (no docstore scan)", "docstore" not in p5),
+        ("export plan is join-free", "Join" not in p5),
+        ("export postings filter pushed", "PushedFilters" in p5),
+    ]
+    sections.append(("search-stream export (leaf-fields collector)", p5, checks5))
 
     ok_all = True
     lines = ["# Physical-plan audit (generated by tools/explain_audit.py)", ""]
