@@ -44,6 +44,22 @@ def _sub_agg_exprs(sub_aggs) -> list[Column]:
     ]
 
 
+def _count_expr(df: DataFrame) -> Column:
+    """The ``doc_count`` aggregate: COUNT(*) over doc-level rows, or
+    SUM(_w) when the input is pre-aggregated — the leaf-partial protocol:
+    the search kernel's "buckets" collector emits one row per (split,
+    bucket) carrying a representative value and the bucket's weight, and
+    the bucket operators merge partials by re-bucketing the representative
+    (a pure function of the value, so partial and final keys agree) and
+    summing weights — tantivy's leaf-aggregation/root-merge split
+    (collector.rs:458-496)."""
+    return (
+        F.sum("_w").alias("doc_count")
+        if "_w" in df.columns
+        else F.count(F.lit(1)).alias("doc_count")
+    )
+
+
 def histogram(
     df: DataFrame,
     col: str,
@@ -88,7 +104,7 @@ def histogram(
     out = (
         df.filter(F.col(col).isNotNull())
         .groupBy(key.alias("key"))
-        .agg(F.count(F.lit(1)).alias("doc_count"), *_sub_agg_exprs(sub_aggs))
+        .agg(_count_expr(df), *_sub_agg_exprs(sub_aggs))
     )
     if (fill_empty or extended_bounds is not None) and min_doc_count == 0:
         # integer bucket indexes avoid float-sequence drift
@@ -132,7 +148,7 @@ def date_histogram(
     return (
         df.filter(F.col(col).isNotNull())
         .groupBy(key.alias("key"))
-        .agg(F.count(F.lit(1)).alias("doc_count"), *_sub_agg_exprs(sub_aggs))
+        .agg(_count_expr(df), *_sub_agg_exprs(sub_aggs))
         .orderBy("key")
     )
 
@@ -162,11 +178,13 @@ def range_agg(
             cond = cond & (c < F.lit(hi))
         whens = F.when(cond, F.lit(label)) if whens is None else whens.when(cond, F.lit(label))
     needed = sorted({src for _, src in (sub_aggs or {}).values()})
+    if "_w" in df.columns:
+        needed = ["_w", *needed]
     return (
         df.select(whens.alias("range_key"), *[F.col(c) for c in needed])
         .filter(F.col("range_key").isNotNull())
         .groupBy("range_key")
-        .agg(F.count(F.lit(1)).alias("doc_count"), *_sub_agg_exprs(sub_aggs))
+        .agg(_count_expr(df), *_sub_agg_exprs(sub_aggs))
         .orderBy("range_key")
     )
 
@@ -195,7 +213,7 @@ def terms_agg(
     from pyspark.sql.window import Window
 
     grouped = df.groupBy(F.col(col).alias("key")).agg(
-        F.count(F.lit(1)).alias("doc_count"), *_sub_agg_exprs(sub_aggs)
+        _count_expr(df), *_sub_agg_exprs(sub_aggs)
     )
     if include_sum_other:
         grouped = grouped.withColumn(
@@ -260,7 +278,7 @@ def _nested_terms(
     grouped = (
         df.filter(outer_guard & F.col(term_col).isNotNull())
         .groupBy(outer_key.alias("key"), F.col(term_col).alias("term_key"))
-        .agg(F.count(F.lit(1)).alias("doc_count"), *_sub_agg_exprs(sub_aggs))
+        .agg(_count_expr(df), *_sub_agg_exprs(sub_aggs))
     )
     w = Window.partitionBy("key").orderBy(
         F.desc("doc_count"), F.asc("term_key")
@@ -334,7 +352,7 @@ def terms_terms(
         .groupBy(
             F.col(outer_col).alias("key"), F.col(term_col).alias("term_key")
         )
-        .agg(F.count(F.lit(1)).alias("doc_count"), *_sub_agg_exprs(sub_aggs))
+        .agg(_count_expr(df), *_sub_agg_exprs(sub_aggs))
     )
     tot = grouped.withColumn(
         "outer_doc_count", F.sum("doc_count").over(Window.partitionBy("key"))

@@ -762,6 +762,7 @@ def _make_leaf_topk_kernel(
     emit: str = "topk",
     fields: tuple = (),
     field_types: tuple = (),
+    bucket_spec: dict | None = None,
 ):
     """mapInArrow kernel: a whole boolean query tree evaluated SPLIT-LOCALLY,
     emitting only each split's top-k — the reference leaf's architecture
@@ -816,7 +817,17 @@ def _make_leaf_topk_kernel(
         ``field_types``): aggregations and search-stream exports read
         their fast fields in the same pass that matched the docs, so no
         docstore join — the reference leaf's fast-field collector
-        (search_stream/leaf.rs reads fast-field readers inside the leaf).
+        (search_stream/leaf.rs reads fast-field readers inside the leaf);
+      * ``"buckets"`` — per-split PARTIAL bucket counts for one flat
+        count-only bucket aggregation (``bucket_spec``: kind histogram/
+        date_histogram/range/terms + col + params): the kernel buckets
+        the matching docs' fast-field values split-locally and emits one
+        (split_id, representative value, weight) row per bucket — the
+        tantivy leaf-aggregation shape (collector.rs:458-496). Rows
+        crossing python→JVM drop from |matches| to |splits|·|buckets|;
+        the agg operators re-bucket the representative (a pure function
+        of the value, so partial and final keys agree) and SUM the
+        ``_w`` weights.
     """
     import math
 
@@ -1080,6 +1091,73 @@ def _make_leaf_topk_kernel(
                         arr = arr.cast(pa.timestamp("us", arr.type.tz))
                     out_fields[j].append(arr.cast(field_types[j]))
                 continue
+            if emit == "buckets":
+                kind = bucket_spec["kind"]
+                bcol = bucket_spec["col"]
+                if kind == "terms":
+                    arr = _col_for(index_dir, sid, bcol, base_d)
+                    if pa.types.is_timestamp(arr.type):
+                        arr = arr.cast(
+                            pa.timestamp("us", arr.type.tz)
+                        ).cast(field_types[0])
+                    else:
+                        arr = arr.cast(field_types[0])
+                    nn = arr.filter(pc.is_valid(arr))
+                    vc = pc.value_counts(nn)
+                    uk = vc.field("values")
+                    cnt = vc.field("counts").to_numpy(zero_copy_only=False)
+                    if arr.null_count:
+                        # docs without a value form their own bucket, as
+                        # the general plan's groupBy(col) does
+                        uk = pa.concat_arrays(
+                            [uk, pa.array([None], type=uk.type)]
+                        )
+                        cnt = np.append(cnt, arr.null_count)
+                else:
+                    fvals, fvalid, _ = _fast_for(index_dir, sid, bcol, base_d)
+                    v = fvals[fvalid]
+                    if kind == "histogram":
+                        iv = bucket_spec["interval"]
+                        off = bucket_spec["offset"]
+                        # the operator's exact key rule: floor((v-off)/iv)
+                        # *iv+off in float64 — re-bucketing the key is a
+                        # fixed point, so partial and final keys agree
+                        keys = np.floor((v - off) / iv) * iv + off
+                        uk, cnt = np.unique(keys, return_counts=True)
+                    elif kind == "date_histogram":
+                        iv = bucket_spec["interval"]
+                        # v is epoch micros; unix_timestamp = floorDiv 1e6
+                        sec = np.floor_divide(
+                            v.astype(np.int64), 1_000_000
+                        )
+                        keys = np.floor_divide(sec, iv) * iv
+                        uk, cnt = np.unique(keys, return_counts=True)
+                    else:  # range: first-matching-span representative
+                        uk_l: list = []
+                        cnt_l: list = []
+                        free = np.ones(len(v), dtype=bool)
+                        for lo, hi in bucket_spec["spans"]:
+                            m = free.copy()
+                            if lo is not None:
+                                m &= v >= lo
+                            if hi is not None:
+                                m &= v < hi
+                            c = int(m.sum())
+                            if c:
+                                uk_l.append(float(v[m][0]))
+                                cnt_l.append(c)
+                                free &= ~m
+                        uk = np.asarray(uk_l, dtype=np.float64)
+                        cnt = np.asarray(cnt_l, dtype=np.int64)
+                if len(cnt):
+                    out_sid.extend([sid] * len(cnt))
+                    out_fields[0].append(
+                        uk
+                        if isinstance(uk, pa.Array)
+                        else pa.array(uk, type=field_types[0])
+                    )
+                    out_doc.append(np.asarray(cnt, dtype=np.int64))
+                continue
             null_mask = None
             if sort_spec is not None:
                 scol, sorder = sort_spec
@@ -1153,6 +1231,22 @@ def _make_leaf_topk_kernel(
                     cols,
                     names=["split_id", "docid"]
                     + [f"f{j}" for j in range(len(fields))],
+                )
+            elif emit == "buckets":
+                chunks = out_fields[0]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_sid, type=pa.string()),
+                        (
+                            pa.concat_arrays(chunks)
+                            if len(chunks) > 1
+                            else chunks[0]
+                        ),
+                        pa.array(
+                            np.concatenate(out_doc), type=pa.int64()
+                        ),
+                    ],
+                    names=["split_id", "f0", "_w"],
                 )
             else:
                 nulls = np.concatenate(out_null)
@@ -1985,6 +2079,82 @@ class Searcher:
             sel.append(e.alias(c))
         return df.select(*sel)
 
+    # docstore dtypes the bucket-partial kernel accepts per bucket kind:
+    # histogram/range arithmetic needs a numeric column (Spark's own plan
+    # errors on anything else), date_histogram a timestamp, terms anything
+    # wire-repesentable
+    _NUMERIC_DTYPES = frozenset(
+        {"bigint", "int", "smallint", "tinyint", "double", "float"}
+    )
+
+    def leaf_bucket_plan(self, kind: str, col: str):
+        """(spark wire type, arrow wire type, restore) for the bucket
+        partial's representative-value column, or None when the docstore
+        column is absent or the wrong type for ``kind`` (the request then
+        keeps the doc-level path and surfaces Spark's own errors).
+        ``restore`` is "ts_seconds" | "ts_micros" | None."""
+        f = {f.name: f for f in self.reader.docstore().schema.fields}.get(col)
+        if f is None:
+            return None
+        s = f.dataType.simpleString()
+        if kind == "date_histogram":
+            if s != "timestamp":
+                return None
+            return (T.LongType(), pa.int64(), "ts_seconds")
+        if kind in ("histogram", "range"):
+            if s not in self._NUMERIC_DTYPES:
+                return None
+            return (T.DoubleType(), pa.float64(), None)
+        wire = _LEAF_FIELD_WIRE.get(s)  # terms
+        if wire is None:
+            return None
+        return (wire[0], wire[1], "ts_micros" if s == "timestamp" else None)
+
+    def leaf_bucket_partials(
+        self,
+        spec: dict,
+        split_ids: list[str],
+        ts_bounds: tuple | None,
+        kind: str,
+        col: str,
+        params: dict,
+    ) -> DataFrame:
+        """Per-split PARTIAL buckets (split_id, <col> representative, _w)
+        of one flat count-only bucket aggregation over the docs matching
+        ``spec`` — the tantivy leaf-aggregation/root-merge protocol
+        (collector.rs:458-496): the kernel buckets each split's matching
+        fast-field values locally, so only |splits|·|buckets| rows leave
+        Python and the downstream operator merges by re-bucketing the
+        representative with doc_count = SUM(_w)."""
+        plan = self.leaf_bucket_plan(kind, col)
+        if plan is None:
+            raise ValueError(f"{col!r} not bucket-partialable for {kind}")
+        stype, atype, restore = plan
+        schema = T.StructType(
+            [
+                T.StructField("split_id", T.StringType()),
+                T.StructField("f0", stype),
+                T.StructField("_w", T.LongType()),
+            ]
+        )
+        df = self._leaf_kernel_df(
+            spec,
+            split_ids,
+            0,
+            ts_bounds=ts_bounds,
+            emit="buckets",
+            schema=schema,
+            fields=(col,),
+            field_types=(atype,),
+            bucket_spec={"kind": kind, "col": col, **params},
+        )
+        e = F.col("f0")
+        if restore == "ts_seconds":
+            e = F.timestamp_seconds(e)
+        elif restore == "ts_micros":
+            e = F.timestamp_micros(e)
+        return df.select("split_id", e.alias(col), "_w")
+
     def leaf_count(
         self,
         spec: dict,
@@ -2016,6 +2186,7 @@ class Searcher:
         schema: T.StructType = LEAF_TOPK_SCHEMA,
         fields: tuple = (),
         field_types: tuple = (),
+        bucket_spec: dict | None = None,
     ) -> DataFrame:
         """Shared leaf-kernel runner: query-term postings scan, repartition
         by split so one task owns each split's terms, whole-tree kernel."""
@@ -2048,6 +2219,7 @@ class Searcher:
                 emit=emit,
                 fields=fields,
                 field_types=field_types,
+                bucket_spec=bucket_spec,
             ),
             schema,
         )
@@ -3529,6 +3701,8 @@ def search_aggs(
     ``a.b`` paths."""
     from quickwit_spark.plans.agg_request import (
         collect_agg_fields,
+        compile_one,
+        partial_bucket_spec,
         run_agg_request,
     )
 
@@ -3562,23 +3736,53 @@ def search_aggs(
     )
     if not (isinstance(ast, MatchAll) and not bounded):
         if leaf_match is not False:
-            # leaf-fields fast path: the kernel gathers the request's
-            # columns split-locally alongside the match, so the docstore is
-            # never scanned or joined — the only shuffle left is Catalyst's
-            # partial-agg merge at |splits|·|buckets| rows
             spec, ts = _leaf_match_plan(
                 reader, searcher, ast, split_ids, request
             )
-            if spec is not None:
+            if spec is not None and isinstance(aggs, dict) and aggs:
+                results: dict = {}
+                rest: dict = {}
+                for name, aspec in aggs.items():
+                    # deepest fast path first: a flat count-only bucket
+                    # agg is computed as per-split PARTIAL buckets inside
+                    # the kernel — |splits|·|buckets| rows leave Python
+                    pb = partial_bucket_spec(name, aspec, field_map=fmap)
+                    if pb is not None and searcher.leaf_bucket_plan(
+                        pb[0], pb[1]
+                    ):
+                        kind, col, params = pb
+                        pdf = searcher.leaf_bucket_partials(
+                            spec, split_ids, ts, kind, col, params
+                        )
+                        results[name] = compile_one(name, aspec, fmap)(pdf)
+                    else:
+                        rest[name] = aspec
+                if not rest:
+                    return results
+                # leaf-fields path for the remainder: the kernel gathers
+                # the request's columns split-locally alongside the match,
+                # so the docstore is never scanned or joined
                 try:
-                    cols = collect_agg_fields(aggs, field_map=fmap)
+                    cols = collect_agg_fields(rest, field_map=fmap)
                 except ValueError:
                     cols = None  # malformed: general path raises canonically
                 if cols is not None and searcher.leaf_fields_plan(cols):
                     docs = searcher.leaf_matching_fields(
                         spec, split_ids, ts, cols
                     )
-                    return run_agg_request(docs, aggs, field_map=fmap)
+                    results.update(
+                        run_agg_request(docs, rest, field_map=fmap)
+                    )
+                    return results
+                m = _matching_or_leaf(
+                    reader, searcher, ast, split_ids, request
+                )
+                docs = reader.docstore().filter(
+                    F.col("split_id").isin(split_ids)
+                )
+                docs = docs.join(m, ["split_id", "docid"], "left_semi")
+                results.update(run_agg_request(docs, rest, field_map=fmap))
+                return results
         m = _matching_or_leaf(
             reader, searcher, ast, split_ids, request, leaf_match=leaf_match
         )

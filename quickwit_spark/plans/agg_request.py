@@ -310,6 +310,53 @@ def collect_agg_fields(
     return list(dict.fromkeys(out))
 
 
+def partial_bucket_spec(
+    name: str, spec: dict, field_map: "dict[str, str] | None" = None
+):
+    """``(kind, mapped_col, params)`` when the named aggregation is a flat
+    COUNT-ONLY bucket aggregation whose per-split partials merge exactly by
+    re-bucketing a representative value with summed weights (the leaf
+    kernel's "buckets" collector + the operators' ``_w`` protocol);
+    ``None`` when the request needs doc-level rows (metric/nested children,
+    metric kinds, histogram hard_bounds which filter RAW values) or is
+    malformed (compilation raises the canonical error)."""
+    try:
+        kind = _agg_kind(spec, name)
+        if kind not in _BUCKET_KINDS or _children(spec):
+            return None
+        params = spec[kind]
+        col = _field(params, field_map, kind)
+        if kind == "histogram":
+            if params.get("hard_bounds") is not None:
+                return None
+            return (
+                "histogram",
+                col,
+                {
+                    "interval": float(params["interval"]),
+                    "offset": float(params.get("offset", 0.0)),
+                },
+            )
+        if kind == "date_histogram":
+            if "fixed_interval" not in params:
+                return None
+            secs = parse_fixed_interval(params["fixed_interval"])
+            if secs <= 0 or secs != int(secs):
+                return None
+            return ("date_histogram", col, {"interval": int(secs)})
+        if kind == "range":
+            spans = [
+                (r.get("from"), r.get("to"))
+                for r in params.get("ranges", [])
+            ]
+            if not spans:
+                return None
+            return ("range", col, {"spans": spans})
+        return ("terms", col, {})
+    except ValueError:
+        return None
+
+
 def run_agg_request(
     df: DataFrame, aggs: dict, field_map: "dict[str, str] | None" = None
 ) -> "dict[str, DataFrame]":

@@ -126,15 +126,22 @@ def test_count_plan_rows_are_per_split(small_index):
 
 @pytest.fixture
 def fields_spy(monkeypatch):
-    """Record leaf_matching_fields invocations (the no-join fast path)."""
+    """Record the no-join fast paths: ("fields", ...) for the leaf-fields
+    collector, ("buckets", ...) for the deeper bucket-partial collector."""
     calls: list = []
-    orig = Searcher.leaf_matching_fields
+    orig_f = Searcher.leaf_matching_fields
+    orig_b = Searcher.leaf_bucket_partials
 
-    def spy(self, *a, **k):
-        calls.append(a)
-        return orig(self, *a, **k)
+    def spy_f(self, *a, **k):
+        calls.append(("fields", *a))
+        return orig_f(self, *a, **k)
 
-    monkeypatch.setattr(Searcher, "leaf_matching_fields", spy)
+    def spy_b(self, *a, **k):
+        calls.append(("buckets", *a))
+        return orig_b(self, *a, **k)
+
+    monkeypatch.setattr(Searcher, "leaf_matching_fields", spy_f)
+    monkeypatch.setattr(Searcher, "leaf_bucket_partials", spy_b)
     return calls
 
 
@@ -261,3 +268,92 @@ def test_matchall_export_no_join(small_index):
     )
     plan = leaf._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+# ---- leaf bucket partials: flat count-only aggs at |splits|*|buckets| ----
+
+
+PARTIAL_SHAPES = [
+    {"langs": {"terms": {"field": "lang", "size": 3}}},
+    {"langs_all": {"terms": {"field": "lang", "size": 10,
+                             "order": {"_key": "asc"}}}},
+    {"by_len": {"histogram": {"field": "doc_len", "interval": 25.0,
+                              "offset": 5.0}}},
+    {"by_len_ext": {"histogram": {"field": "doc_len", "interval": 40.0,
+                                  "extended_bounds": {"min": 0,
+                                                      "max": 400}}}},
+    {"over_time": {"date_histogram": {"field": "ts",
+                                      "fixed_interval": "45m"}}},
+    {"len_rng": {"range": {"field": "doc_len",
+                           "ranges": [{"to": 60}, {"from": 60, "to": 120},
+                                      {"from": 120, "key": "big"}]}}},
+]
+
+
+@pytest.mark.parametrize("aggs", PARTIAL_SHAPES)
+def test_bucket_partials_taken_and_match_general(small_index, fields_spy, aggs):
+    req = SearchRequest(query="w1 OR w4", max_hits=0)
+    leaf = search_aggs(small_index, req, aggs)
+    assert fields_spy and all(c[0] == "buckets" for c in fields_spy), (
+        "bucket-partial path was not taken: %r" % [c[0] for c in fields_spy]
+    )
+    gen = search_aggs(small_index, req, aggs, leaf_match=False)
+    for name in aggs:
+        cols = leaf[name].columns
+        assert cols == gen[name].columns
+        lrows = leaf[name].orderBy(*cols).collect()
+        grows = gen[name].orderBy(*cols).collect()
+        assert lrows == grows
+        assert lrows
+
+
+def test_bucket_partials_row_volume(small_index):
+    """The partial DF itself carries at most |splits|*|buckets| rows."""
+    s = Searcher(small_index, scoring=False)
+    sids = [m.split_id for m in small_index.manifest.list_published()]
+    spec = s.leaf_plan(parse_query("w1 OR w2"), allow_phrase=True)
+    pdf = s.leaf_bucket_partials(spec, sids, None, "terms", "tag", {})
+    rows = pdf.collect()
+    n_buckets = len({r["tag"] for r in rows})
+    assert 0 < len(rows) <= len(sids) * n_buckets
+    assert sum(r["_w"] for r in rows) == _count(small_index, "w1 OR w2")[1]
+
+
+def test_mixed_partial_and_fields_request(small_index, fields_spy):
+    """One request mixing a partial-eligible agg with a metric-child agg
+    must route each to its own collector and return both results."""
+    aggs = {
+        "langs": {"terms": {"field": "lang", "size": 10}},
+        "len_stats": {"terms": {"field": "lang", "size": 10},
+                      "aggs": {"s": {"avg": {"field": "doc_len"}}}},
+    }
+    req = SearchRequest(query="w1 OR w4", max_hits=0)
+    leaf = search_aggs(small_index, req, aggs)
+    kinds = {c[0] for c in fields_spy}
+    assert kinds == {"buckets", "fields"}
+    gen = search_aggs(small_index, req, aggs, leaf_match=False)
+    for name in aggs:
+        lrows = [r.asDict() for r in leaf[name].orderBy("key").collect()]
+        grows = [r.asDict() for r in gen[name].orderBy("key").collect()]
+        assert len(lrows) == len(grows) and lrows
+        for lr, gr in zip(lrows, grows):
+            for k, lv in lr.items():
+                gv = gr[k]
+                if isinstance(lv, float):
+                    assert lv == pytest.approx(gv, rel=1e-9)
+                else:
+                    assert lv == gv
+
+
+def test_bucket_partials_hard_bounds_stays_doc_level(small_index, fields_spy):
+    """hard_bounds filters RAW values — re-bucketing representatives would
+    mis-filter, so the request must keep a doc-level collector."""
+    aggs = {"h": {"histogram": {"field": "doc_len", "interval": 40.0,
+                                "hard_bounds": {"min": 50, "max": 200}}}}
+    req = SearchRequest(query="w1 OR w4", max_hits=0)
+    leaf = search_aggs(small_index, req, aggs)["h"].orderBy("key").collect()
+    assert all(c[0] == "fields" for c in fields_spy) and fields_spy
+    gen = search_aggs(
+        small_index, req, aggs, leaf_match=False
+    )["h"].orderBy("key").collect()
+    assert leaf == gen and leaf

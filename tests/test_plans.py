@@ -125,9 +125,10 @@ def test_minhash_lsh_verify_is_candidate_restricted(spark):
 
 
 def test_search_aggs_plan_shape(small_index):
-    """Aggs-over-matches must be the scoring-free matching plan (buckets
-    never need BM25) plus one docstore LeftSemi join; match-all with no
-    bounds skips the join entirely and aggregates the docstore scan."""
+    """Aggs-over-matches on a leaf-compiling query run the leaf-fields
+    collector: scoring-free, join-free, no docstore scan (fast fields are
+    gathered inside the kernel). The forced general plan keeps the
+    docstore LeftSemi join; match-all aggregates one docstore scan."""
     from quickwit_spark.operators.search import search_aggs
 
     req = {"langs": {"terms": {"field": "lang", "size": 5}}}
@@ -135,12 +136,23 @@ def test_search_aggs_plan_shape(small_index):
         search_aggs(small_index, SearchRequest(query="w0 w3", max_hits=1), req)["langs"]
     )
     assert "avgdl" not in p and "n_docs" not in p
-    assert "LeftSemi" in p
+    assert "Join" not in p and "docstore" not in p
     assert "pos_blocks" not in p
+    p_gen = _plan(
+        search_aggs(
+            small_index,
+            SearchRequest(query="w0 w3", max_hits=1),
+            req,
+            leaf_match=False,
+        )["langs"]
+    )
+    assert "avgdl" not in p_gen and "n_docs" not in p_gen
+    assert "LeftSemi" in p_gen
     p_all = _plan(
         search_aggs(small_index, SearchRequest(query="*", max_hits=1), req)["langs"]
     )
     assert "LeftSemi" not in p_all and "Join" not in p_all
+    assert "postings" not in p_all  # match-all never evaluates a query
 
 
 def test_all_pruned_search_keeps_fetch_schema(small_index):
