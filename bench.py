@@ -149,6 +149,30 @@ def main() -> None:
         best = min(best, time.time() - t0)
     timings["q_count"] = round(best, 3)
     lat.append(timings["q_count"])
+    # analytics shapes: a date_histogram over the matches of a term query
+    # (leaf bucket partials) and a fast-field stream export (leaf-fields
+    # collector) — the reference's aggregation + search-stream surfaces
+    from quickwit_spark.operators.search import export_fast_field, search_aggs
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        search_aggs(
+            reader,
+            SearchRequest(query="w0", max_hits=0),
+            {"t": {"date_histogram": {"field": "warc_ts",
+                                      "fixed_interval": "1d"}}},
+        )["t"].collect()
+        best = min(best, time.time() - t0)
+    timings["q_agg_datehist"] = round(best, 3)
+    lat.append(timings["q_agg_datehist"])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        export_fast_field(reader, SearchRequest(query="w3 w7"), "url").count()
+        best = min(best, time.time() - t0)
+    timings["q_export"] = round(best, 3)
+    lat.append(timings["q_export"])
 
     # value = build + warmup + one pass of reported (warmed) query latencies
     # — NOT wall-clock, which would double-count the per-query warm runs.
