@@ -25,6 +25,7 @@ from quickwit_spark.operators.search import (
     SearchRequest,
     count_hits,
     search,
+    search_aggs,
 )
 from quickwit_spark.sources.pages import synth_pages
 
@@ -82,7 +83,8 @@ def big(spark, tmp_path_factory):
     con = duckdb.connect()
     con.execute(
         f"""CREATE TABLE d AS
-        SELECT url, (rid % {N_SPLITS}) AS split_id, {TOKENIZE} AS toks,
+        SELECT url, warc_ts, lang,
+               (rid % {N_SPLITS}) AS split_id, {TOKENIZE} AS toks,
                len({TOKENIZE}) AS dl
         FROM read_parquet('{src}/*.parquet')"""
     )
@@ -268,3 +270,47 @@ def test_count_and_export_parity(big):
         " AND list_contains(toks, 'w1')"
     ).fetchone()[0]
     assert n == exp > 0
+
+
+def test_agg_bucket_partials_parity(big):
+    """Aggregations through the leaf bucket-partial collector at 1M docs /
+    64 splits vs DuckDB: date_histogram buckets span many posting blocks
+    per split, so a block-boundary bug in the partial counts shows here
+    where the 600-doc batteries can't reach."""
+    reader, con = big
+    aggs = {
+        "t": {"date_histogram": {"field": "warc_ts",
+                                 "fixed_interval": "1d"}},
+        "lg": {"terms": {"field": "lang", "size": 10}},
+    }
+    got = search_aggs(reader, SearchRequest(query="w0", max_hits=0), aggs)
+    t_rows = [
+        (r["key"], r["doc_count"])
+        for r in got["t"].orderBy("key").collect()
+    ]
+    exp_t = con.execute(
+        """SELECT CAST(floor(epoch(warc_ts)/86400)*86400 AS BIGINT) AS key,
+                  count(*) AS n
+           FROM d WHERE list_contains(toks, 'w0')
+           GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    assert t_rows == [(k, n) for k, n in exp_t]
+    assert len(t_rows) > 1
+
+    lg_rows = [
+        (r["key"], r["doc_count"], r["sum_other_doc_count"])
+        for r in got["lg"].orderBy(
+            F.desc("doc_count"), F.asc("key")
+        ).collect()
+    ]
+    exp_lg = con.execute(
+        """SELECT lang, count(*) AS n
+           FROM d WHERE list_contains(toks, 'w0')
+           GROUP BY 1 ORDER BY n DESC, lang ASC LIMIT 10"""
+    ).fetchall()
+    total = con.execute(
+        "SELECT count(*) FROM d WHERE list_contains(toks, 'w0')"
+    ).fetchone()[0]
+    other = total - sum(n for _, n in exp_lg)
+    assert [(k, n) for k, n, _ in lg_rows] == [(k, n) for k, n in exp_lg]
+    assert all(o == other for _, _, o in lg_rows)
