@@ -3335,15 +3335,31 @@ def search_many(
                 "score", F.col("_sort").cast("double")
             ).drop("_sort")
         # one ascending window order serves both sort orders: rank by the
-        # sign-flipped score for desc, the raw score for asc
-        sign = -1.0 if req.sort_order == "desc" else 1.0
+        # sign-flipped score for desc, the raw score for asc. Null/NaN
+        # placement must replicate Spark's orderBy per DIRECTION (asc =
+        # nulls first then values then NaN; desc = NaN first then values
+        # then nulls — the reference's u64 sort encoding does the same),
+        # which a bare sign flip inverts: encode the group explicitly.
+        asc = req.sort_order == "asc"
+        sign = 1.0 if asc else -1.0
+        is_null = F.col("score").isNull()
+        is_nan = ~is_null & F.isnan(F.col("score"))
+        grp = (
+            F.when(is_null, F.lit(0 if asc else 2))
+            .when(is_nan, F.lit(2 if asc else 0))
+            .otherwise(F.lit(1))
+        )
+        ordv = F.when(is_null | is_nan, F.lit(0.0)).otherwise(
+            F.col("score") * F.lit(sign)
+        )
         parts.append(
             m.select(
                 F.lit(qid).alias("query_id"),
                 "split_id",
                 "docid",
                 "score",
-                (F.col("score") * F.lit(sign)).alias("_ord"),
+                grp.alias("_grp"),
+                ordv.alias("_ord"),
                 F.lit(req.max_hits + req.start_offset).alias("_k"),
                 F.lit(req.start_offset).alias("_off"),
             )
@@ -3362,7 +3378,7 @@ def search_many(
         for p in parts[1:]:
             allm = allm.unionByName(p)
         w = Window.partitionBy("query_id").orderBy(
-            F.asc("_ord"), F.asc("split_id"), F.asc("docid")
+            F.asc("_grp"), F.asc("_ord"), F.asc("split_id"), F.asc("docid")
         )
         rows = (
             allm.withColumn("_rn", F.row_number().over(w))

@@ -109,3 +109,25 @@ def test_sorted_leaf_plan_has_no_join(nullable_sort_index):
     assert "MapInArrow" in p
     assert "Join" not in p
     assert p.count("Exchange") <= 2
+
+
+@pytest.mark.parametrize("order", ["asc", "desc"])
+def test_search_many_null_sort_matches_search(nullable_sort_index, order):
+    """search_many's windowed rank must place null sort values exactly as
+    search() does (asc = nulls first, desc = nulls last — the sign-flip
+    trick alone inverts desc null placement; regression for that bug)."""
+    from quickwit_spark.operators.search import search_many
+
+    req = SearchRequest(
+        query="w1 OR w4", max_hits=25, sort_by_field="rank", sort_order=order
+    )
+    single = _rows(nullable_sort_index, req)
+    many = [
+        (r["split_id"], r["docid"], r["score"])
+        for r in search_many(
+            nullable_sort_index, {"a": req}, fetch_fields=()
+        ).collect()
+    ]
+    assert single == many
+    if order == "desc":
+        assert all(s is not None for _, _, s in many)  # nulls ranked last
