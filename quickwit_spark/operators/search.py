@@ -3321,19 +3321,35 @@ def search_many(
         split_ids = [m.split_id for m in splits]
         if not split_ids:
             continue
-        m = searcher.matching(
-            ast, split_ids, req.start_timestamp, req.end_timestamp
+        spec, lts, lsort = _leaf_topk_gate(
+            reader, searcher, ast, split_ids, req
         )
-        if req.sort_by_field and req.sort_by_field != "_score":
-            ff = searcher.fast_fields.get(
-                req.sort_by_field, req.sort_by_field
+        if spec is not None:
+            # this lane rides the leaf-local top-k kernel: per-split trim
+            # at max_hits+offset means the lane contributes |splits|·k
+            # rows to the batch window instead of |matches|
+            m = searcher.scored_topk_leaf(
+                spec,
+                split_ids,
+                req.max_hits + req.start_offset,
+                ts_bounds=lts,
+                sort_spec=lsort,
+                order=req.sort_order,
             )
-            docs = reader.docstore().select(
-                "split_id", "docid", F.col(ff).alias("_sort")
+        else:
+            m = searcher.matching(
+                ast, split_ids, req.start_timestamp, req.end_timestamp
             )
-            m = m.join(docs, ["split_id", "docid"]).withColumn(
-                "score", F.col("_sort").cast("double")
-            ).drop("_sort")
+            if req.sort_by_field and req.sort_by_field != "_score":
+                ff = searcher.fast_fields.get(
+                    req.sort_by_field, req.sort_by_field
+                )
+                docs = reader.docstore().select(
+                    "split_id", "docid", F.col(ff).alias("_sort")
+                )
+                m = m.join(docs, ["split_id", "docid"]).withColumn(
+                    "score", F.col("_sort").cast("double")
+                ).drop("_sort")
         # one ascending window order serves both sort orders: rank by the
         # sign-flipped score for desc, the raw score for asc. Null/NaN
         # placement must replicate Spark's orderBy per DIRECTION (asc =
@@ -3470,6 +3486,58 @@ def _leaf_match_plan(
             _ts_micros(reader.spark, request.end_timestamp, is_start=False),
         )
     return spec, ts
+
+
+def _leaf_topk_gate(
+    reader: IndexReader,
+    searcher: "Searcher",
+    ast: Node,
+    split_ids: list[str],
+    request: SearchRequest,
+) -> tuple:
+    """(spec, ts_bounds, sort_spec) for the leaf-local TOP-K kernel, or
+    (None, None, None) when the request needs the general plan — the same
+    soundness conditions search() applies inline: every pruned split on the
+    latest config generation, fast non-text sort columns only (Spark
+    cast-to-double semantics), phrases only when every split stores
+    positions. Used by the batched search_many so each lane rides the same
+    kernel as a single search()."""
+    smap = reader.stats_map()
+    latest_gen = max(reader.manifest.config_generations() or [0])
+    if {
+        int(smap.get(sid, {}).get("config_generation") or 0)
+        for sid in split_ids
+    } - {latest_gen}:
+        return None, None, None
+    leaf_sort = None
+    if request.sort_by_field not in (None, "_score"):
+        scol = searcher.fast_fields.get(
+            request.sort_by_field, request.sort_by_field
+        )
+        try:
+            sdt = dict(reader.docstore().dtypes).get(scol)
+        except Exception:  # noqa: BLE001 — no docstore files yet
+            sdt = None
+        if sdt not in _LEAF_SORTABLE_DTYPES:
+            return None, None, None
+        leaf_sort = (scol, request.sort_order)
+    leaf_ts = None
+    if (
+        request.start_timestamp is not None
+        or request.end_timestamp is not None
+    ):
+        leaf_ts = (
+            _ts_micros(reader.spark, request.start_timestamp, is_start=True),
+            _ts_micros(reader.spark, request.end_timestamp, is_start=False),
+        )
+    allow_phrase = searcher.record == "position" and all(
+        smap.get(sid, {}).get("record", "freq") == "position"
+        for sid in split_ids
+    )
+    spec = searcher.leaf_plan(ast, allow_phrase=allow_phrase)
+    if spec is None:
+        return None, None, None
+    return spec, leaf_ts, leaf_sort
 
 
 def _matching_or_leaf(
