@@ -198,6 +198,7 @@ def terms_agg(
     sub_aggs=None,
     include_sum_other: bool = False,
     min_doc_count: int = 1,
+    universe: "DataFrame | None" = None,
 ) -> DataFrame:
     """Terms bucket agg: top ``size`` values ordered by doc_count, key, or a
     metric sub-agg (aggregation.md:430-451 "order by sub-aggregation"), key
@@ -206,15 +207,23 @@ def terms_agg(
     computes global counts with no per-shard truncation (the reference's
     doc_count_error_upper_bound is therefore always 0 and omitted).
     ``min_doc_count`` drops buckets below the threshold (aggregation.md:421-426,
-    default 1); dropped buckets still count toward ``sum_other_doc_count``,
-    the ES accounting. (min_doc_count=0 — "every term in the field even with
-    no matching doc" — needs the split term dictionaries, not the matching
-    docs: compose list_terms with a left join for that case.)"""
+    default 1). ``min_doc_count=0`` — "every term in the field even with no
+    matching doc" — needs a key universe beyond the matching docs: pass
+    ``universe`` (any DataFrame holding ``col`` over the pruned splits, the
+    split term-dictionary analog) and zero-count buckets fill in AFTER the
+    aggregation (a distinct + left join on the tiny bucket set, never on
+    the data)."""
     from pyspark.sql.window import Window
 
     grouped = df.groupBy(F.col(col).alias("key")).agg(
         _count_expr(df), *_sub_agg_exprs(sub_aggs)
     )
+    if min_doc_count == 0 and universe is not None:
+        keys = universe.select(F.col(col).alias("key")).distinct()
+        grouped = (
+            keys.join(grouped, "key", "left")
+            .withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
+        )
     if include_sum_other:
         grouped = grouped.withColumn(
             "_total", F.sum("doc_count").over(Window.partitionBy())

@@ -3564,6 +3564,15 @@ def _matching_or_leaf(
     ).select("split_id", "docid")
 
 
+def _agg_universe(reader: IndexReader, split_ids: list[str]) -> DataFrame:
+    """The pruned splits' full docstore scan — the split term-dictionary
+    analog that ``terms``/``min_doc_count: 0`` fills zero-count buckets
+    from (tantivy's term dict is segment-level, independent of the query or
+    its time window). Lazy: only a terms/mdc=0 plan ever executes it, as a
+    DISTINCT over one column of the pruned scan."""
+    return reader.docstore().filter(F.col("split_id").isin(split_ids))
+
+
 def _matchall_docs(
     reader: IndexReader, split_ids: list[str], request: SearchRequest
 ) -> DataFrame:
@@ -3813,7 +3822,9 @@ def search_aggs(
         # pruned docstore scan with the window pushed to parquet, no
         # matching join at all
         docs = _matchall_docs(reader, split_ids, request)
-        return run_agg_request(docs, aggs, field_map=fmap)
+        return run_agg_request(
+            docs, aggs, field_map=fmap, universe=_agg_universe(reader, split_ids)
+        )
     bounded = (
         request.start_timestamp is not None
         or request.end_timestamp is not None
@@ -3838,7 +3849,12 @@ def search_aggs(
                         pdf = searcher.leaf_bucket_partials(
                             spec, split_ids, ts, kind, col, params
                         )
-                        results[name] = compile_one(name, aspec, fmap)(pdf)
+                        results[name] = compile_one(
+                            name,
+                            aspec,
+                            fmap,
+                            universe=_agg_universe(reader, split_ids),
+                        )(pdf)
                     else:
                         rest[name] = aspec
                 if not rest:
@@ -3855,7 +3871,12 @@ def search_aggs(
                         spec, split_ids, ts, cols
                     )
                     results.update(
-                        run_agg_request(docs, rest, field_map=fmap)
+                        run_agg_request(
+                            docs,
+                            rest,
+                            field_map=fmap,
+                            universe=_agg_universe(reader, split_ids),
+                        )
                     )
                     return results
                 m = _matching_or_leaf(
@@ -3865,7 +3886,14 @@ def search_aggs(
                     F.col("split_id").isin(split_ids)
                 )
                 docs = docs.join(m, ["split_id", "docid"], "left_semi")
-                results.update(run_agg_request(docs, rest, field_map=fmap))
+                results.update(
+                    run_agg_request(
+                        docs,
+                        rest,
+                        field_map=fmap,
+                        universe=_agg_universe(reader, split_ids),
+                    )
+                )
                 return results
         m = _matching_or_leaf(
             reader, searcher, ast, split_ids, request, leaf_match=leaf_match
@@ -3874,7 +3902,9 @@ def search_aggs(
         docs = docs.join(m, ["split_id", "docid"], "left_semi")
     else:
         docs = reader.docstore().filter(F.col("split_id").isin(split_ids))
-    return run_agg_request(docs, aggs, field_map=fmap)
+    return run_agg_request(
+        docs, aggs, field_map=fmap, universe=_agg_universe(reader, split_ids)
+    )
 
 
 def count_hits(

@@ -124,8 +124,12 @@ def _field(spec: dict, field_map, kind: str) -> str:
     return (field_map or {}).get(f, f)
 
 
-def compile_one(name: str, spec: dict, field_map=None):
-    """One named aggregation -> ``df -> DataFrame`` plan function."""
+def compile_one(name: str, spec: dict, field_map=None, universe=None):
+    """One named aggregation -> ``df -> DataFrame`` plan function.
+    ``universe`` (optional): a DataFrame holding the request's columns over
+    ALL docs of the pruned splits — the split term-dictionary analog that
+    ``terms`` with ``min_doc_count: 0`` fills its zero-count buckets from
+    (aggregation.md:421-426); ignored by every other shape."""
     kind = _agg_kind(spec, name)
     params = spec[kind]
     sub = _children(spec)
@@ -282,6 +286,7 @@ def compile_one(name: str, spec: dict, field_map=None):
         sub_aggs=metrics or None,
         include_sum_other=True,  # always present in the ES response
         min_doc_count=mdc,
+        universe=universe,
     )
 
 
@@ -358,15 +363,20 @@ def partial_bucket_spec(
 
 
 def run_agg_request(
-    df: DataFrame, aggs: dict, field_map: "dict[str, str] | None" = None
+    df: DataFrame,
+    aggs: dict,
+    field_map: "dict[str, str] | None" = None,
+    universe: "DataFrame | None" = None,
 ) -> "dict[str, DataFrame]":
     """Execute a full ``aggs`` request object over ``df``; returns one
     DataFrame per named top-level aggregation (rows = buckets, or the single
     metric row). ``field_map`` rewrites request field names onto DataFrame
-    columns (e.g. the index's timestamp_field -> the docstore's ``ts``)."""
+    columns (e.g. the index's timestamp_field -> the docstore's ``ts``);
+    ``universe`` feeds ``terms``/``min_doc_count: 0`` zero-count buckets
+    (see compile_one)."""
     if not isinstance(aggs, dict) or not aggs:
         raise ValueError("aggs must be a non-empty object of named aggs")
     return {
-        name: compile_one(name, spec, field_map)(df)
+        name: compile_one(name, spec, field_map, universe=universe)(df)
         for name, spec in aggs.items()
     }

@@ -357,3 +357,23 @@ def test_bucket_partials_hard_bounds_stays_doc_level(small_index, fields_spy):
         small_index, req, aggs, leaf_match=False
     )["h"].orderBy("key").collect()
     assert leaf == gen and leaf
+
+
+def test_terms_min_doc_count_zero_universe(small_index):
+    """terms/min_doc_count:0 returns every value in the pruned splits'
+    dictionary (aggregation.md:421-426), zero-count buckets included —
+    through both the bucket-partial and the forced-general plan."""
+    aggs = {"lg": {"terms": {"field": "lang", "size": 10,
+                             "min_doc_count": 0}}}
+    # needleone matches only a handful of docs (all lang=en in the synth
+    # corpus), so the other languages appear as zero-count buckets
+    req = SearchRequest(query="needleone", max_hits=0)
+    leaf = search_aggs(small_index, req, aggs)["lg"].orderBy("key").collect()
+    gen = search_aggs(
+        small_index, req, aggs, leaf_match=False
+    )["lg"].orderBy("key").collect()
+    assert leaf == gen
+    keys = {r["key"]: r["doc_count"] for r in leaf}
+    assert set(keys) == {"en", "de", "fr", "es", "zh"}
+    assert sum(v for v in keys.values()) > 0  # the needle matched
+    assert sum(1 for v in keys.values() if v == 0) >= 3  # dictionary fill
