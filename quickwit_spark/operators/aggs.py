@@ -92,13 +92,20 @@ def histogram(
             "extended_bounds cannot be set with min_doc_count > 0 "
             "(the extension's empty buckets would never be returned)"
         )
+    # the reference's datetime histogram IS this aggregation over a
+    # datetime field with the interval in MICROSECONDS and epoch-micros
+    # bucket keys (aggregation.md:121-146) — a timestamp column enters the
+    # key arithmetic as unix_micros
+    vcol = F.col(col)
+    if df.select(vcol).schema[0].dataType.simpleString() == "timestamp":
+        vcol = F.unix_micros(F.col(col)).cast("double")
     if hard_bounds is not None:
         df = df.filter(
-            (F.col(col) >= F.lit(hard_bounds[0]))
-            & (F.col(col) <= F.lit(hard_bounds[1]))
+            (vcol >= F.lit(hard_bounds[0]))
+            & (vcol <= F.lit(hard_bounds[1]))
         )
     key = (
-        F.floor((F.col(col) - F.lit(offset)) / F.lit(interval)) * F.lit(interval)
+        F.floor((vcol - F.lit(offset)) / F.lit(interval)) * F.lit(interval)
         + F.lit(offset)
     ).cast("double")
     out = (

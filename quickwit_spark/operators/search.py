@@ -2101,7 +2101,15 @@ class Searcher:
             if s != "timestamp":
                 return None
             return (T.LongType(), pa.int64(), "ts_seconds")
-        if kind in ("histogram", "range"):
+        if kind == "histogram":
+            # a timestamp column buckets over epoch MICROS (the reference's
+            # datetime histogram, aggregation.md:121-146); the partial's
+            # representative stays a double-micros value, which the
+            # operator's numeric path re-buckets identically
+            if s != "timestamp" and s not in self._NUMERIC_DTYPES:
+                return None
+            return (T.DoubleType(), pa.float64(), None)
+        if kind == "range":
             if s not in self._NUMERIC_DTYPES:
                 return None
             return (T.DoubleType(), pa.float64(), None)
@@ -3782,11 +3790,21 @@ def search_aggs(
     "max_hits": 0, "aggs": {...}`` is the canonical analytics request
     (aggregation.md:39-59).
 
-    Plan shape: scoring opt-out matching (docids only — buckets never need
-    BM25), one semi-join onto the docstore's fast-field columns, then each
-    named aggregation is one groupBy (Catalyst's partial+final aggregation =
-    the reference's leaf/root merge). Match-all with no timestamp bounds
-    skips the semi-join entirely and aggregates the pruned docstore scan.
+    Plan routing, deepest collector first (every tier is scoring-free —
+    buckets never need BM25):
+      1. flat count-only bucket aggs on a leaf-compiling query → per-split
+         PARTIAL buckets inside the matching kernel (|splits|·|buckets|
+         rows leave Python; the operator merges by re-bucketing
+         representatives with SUM(_w));
+      2. other aggs on a leaf-compiling query → leaf-fields collector (the
+         kernel attaches the request's columns split-locally; no docstore
+         scan or join; Catalyst's map-side partial agg is the leaf fold);
+      3. non-compiling queries → docids matching plan + ONE docstore
+         semi-join, each named aggregation one groupBy (Catalyst's
+         partial+final aggregation = the reference's leaf/root merge);
+      4. match-all (bounded or not) → one pruned docstore scan with the
+         window pushed to parquet, no query evaluation at all.
+    A mixed request routes each named aggregation independently.
 
     Request field names are rewritten onto docstore columns via the
     persisted index config (timestamp_field -> ``ts``, tag_field ->

@@ -377,3 +377,32 @@ def test_terms_min_doc_count_zero_universe(small_index):
     assert set(keys) == {"en", "de", "fr", "es", "zh"}
     assert sum(v for v in keys.values()) > 0  # the needle matched
     assert sum(1 for v in keys.values() if v == 0) >= 3  # dictionary fill
+
+
+def test_datetime_histogram_micros(small_index, fields_spy):
+    """The reference's datetime histogram: a plain histogram over a
+    timestamp field with interval in MICROSECONDS and epoch-micros keys
+    (aggregation.md:121-146) — through the bucket-partial collector, the
+    leaf-fields collector (metric child), and the forced general plan."""
+    hour_us = 3600.0 * 1e6
+    flat = {"dt": {"histogram": {"field": "ts", "interval": hour_us}}}
+    req = SearchRequest(query="w1 OR w4", max_hits=0)
+    leaf = search_aggs(small_index, req, flat)["dt"].orderBy("key").collect()
+    assert fields_spy and fields_spy[-1][0] == "buckets"
+    gen = search_aggs(
+        small_index, req, flat, leaf_match=False
+    )["dt"].orderBy("key").collect()
+    assert leaf == gen and len(leaf) > 1
+    # keys are epoch micros on the hour
+    assert all(r["key"] % hour_us == 0 for r in leaf)
+
+    withmetric = {"dt": {"histogram": {"field": "ts", "interval": hour_us},
+                         "aggs": {"m": {"max": {"field": "doc_len"}}}}}
+    leaf2 = search_aggs(
+        small_index, req, withmetric
+    )["dt"].orderBy("key").collect()
+    assert fields_spy[-1][0] == "fields"
+    gen2 = search_aggs(
+        small_index, req, withmetric, leaf_match=False
+    )["dt"].orderBy("key").collect()
+    assert leaf2 == gen2 and len(leaf2) > 1
