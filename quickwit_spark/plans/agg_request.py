@@ -273,10 +273,17 @@ def compile_one(name: str, spec: dict, field_map=None, universe=None):
         order_by = {"_count": "count", "_key": "key"}.get(target, target)
         order_dir = direction
         if order_by not in ("count", "key") and order_by not in metrics:
-            raise ValueError(
-                f"order target {target!r} is not _key, _count, or a metric "
-                "sub-aggregation name"
-            )
+            # multi-value metrics address their component by name —
+            # "stats_child.avg" (aggregation.md:428-431); a stats child
+            # named s expands to columns s_count/s_min/.../s_avg
+            dotted = order_by.replace(".", "_")
+            if dotted in metrics:
+                order_by = dotted
+            else:
+                raise ValueError(
+                    f"order target {target!r} is not _key, _count, or a "
+                    "metric sub-aggregation name"
+                )
     return lambda df: A.terms_agg(
         df,
         col,

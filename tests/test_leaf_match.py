@@ -406,3 +406,17 @@ def test_datetime_histogram_micros(small_index, fields_spy):
         small_index, req, withmetric, leaf_match=False
     )["dt"].orderBy("key").collect()
     assert leaf2 == gen2 and len(leaf2) > 1
+
+
+def test_terms_order_by_stats_component(small_index):
+    """Multi-value metric order addressing: 'order': {'s.avg': 'asc'} over
+    a stats child named s (aggregation.md:428-431)."""
+    aggs = {"lg": {"terms": {"field": "lang", "size": 10,
+                             "order": {"s.avg": "asc"}},
+                   "aggs": {"s": {"stats": {"field": "doc_len"}}}}}
+    req = SearchRequest(query="w1 OR w4", max_hits=0)
+    leaf = search_aggs(small_index, req, aggs)["lg"].collect()
+    gen = search_aggs(small_index, req, aggs, leaf_match=False)["lg"].collect()
+    assert [r["key"] for r in leaf] == [r["key"] for r in gen]
+    avgs = [r["s_avg"] for r in leaf]
+    assert avgs == sorted(avgs) and len(avgs) > 1
