@@ -37,11 +37,38 @@ _METRICS = {
 SubAggs = "dict[str, tuple[str, str]] | None"
 
 
-def _sub_agg_exprs(sub_aggs) -> list[Column]:
-    return [
-        _METRICS[kind](F.col(col)).alias(name)
-        for name, (kind, col) in (sub_aggs or {}).items()
-    ]
+def _sub_agg_exprs(sub_aggs, partial: bool = False) -> list[Column]:
+    """Metric sub-agg aggregate expressions. ``partial=True`` merges the
+    leaf kernel's per-(split, bucket) metric partials instead of folding
+    doc rows: each child ``name`` reads its convention columns
+    ``name__cnt`` (non-null count), ``name__sum``, ``name__min``,
+    ``name__max`` — count/sum re-sum, min/max re-extremize, avg divides
+    merged sum by merged count (all exactly the distributive merges
+    tantivy's intermediate aggregation results perform,
+    collector.rs:458-496). stats/stddev has no distributive merge and
+    never reaches the partial path."""
+    if not partial:
+        return [
+            _METRICS[kind](F.col(col)).alias(name)
+            for name, (kind, col) in (sub_aggs or {}).items()
+        ]
+    out: list[Column] = []
+    for name, (kind, _col) in (sub_aggs or {}).items():
+        if kind == "value_count":
+            out.append(F.sum(f"{name}__cnt").alias(name))
+        elif kind == "sum":
+            out.append(F.sum(f"{name}__sum").alias(name))
+        elif kind == "min":
+            out.append(F.min(f"{name}__min").alias(name))
+        elif kind == "max":
+            out.append(F.max(f"{name}__max").alias(name))
+        elif kind == "avg":
+            out.append(
+                (F.sum(f"{name}__sum") / F.sum(f"{name}__cnt")).alias(name)
+            )
+        else:
+            raise ValueError(f"metric {kind!r} has no partial merge")
+    return out
 
 
 def _count_expr(df: DataFrame) -> Column:
@@ -111,7 +138,10 @@ def histogram(
     out = (
         df.filter(F.col(col).isNotNull())
         .groupBy(key.alias("key"))
-        .agg(_count_expr(df), *_sub_agg_exprs(sub_aggs))
+        .agg(
+            _count_expr(df),
+            *_sub_agg_exprs(sub_aggs, partial="_w" in df.columns),
+        )
     )
     if (fill_empty or extended_bounds is not None) and min_doc_count == 0:
         # integer bucket indexes avoid float-sequence drift
@@ -155,7 +185,10 @@ def date_histogram(
     return (
         df.filter(F.col(col).isNotNull())
         .groupBy(key.alias("key"))
-        .agg(_count_expr(df), *_sub_agg_exprs(sub_aggs))
+        .agg(
+            _count_expr(df),
+            *_sub_agg_exprs(sub_aggs, partial="_w" in df.columns),
+        )
         .orderBy("key")
     )
 
@@ -184,14 +217,20 @@ def range_agg(
         if hi is not None:
             cond = cond & (c < F.lit(hi))
         whens = F.when(cond, F.lit(label)) if whens is None else whens.when(cond, F.lit(label))
-    needed = sorted({src for _, src in (sub_aggs or {}).values()})
     if "_w" in df.columns:
-        needed = ["_w", *needed]
+        # leaf-partial input: carry the weight and the metric partial
+        # columns (name__cnt/__sum/__min/__max) instead of source columns
+        needed = [c for c in df.columns if c == "_w" or "__" in c]
+    else:
+        needed = sorted({src for _, src in (sub_aggs or {}).values()})
     return (
         df.select(whens.alias("range_key"), *[F.col(c) for c in needed])
         .filter(F.col("range_key").isNotNull())
         .groupBy("range_key")
-        .agg(_count_expr(df), *_sub_agg_exprs(sub_aggs))
+        .agg(
+            _count_expr(df),
+            *_sub_agg_exprs(sub_aggs, partial="_w" in df.columns),
+        )
         .orderBy("range_key")
     )
 
@@ -223,7 +262,8 @@ def terms_agg(
     from pyspark.sql.window import Window
 
     grouped = df.groupBy(F.col(col).alias("key")).agg(
-        _count_expr(df), *_sub_agg_exprs(sub_aggs)
+        _count_expr(df),
+        *_sub_agg_exprs(sub_aggs, partial="_w" in df.columns),
     )
     if min_doc_count == 0 and universe is not None:
         keys = universe.select(F.col(col).alias("key")).distinct()
@@ -294,7 +334,10 @@ def _nested_terms(
     grouped = (
         df.filter(outer_guard & F.col(term_col).isNotNull())
         .groupBy(outer_key.alias("key"), F.col(term_col).alias("term_key"))
-        .agg(_count_expr(df), *_sub_agg_exprs(sub_aggs))
+        .agg(
+            _count_expr(df),
+            *_sub_agg_exprs(sub_aggs, partial="_w" in df.columns),
+        )
     )
     w = Window.partitionBy("key").orderBy(
         F.desc("doc_count"), F.asc("term_key")
@@ -368,7 +411,10 @@ def terms_terms(
         .groupBy(
             F.col(outer_col).alias("key"), F.col(term_col).alias("term_key")
         )
-        .agg(_count_expr(df), *_sub_agg_exprs(sub_aggs))
+        .agg(
+            _count_expr(df),
+            *_sub_agg_exprs(sub_aggs, partial="_w" in df.columns),
+        )
     )
     tot = grouped.withColumn(
         "outer_doc_count", F.sum("doc_count").over(Window.partitionBy("key"))

@@ -879,6 +879,15 @@ def _make_leaf_topk_kernel(
         out_score: list = []
         out_null: list = []
         out_fields: list[list] = [[] for _ in fields]
+        out_mparts: list[list] = [
+            []
+            for _ in range(
+                sum(
+                    len(p[3])
+                    for p in ((bucket_spec or {}).get("metrics") or ())
+                )
+            )
+        ]
         for sid in sorted(rows):
             per_term = rows[sid]
             try:
@@ -1094,6 +1103,10 @@ def _make_leaf_topk_kernel(
             if emit == "buckets":
                 kind = bucket_spec["kind"]
                 bcol = bucket_spec["col"]
+                mspecs = bucket_spec.get("metrics") or ()
+                # bucket code per matching doc (-1 = no bucket), plus the
+                # representative values in emit order
+                uk = None
                 if kind == "terms":
                     arr = _col_for(index_dir, sid, bcol, base_d)
                     if pa.types.is_timestamp(arr.type):
@@ -1102,61 +1115,133 @@ def _make_leaf_topk_kernel(
                         ).cast(field_types[0])
                     else:
                         arr = arr.cast(field_types[0])
-                    nn = arr.filter(pc.is_valid(arr))
-                    vc = pc.value_counts(nn)
-                    uk = vc.field("values")
-                    cnt = vc.field("counts").to_numpy(zero_copy_only=False)
-                    if arr.null_count:
+                    de = arr.dictionary_encode()
+                    idx = de.indices
+                    ivalid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+                    codes = np.zeros(len(arr), dtype=np.int64)
+                    if ivalid.any():
+                        codes[ivalid] = (
+                            pc.fill_null(idx, 0)
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64)[ivalid]
+                        )
+                    uk = de.dictionary
+                    if (~ivalid).any():
                         # docs without a value form their own bucket, as
                         # the general plan's groupBy(col) does
+                        codes[~ivalid] = len(uk)
                         uk = pa.concat_arrays(
                             [uk, pa.array([None], type=uk.type)]
                         )
-                        cnt = np.append(cnt, arr.null_count)
                 else:
                     fvals, fvalid, _ = _fast_for(index_dir, sid, bcol, base_d)
-                    v = fvals[fvalid]
+                    codes = np.full(len(base_d), -1, dtype=np.int64)
                     if kind == "histogram":
                         iv = bucket_spec["interval"]
                         off = bucket_spec["offset"]
+                        v = fvals[fvalid]
                         # the operator's exact key rule: floor((v-off)/iv)
                         # *iv+off in float64 — re-bucketing the key is a
                         # fixed point, so partial and final keys agree
                         keys = np.floor((v - off) / iv) * iv + off
-                        uk, cnt = np.unique(keys, return_counts=True)
+                        uk, inv = np.unique(keys, return_inverse=True)
+                        codes[np.flatnonzero(fvalid)] = inv
                     elif kind == "date_histogram":
                         iv = bucket_spec["interval"]
                         # v is epoch micros; unix_timestamp = floorDiv 1e6
                         sec = np.floor_divide(
-                            v.astype(np.int64), 1_000_000
+                            fvals[fvalid].astype(np.int64), 1_000_000
                         )
                         keys = np.floor_divide(sec, iv) * iv
-                        uk, cnt = np.unique(keys, return_counts=True)
+                        uk, inv = np.unique(keys, return_inverse=True)
+                        codes[np.flatnonzero(fvalid)] = inv
                     else:  # range: first-matching-span representative
                         uk_l: list = []
-                        cnt_l: list = []
-                        free = np.ones(len(v), dtype=bool)
+                        free = fvalid.copy()
                         for lo, hi in bucket_spec["spans"]:
                             m = free.copy()
                             if lo is not None:
-                                m &= v >= lo
+                                m &= fvals >= lo
                             if hi is not None:
-                                m &= v < hi
-                            c = int(m.sum())
-                            if c:
-                                uk_l.append(float(v[m][0]))
-                                cnt_l.append(c)
+                                m &= fvals < hi
+                            if m.any():
+                                codes[m] = len(uk_l)
+                                uk_l.append(float(fvals[m][0]))
                                 free &= ~m
                         uk = np.asarray(uk_l, dtype=np.float64)
-                        cnt = np.asarray(cnt_l, dtype=np.int64)
-                if len(cnt):
-                    out_sid.extend([sid] * len(cnt))
-                    out_fields[0].append(
-                        uk
-                        if isinstance(uk, pa.Array)
-                        else pa.array(uk, type=field_types[0])
+                n_groups = len(uk)
+                if n_groups == 0:
+                    continue
+                member = codes >= 0
+                cnt = np.bincount(
+                    codes[member], minlength=n_groups
+                ).astype(np.int64)
+                out_sid.extend([sid] * n_groups)
+                out_fields[0].append(
+                    uk
+                    if isinstance(uk, pa.Array)
+                    else pa.array(uk, type=field_types[0])
+                )
+                out_doc.append(cnt)
+                # distributive metric partials per child: count / sum /
+                # min / max over each bucket's member docs (null metric
+                # values excluded, as the general plan's aggregates do)
+                pos = 0
+                for mname, mkind, mcol, parts in mspecs:
+                    marr = _col_for(index_dir, sid, mcol, base_d)
+                    mvalid = pc.is_valid(marr).to_numpy(
+                        zero_copy_only=False
                     )
-                    out_doc.append(np.asarray(cnt, dtype=np.int64))
+                    sel = member & mvalid
+                    csel = codes[sel]
+                    mcnt = np.bincount(csel, minlength=n_groups).astype(
+                        np.int64
+                    )
+                    empty = mcnt == 0
+                    vnp = None
+                    for suffix, ptype in parts:
+                        if suffix == "__cnt":
+                            out_mparts[pos].append(
+                                pa.array(mcnt, type=pa.int64())
+                            )
+                            pos += 1
+                            continue
+                        if vnp is None:
+                            wide = (
+                                pa.int64()
+                                if pa.types.is_integer(ptype)
+                                else pa.float64()
+                            )
+                            vnp = (
+                                pc.fill_null(marr.cast(wide), 0)
+                                .to_numpy(zero_copy_only=False)[sel]
+                            )
+                        if suffix == "__sum":
+                            acc = np.zeros(n_groups, dtype=vnp.dtype)
+                            np.add.at(acc, csel, vnp)
+                        elif suffix == "__min":
+                            init = (
+                                np.iinfo(np.int64).max
+                                if vnp.dtype.kind == "i"
+                                else np.inf
+                            )
+                            acc = np.full(n_groups, init, dtype=vnp.dtype)
+                            np.minimum.at(acc, csel, vnp)
+                        else:  # __max
+                            init = (
+                                np.iinfo(np.int64).min
+                                if vnp.dtype.kind == "i"
+                                else -np.inf
+                            )
+                            acc = np.full(n_groups, init, dtype=vnp.dtype)
+                            np.maximum.at(acc, csel, vnp)
+                        out_mparts[pos].append(
+                            pa.array(
+                                acc,
+                                mask=empty if empty.any() else None,
+                            ).cast(ptype)
+                        )
+                        pos += 1
                 continue
             null_mask = None
             if sort_spec is not None:
@@ -1234,19 +1319,25 @@ def _make_leaf_topk_kernel(
                 )
             elif emit == "buckets":
                 chunks = out_fields[0]
+                cols = [
+                    pa.array(out_sid, type=pa.string()),
+                    (
+                        pa.concat_arrays(chunks)
+                        if len(chunks) > 1
+                        else chunks[0]
+                    ),
+                    pa.array(np.concatenate(out_doc), type=pa.int64()),
+                ]
+                for mchunks in out_mparts:
+                    cols.append(
+                        pa.concat_arrays(mchunks)
+                        if len(mchunks) > 1
+                        else mchunks[0]
+                    )
                 yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(out_sid, type=pa.string()),
-                        (
-                            pa.concat_arrays(chunks)
-                            if len(chunks) > 1
-                            else chunks[0]
-                        ),
-                        pa.array(
-                            np.concatenate(out_doc), type=pa.int64()
-                        ),
-                    ],
-                    names=["split_id", "f0", "_w"],
+                    cols,
+                    names=["split_id", "f0", "_w"]
+                    + list(bucket_spec.get("part_names") or ()),
                 )
             else:
                 nulls = np.concatenate(out_null)
@@ -2118,6 +2209,53 @@ class Searcher:
             return None
         return (wire[0], wire[1], "ts_micros" if s == "timestamp" else None)
 
+    _INT_DTYPES = frozenset({"bigint", "int", "smallint", "tinyint"})
+
+    def leaf_metrics_plan(self, metrics: dict):
+        """Partial-column plan for DISTRIBUTIVE metric children:
+        [(name, kind, col, [(suffix, spark type, arrow type), ...]), ...]
+        or None when any child's column is absent or the wrong type
+        (value_count takes any wire-representable column; sum/avg/min/max
+        need numerics — sums widen to long/double exactly as Spark's own
+        aggregates do, min/max keep the column type)."""
+        schema = {f.name: f for f in self.reader.docstore().schema.fields}
+        out = []
+        for name, (kind, col) in (metrics or {}).items():
+            f = schema.get(col)
+            if f is None:
+                return None
+            s = f.dataType.simpleString()
+            if kind == "value_count":
+                if s not in _LEAF_FIELD_WIRE:
+                    return None
+                out.append(
+                    (name, kind, col, [("__cnt", T.LongType(), pa.int64())])
+                )
+                continue
+            if s not in self._NUMERIC_DTYPES:
+                return None
+            narrow = _LEAF_FIELD_WIRE[s]
+            wide = (
+                (T.LongType(), pa.int64())
+                if s in self._INT_DTYPES
+                else (T.DoubleType(), pa.float64())
+            )
+            if kind == "sum":
+                parts = [("__sum", *wide)]
+            elif kind == "avg":
+                parts = [
+                    ("__sum", *wide),
+                    ("__cnt", T.LongType(), pa.int64()),
+                ]
+            elif kind == "min":
+                parts = [("__min", narrow[0], narrow[1])]
+            elif kind == "max":
+                parts = [("__max", narrow[0], narrow[1])]
+            else:
+                return None
+            out.append((name, kind, col, parts))
+        return out
+
     def leaf_bucket_partials(
         self,
         spec: dict,
@@ -2126,24 +2264,46 @@ class Searcher:
         kind: str,
         col: str,
         params: dict,
+        metrics: dict | None = None,
     ) -> DataFrame:
-        """Per-split PARTIAL buckets (split_id, <col> representative, _w)
-        of one flat count-only bucket aggregation over the docs matching
-        ``spec`` — the tantivy leaf-aggregation/root-merge protocol
-        (collector.rs:458-496): the kernel buckets each split's matching
-        fast-field values locally, so only |splits|·|buckets| rows leave
-        Python and the downstream operator merges by re-bucketing the
-        representative with doc_count = SUM(_w)."""
+        """Per-split PARTIAL buckets (split_id, <col> representative, _w,
+        *metric partial columns) of one flat bucket aggregation over the
+        docs matching ``spec`` — the tantivy leaf-aggregation/root-merge
+        protocol (collector.rs:458-496): the kernel buckets each split's
+        matching fast-field values locally and folds any distributive
+        metric children per bucket (``name__cnt/__sum/__min/__max``), so
+        only |splits|·|buckets| rows leave Python; the downstream operator
+        merges by re-bucketing the representative with doc_count = SUM(_w)
+        and the ``_sub_agg_exprs(partial=True)`` metric merges."""
         plan = self.leaf_bucket_plan(kind, col)
         if plan is None:
             raise ValueError(f"{col!r} not bucket-partialable for {kind}")
+        mplan = self.leaf_metrics_plan(metrics) if metrics else []
+        if mplan is None:
+            raise ValueError(f"metrics {metrics!r} not partial-mergeable")
         stype, atype, restore = plan
+        part_fields = []
+        part_names = []
+        kernel_mspecs = []
+        for mname, mkind, mcol, parts in mplan:
+            kernel_mspecs.append(
+                (
+                    mname,
+                    mkind,
+                    mcol,
+                    tuple((suffix, patype) for suffix, _st, patype in parts),
+                )
+            )
+            for suffix, st, _patype in parts:
+                part_names.append(f"{mname}{suffix}")
+                part_fields.append(T.StructField(f"{mname}{suffix}", st))
         schema = T.StructType(
             [
                 T.StructField("split_id", T.StringType()),
                 T.StructField("f0", stype),
                 T.StructField("_w", T.LongType()),
             ]
+            + part_fields
         )
         df = self._leaf_kernel_df(
             spec,
@@ -2154,14 +2314,20 @@ class Searcher:
             schema=schema,
             fields=(col,),
             field_types=(atype,),
-            bucket_spec={"kind": kind, "col": col, **params},
+            bucket_spec={
+                "kind": kind,
+                "col": col,
+                "metrics": tuple(kernel_mspecs),
+                "part_names": tuple(part_names),
+                **params,
+            },
         )
         e = F.col("f0")
         if restore == "ts_seconds":
             e = F.timestamp_seconds(e)
         elif restore == "ts_micros":
             e = F.timestamp_micros(e)
-        return df.select("split_id", e.alias(col), "_w")
+        return df.select("split_id", e.alias(col), "_w", *part_names)
 
     def leaf_count(
         self,
@@ -3860,12 +4026,23 @@ def search_aggs(
                     # agg is computed as per-split PARTIAL buckets inside
                     # the kernel — |splits|·|buckets| rows leave Python
                     pb = partial_bucket_spec(name, aspec, field_map=fmap)
-                    if pb is not None and searcher.leaf_bucket_plan(
-                        pb[0], pb[1]
+                    if (
+                        pb is not None
+                        and searcher.leaf_bucket_plan(pb[0], pb[1])
+                        and (
+                            not pb[3]
+                            or searcher.leaf_metrics_plan(pb[3]) is not None
+                        )
                     ):
-                        kind, col, params = pb
+                        kind, col, params, metrics = pb
                         pdf = searcher.leaf_bucket_partials(
-                            spec, split_ids, ts, kind, col, params
+                            spec,
+                            split_ids,
+                            ts,
+                            kind,
+                            col,
+                            params,
+                            metrics=metrics,
                         )
                         results[name] = compile_one(
                             name,

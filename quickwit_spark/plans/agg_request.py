@@ -322,20 +322,33 @@ def collect_agg_fields(
     return list(dict.fromkeys(out))
 
 
+_PARTIAL_METRICS = frozenset({"avg", "value_count", "max", "min", "sum"})
+
+
 def partial_bucket_spec(
     name: str, spec: dict, field_map: "dict[str, str] | None" = None
 ):
-    """``(kind, mapped_col, params)`` when the named aggregation is a flat
-    COUNT-ONLY bucket aggregation whose per-split partials merge exactly by
-    re-bucketing a representative value with summed weights (the leaf
-    kernel's "buckets" collector + the operators' ``_w`` protocol);
-    ``None`` when the request needs doc-level rows (metric/nested children,
-    metric kinds, histogram hard_bounds which filter RAW values) or is
-    malformed (compilation raises the canonical error)."""
+    """``(kind, mapped_col, params, metrics)`` when the named aggregation
+    is a flat bucket aggregation whose per-split partials merge exactly:
+    buckets re-key a representative value with summed weights, and metric
+    children limited to the DISTRIBUTIVE kinds (avg/value_count/max/min/
+    sum — ``metrics`` is their {name: (kind, col)} map, possibly empty)
+    merge via the operators' ``name__cnt/__sum/__min/__max`` convention.
+    ``None`` when the request needs doc-level rows (nested buckets, stats
+    children whose stddev has no distributive merge, metric top-level
+    kinds, histogram hard_bounds which filter RAW values) or is malformed
+    (compilation raises the canonical error)."""
     try:
         kind = _agg_kind(spec, name)
-        if kind not in _BUCKET_KINDS or _children(spec):
+        if kind not in _BUCKET_KINDS:
             return None
+        sub = _children(spec)
+        if _bucket_children(sub):
+            return None
+        for cname, cspec in sub.items():
+            if _agg_kind(cspec, cname) not in _PARTIAL_METRICS:
+                return None  # stats (stddev) needs doc rows
+        metrics = _metric_children(sub, field_map)
         params = spec[kind]
         col = _field(params, field_map, kind)
         if kind == "histogram":
@@ -348,6 +361,7 @@ def partial_bucket_spec(
                     "interval": float(params["interval"]),
                     "offset": float(params.get("offset", 0.0)),
                 },
+                metrics,
             )
         if kind == "date_histogram":
             if "fixed_interval" not in params:
@@ -355,7 +369,9 @@ def partial_bucket_spec(
             secs = parse_fixed_interval(params["fixed_interval"])
             if secs <= 0 or secs != int(secs):
                 return None
-            return ("date_histogram", col, {"interval": int(secs)})
+            return (
+                "date_histogram", col, {"interval": int(secs)}, metrics
+            )
         if kind == "range":
             spans = [
                 (r.get("from"), r.get("to"))
@@ -363,8 +379,8 @@ def partial_bucket_spec(
             ]
             if not spans:
                 return None
-            return ("range", col, {"spans": spans})
-        return ("terms", col, {})
+            return ("range", col, {"spans": spans}, metrics)
+        return ("terms", col, {}, metrics)
     except ValueError:
         return None
 

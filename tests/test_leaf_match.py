@@ -320,12 +320,13 @@ def test_bucket_partials_row_volume(small_index):
 
 
 def test_mixed_partial_and_fields_request(small_index, fields_spy):
-    """One request mixing a partial-eligible agg with a metric-child agg
-    must route each to its own collector and return both results."""
+    """One request mixing a partial-eligible agg with a stats-child agg
+    (stddev has no distributive merge) must route each to its own
+    collector and return both results."""
     aggs = {
         "langs": {"terms": {"field": "lang", "size": 10}},
         "len_stats": {"terms": {"field": "lang", "size": 10},
-                      "aggs": {"s": {"avg": {"field": "doc_len"}}}},
+                      "aggs": {"s": {"stats": {"field": "doc_len"}}}},
     }
     req = SearchRequest(query="w1 OR w4", max_hits=0)
     leaf = search_aggs(small_index, req, aggs)
@@ -401,7 +402,8 @@ def test_datetime_histogram_micros(small_index, fields_spy):
     leaf2 = search_aggs(
         small_index, req, withmetric
     )["dt"].orderBy("key").collect()
-    assert fields_spy[-1][0] == "fields"
+    # a distributive metric child rides the bucket-partial collector too
+    assert fields_spy[-1][0] == "buckets"
     gen2 = search_aggs(
         small_index, req, withmetric, leaf_match=False
     )["dt"].orderBy("key").collect()
@@ -420,3 +422,62 @@ def test_terms_order_by_stats_component(small_index):
     assert [r["key"] for r in leaf] == [r["key"] for r in gen]
     avgs = [r["s_avg"] for r in leaf]
     assert avgs == sorted(avgs) and len(avgs) > 1
+
+
+# ---- metric partials: distributive children folded inside the kernel ----
+
+
+METRIC_PARTIAL_SHAPES = [
+    {"a": {"terms": {"field": "lang", "size": 10},
+           "aggs": {"m": {"avg": {"field": "doc_len"}}}}},
+    {"b": {"histogram": {"field": "doc_len", "interval": 50.0},
+           "aggs": {"mn": {"min": {"field": "norm_len"}},
+                    "mx": {"max": {"field": "norm_len"}},
+                    "sm": {"sum": {"field": "norm_len"}},
+                    "vc": {"value_count": {"field": "url"}}}}},
+    {"c": {"date_histogram": {"field": "ts", "fixed_interval": "1h"},
+           "aggs": {"m": {"avg": {"field": "doc_len"}}}}},
+    {"d": {"range": {"field": "doc_len",
+                     "ranges": [{"to": 100}, {"from": 100}]},
+           "aggs": {"m": {"sum": {"field": "norm_len"}}}}},
+]
+
+
+@pytest.mark.parametrize("aggs", METRIC_PARTIAL_SHAPES)
+def test_metric_partials_taken_and_match_general(small_index, fields_spy, aggs):
+    req = SearchRequest(query="w1 OR w4", max_hits=0)
+    leaf = search_aggs(small_index, req, aggs)
+    assert fields_spy and all(c[0] == "buckets" for c in fields_spy), (
+        "metric children should ride the bucket-partial collector"
+    )
+    gen = search_aggs(small_index, req, aggs, leaf_match=False)
+    for name in aggs:
+        cols = leaf[name].columns
+        assert cols == gen[name].columns
+        lrows = [r.asDict() for r in leaf[name].orderBy(*cols).collect()]
+        grows = [r.asDict() for r in gen[name].orderBy(*cols).collect()]
+        assert len(lrows) == len(grows) and lrows
+        for lr, gr in zip(lrows, grows):
+            for k, lv in lr.items():
+                gv = gr[k]
+                if isinstance(lv, float) and isinstance(gv, float):
+                    assert lv == pytest.approx(gv, rel=1e-9)
+                else:
+                    assert lv == gv
+
+
+def test_metric_partials_null_metric_bucket(small_index, fields_spy):
+    """A bucket whose docs all lack the metric value must merge to null
+    metrics and zero value_count, exactly as the general plan."""
+    # synth_ip is null on most docs; group by lang so some buckets may
+    # have zero non-null members — compare both plans either way
+    aggs = {"g": {"terms": {"field": "lang", "size": 10},
+                  "aggs": {"vc": {"value_count": {"field": "doc_len"}},
+                           "mx": {"max": {"field": "doc_len"}}}}}
+    req = SearchRequest(query="needleone", max_hits=0)
+    leaf = search_aggs(small_index, req, aggs)["g"].orderBy("key").collect()
+    assert fields_spy and fields_spy[0][0] == "buckets"
+    gen = search_aggs(
+        small_index, req, aggs, leaf_match=False
+    )["g"].orderBy("key").collect()
+    assert leaf == gen and leaf
