@@ -3958,10 +3958,12 @@ def search_aggs(
 
     Plan routing, deepest collector first (every tier is scoring-free —
     buckets never need BM25):
-      1. flat count-only bucket aggs on a leaf-compiling query → per-split
-         PARTIAL buckets inside the matching kernel (|splits|·|buckets|
-         rows leave Python; the operator merges by re-bucketing
-         representatives with SUM(_w));
+      1. flat bucket aggs (counts + distributive metric children:
+         avg/value_count/max/min/sum) on a leaf-compiling query →
+         per-split PARTIAL buckets inside the matching kernel
+         (|splits|·|buckets| rows leave Python; the operator merges by
+         re-bucketing representatives with SUM(_w) and the distributive
+         metric merges);
       2. other aggs on a leaf-compiling query → leaf-fields collector (the
          kernel attaches the request's columns split-locally; no docstore
          scan or join; Catalyst's map-side partial agg is the leaf fold);

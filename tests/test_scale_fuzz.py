@@ -314,3 +314,32 @@ def test_agg_bucket_partials_parity(big):
     other = total - sum(n for _, n in exp_lg)
     assert [(k, n) for k, n, _ in lg_rows] == [(k, n) for k, n in exp_lg]
     assert all(o == other for _, _, o in lg_rows)
+
+
+def test_metric_partials_parity(big):
+    """Distributive metric children through the bucket-partial collector
+    at 1M docs: per-split sums/extremes/counts must merge to the exact
+    full-data aggregates (DuckDB oracle; avg compared at 1e-9)."""
+    reader, con = big
+    aggs = {
+        "t": {"date_histogram": {"field": "warc_ts",
+                                 "fixed_interval": "1d"},
+              "aggs": {"n": {"value_count": {"field": "url"}},
+                       "a": {"avg": {"field": "doc_len"}},
+                       "mx": {"max": {"field": "doc_len"}}}},
+    }
+    got = search_aggs(reader, SearchRequest(query="w0", max_hits=0), aggs)
+    rows = [
+        (r["key"], r["doc_count"], r["n"], r["a"], r["mx"])
+        for r in got["t"].orderBy("key").collect()
+    ]
+    exp = con.execute(
+        """SELECT CAST(floor(epoch(warc_ts)/86400)*86400 AS BIGINT) AS key,
+                  count(*), count(url), avg(dl), max(dl)
+           FROM d WHERE list_contains(toks, 'w0')
+           GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    assert len(rows) == len(exp) > 1
+    for (gk, gdc, gn, ga, gmx), (ek, edc, en, ea, emx) in zip(rows, exp):
+        assert (gk, gdc, gn, gmx) == (ek, edc, en, emx)
+        assert abs(ga - ea) <= 1e-9 * max(1.0, abs(ea))
