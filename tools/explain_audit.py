@@ -184,7 +184,26 @@ def main() -> None:
         ("aggs plan is join-free", "Join" not in p4),
         ("aggs never read text or positions", "pos_blocks" not in p4 and '"text"' not in p4),
     ]
-    sections.append(("search aggregation (leaf-fields collector)", p4, checks4))
+    sections.append(("search aggregation (bucket-partial collector)", p4, checks4))
+
+    # metric children: distributive partials fold inside the kernel too
+    ag_m = search_aggs(
+        reader,
+        SearchRequest(query="w0 w3", max_hits=1),
+        # min_doc_count=1 skips the (post-aggregation, bucket-sized)
+        # empty-bucket fill join so the join-free check targets data joins
+        {"by_len": {"histogram": {"field": "doc_len", "interval": 50.0,
+                                  "min_doc_count": 1},
+                    "aggs": {"m": {"avg": {"field": "norm_len"}}}}},
+    )["by_len"]
+    p4m2 = plan_of(ag_m)
+    checks4m2 = [
+        ("metric-child aggs stay join-free, no docstore scan",
+         "Join" not in p4m2 and "docstore" not in p4m2),
+        ("avg merges sum/count partials (no per-doc avg input)",
+         "m__sum" in p4m2 and "m__cnt" in p4m2),
+    ]
+    sections.append(("search aggregation (metric partials)", p4m2, checks4m2))
 
     # general fallback: a range clause can't leaf-compile, so the agg plan
     # must restrict the docstore by semi-join instead
