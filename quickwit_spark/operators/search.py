@@ -694,6 +694,15 @@ LEAF_TOPK_SCHEMA = T.StructType(
     ]
 )
 
+LEAF_TOPK_HITS_SCHEMA = T.StructType(
+    [
+        T.StructField("split_id", T.StringType()),
+        T.StructField("docid", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("split_hits", T.LongType()),
+    ]
+)
+
 LEAF_DOCIDS_SCHEMA = T.StructType(
     [
         T.StructField("split_id", T.StringType()),
@@ -832,7 +841,7 @@ def _make_leaf_topk_kernel(
     import math
 
     phrase_toks = _leaf_spec_phrase_tokens(spec)
-    need_scores = sort_spec is None and emit == "topk"
+    need_scores = sort_spec is None and emit in ("topk", "topk_hits")
 
     def kernel(batches):
         try:
@@ -888,6 +897,7 @@ def _make_leaf_topk_kernel(
                 )
             )
         ]
+        out_hits: list = []
         for sid in sorted(rows):
             per_term = rows[sid]
             try:
@@ -1243,6 +1253,7 @@ def _make_leaf_topk_kernel(
                         )
                         pos += 1
                 continue
+            n_match = len(base_d)  # pre-trim: the split's full hit count
             null_mask = None
             if sort_spec is not None:
                 scol, sorder = sort_spec
@@ -1282,6 +1293,14 @@ def _make_leaf_topk_kernel(
                 if null_mask is not None
                 else np.zeros(len(base_d), dtype=bool)
             )
+            if emit == "topk_hits":
+                # reference LeafSearchResponse: num_hits rides alongside
+                # the partial hits (collector.rs:226) — every split with
+                # matches emits ≥1 row, so the root recovers the exact
+                # total from one value per distinct split
+                out_hits.append(
+                    np.full(len(base_d), n_match, dtype=np.int64)
+                )
         if out_sid:
             if emit == "count":
                 yield pa.RecordBatch.from_arrays(
@@ -1341,18 +1360,22 @@ def _make_leaf_topk_kernel(
                 )
             else:
                 nulls = np.concatenate(out_null)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(out_sid, type=pa.string()),
-                        pa.array(np.concatenate(out_doc), type=pa.int64()),
-                        pa.array(
-                            np.concatenate(out_score),
-                            type=pa.float64(),
-                            mask=nulls if nulls.any() else None,
-                        ),
-                    ],
-                    names=["split_id", "docid", "score"],
-                )
+                cols = [
+                    pa.array(out_sid, type=pa.string()),
+                    pa.array(np.concatenate(out_doc), type=pa.int64()),
+                    pa.array(
+                        np.concatenate(out_score),
+                        type=pa.float64(),
+                        mask=nulls if nulls.any() else None,
+                    ),
+                ]
+                names = ["split_id", "docid", "score"]
+                if emit == "topk_hits":
+                    cols.append(
+                        pa.array(np.concatenate(out_hits), type=pa.int64())
+                    )
+                    names.append("split_hits")
+                yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return kernel
 
@@ -2066,13 +2089,17 @@ class Searcher:
         ts_bounds: tuple | None = None,
         sort_spec: tuple | None = None,
         order: str = "desc",
+        with_hits: bool = False,
     ) -> DataFrame:
         """Leaf-local evaluation of a ``leaf_plan`` spec: shuffle ONLY the
         query terms' still-compressed postings rows to one task per split,
         evaluate the whole boolean + BM25 inside the kernel, emit per-split
         top-k. No per-matching-doc exchange — the rows that cross
         python→JVM are |splits|·k, not |matches| (see the kernel
-        docstring)."""
+        docstring). ``with_hits`` adds a ``split_hits`` column carrying
+        each split's PRE-trim match count on its rows — the reference
+        LeafSearchResponse's num_hits riding alongside the partial hits,
+        so one kernel pass serves both top-k and the total count."""
         return self._leaf_kernel_df(
             spec,
             split_ids,
@@ -2080,8 +2107,8 @@ class Searcher:
             ts_bounds=ts_bounds,
             sort_spec=sort_spec,
             order=order,
-            emit="topk",
-            schema=LEAF_TOPK_SCHEMA,
+            emit="topk_hits" if with_hits else "topk",
+            schema=LEAF_TOPK_HITS_SCHEMA if with_hits else LEAF_TOPK_SCHEMA,
         )
 
     def leaf_matching(
@@ -3181,8 +3208,16 @@ def search(
     exclude_split_ids: tuple[str, ...] = (),
     fetch_mode: str | None = None,
     leaf_topk: bool | None = None,
+    with_count: bool = False,
 ) -> DataFrame:
     """Full search: prune -> match/score -> global top-k -> fetch.
+
+    ``with_count=True`` returns ``(DataFrame, num_hits | None)``: when the
+    leaf-local plan applies, the kernel's per-split match counts ride the
+    top-k rows (the reference LeafSearchResponse shape, collector.rs:226)
+    and num_hits comes from the SAME pass; ``None`` means the plan could
+    not count inline (WAND, general plan, dpp fetch) and the caller should
+    run ``count_hits`` separately.
 
     Returns (split_id, docid, score, *fetch_fields) with exactly the
     reference ordering (score desc | fast-field, split_id asc, docid ascending),
@@ -3253,7 +3288,8 @@ def search(
                 base = base.add(store_schema[f_])
         for f_ in snippet_fields:
             base = base.add(T.StructField(f"snippet_{f_}", T.StringType()))
-        return reader.spark.createDataFrame([], base)
+        empty = reader.spark.createDataFrame([], base)
+        return (empty, 0) if with_count else empty
     k_total = request.max_hits + request.start_offset
     if use_wand is None:
         # cost switch: WAND spends ~3 extra tiny jobs (seed θ collect +
@@ -3324,6 +3360,18 @@ def search(
                 for sid in split_ids
             )
             leaf_spec = searcher.leaf_plan(ast, allow_phrase=allow_phrase)
+    # one-pass num_hits: the reference LeafSearchResponse carries the
+    # split's total match count alongside its partial top-k hits
+    # (collector.rs:226); with the leaf kernel, the pre-trim rows are
+    # bounded by |splits|·k, so the root merge can run over a collected
+    # local set and recover num_hits for free. Gated off for lazy dpp
+    # plans and oversized |splits|·k products.
+    count_inline = (
+        with_count
+        and fetch_mode != "dpp"
+        and len(split_ids) * k_total <= 1_000_000
+    )
+    num_hits: "int | None" = None
     if wand_tokens:
         m = searcher.scored_topk_wand(wand_tokens, split_ids, k_total)
     elif leaf_spec:
@@ -3334,7 +3382,22 @@ def search(
             ts_bounds=leaf_ts,
             sort_spec=leaf_sort,
             order=request.sort_order,
+            with_hits=count_inline,
         )
+        if count_inline:
+            # root merge over the collected per-split partials — the same
+            # ordering expressions run below on a local (pure-JVM) relation
+            rows_all = m.collect()
+            per_split: dict = {}
+            for r0 in rows_all:
+                per_split[r0["split_id"]] = r0["split_hits"]
+            num_hits = int(sum(per_split.values()))
+            if rows_all:
+                m = local_rows_df(
+                    reader.spark, rows_all, LEAF_TOPK_HITS_SCHEMA
+                ).drop("split_hits")
+            else:
+                m = reader.spark.createDataFrame([], LEAF_TOPK_SCHEMA)
     else:
         m = searcher.matching(
             ast, split_ids, request.start_timestamp, request.end_timestamp
@@ -3441,7 +3504,8 @@ def search(
         snip = make_snippet_udf(terms, tokenizer=searcher.tokenizer)
         for f_ in snippet_fields:
             top = top.withColumn(f"snippet_{f_}", snip(F.col(f_)))
-    return top.orderBy(*order)
+    out = top.orderBy(*order)
+    return (out, num_hits) if with_count else out
 
 
 def search_many(

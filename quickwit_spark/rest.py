@@ -193,14 +193,34 @@ def search_endpoint(
         aggs = json.loads(aggs)
 
     failed: list = []
+    n = None
+    hits_df = None
     if tolerate_failures:
         # the failure probe runs ONCE here; num_hits / hits / aggs must all
         # exclude the same unreadable splits or the response is internally
         # inconsistent (num_hits over all splits vs hits over readable ones)
         cnt_df, failed = count_hits_with_failures(reader, req)
         body["errors"] = failed
-    else:
-        cnt_df = count_hits(reader, req)
+        n = int(cnt_df.collect()[0]["num_hits"])
+    elif req.max_hits > 0:
+        # one-pass hits + count: the leaf kernel's per-split match counts
+        # ride the top-k rows (collector.rs:226 — the reference leaf
+        # response carries num_hits), so most requests pay a single
+        # scoring pass; None means the plan couldn't count inline
+        fetch = tuple(_doc_columns(reader))
+        snip = _as_list(params, "snippet_fields")
+        rev = {v: k for k, v in name_map.items()}
+        snip = tuple(rev.get(f, f) for f in snip)
+        hits_df, n_opt = search(
+            reader,
+            req,
+            fetch_fields=fetch,
+            snippet_fields=snip,
+            with_count=True,
+        )
+        n = n_opt
+    if n is None:
+        n = int(count_hits(reader, req).collect()[0]["num_hits"])
 
     if aggs:
         # aggs run over the full index; under tolerate_failures with actual
@@ -214,25 +234,25 @@ def search_endpoint(
             aggs, search_aggs(reader, req, aggs)
         )
 
-    n = cnt_df.collect()[0]["num_hits"]
     body["num_hits"] = int(n)
 
     if req.max_hits > 0 and n > 0:
-        fetch = tuple(_doc_columns(reader))
-        snip = _as_list(params, "snippet_fields")
-        # snippet params name the USER's field; the docstore stores it
-        # under its alias
-        rev = {v: k for k, v in name_map.items()}
-        snip = tuple(rev.get(f, f) for f in snip)
-        if tolerate_failures:
-            hits_df, failed = search_with_failures(
-                reader, req, fetch_fields=fetch, snippet_fields=snip
-            )
-            body["errors"] = failed
-        else:
-            hits_df = search(
-                reader, req, fetch_fields=fetch, snippet_fields=snip
-            )
+        if hits_df is None:
+            fetch = tuple(_doc_columns(reader))
+            snip = _as_list(params, "snippet_fields")
+            # snippet params name the USER's field; the docstore stores it
+            # under its alias
+            rev = {v: k for k, v in name_map.items()}
+            snip = tuple(rev.get(f, f) for f in snip)
+            if tolerate_failures:
+                hits_df, failed = search_with_failures(
+                    reader, req, fetch_fields=fetch, snippet_fields=snip
+                )
+                body["errors"] = failed
+            else:
+                hits_df = search(
+                    reader, req, fetch_fields=fetch, snippet_fields=snip
+                )
         body["hits"] = [
             _render_hit(r.asDict(recursive=True), name_map)
             for r in hits_df.collect()

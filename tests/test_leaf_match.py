@@ -481,3 +481,51 @@ def test_metric_partials_null_metric_bucket(small_index, fields_spy):
         small_index, req, aggs, leaf_match=False
     )["g"].orderBy("key").collect()
     assert leaf == gen and leaf
+
+
+# ---- one-pass hits + num_hits (with_count) --------------------------------
+
+
+@pytest.mark.parametrize("q", ["w1 OR w4", "w2 -w9", '"w1 w2"'])
+def test_search_with_count_matches_count_hits(small_index, q):
+    from quickwit_spark.operators.search import search
+
+    req = SearchRequest(query=q, max_hits=10)
+    df, n = search(small_index, req, with_count=True)
+    assert n is not None
+    assert n == count_hits(small_index, req).collect()[0]["num_hits"] > 0
+    # the hit rows must equal the two-pass search exactly
+    plain = search(small_index, req)
+    key = ["split_id", "docid"]
+    assert df.orderBy(*key).collect() == plain.orderBy(*key).collect()
+
+
+def test_search_with_count_sort_and_window(small_index):
+    from quickwit_spark.operators.search import search
+
+    req = SearchRequest(
+        query="w1 OR w2",
+        max_hits=15,
+        sort_by_field="ts",
+        sort_order="asc",
+        start_timestamp="2023-01-01T00:30:00",
+        end_timestamp="2023-01-01T03:00:00",
+    )
+    df, n = search(small_index, req, with_count=True)
+    assert n == count_hits(small_index, req).collect()[0]["num_hits"] > 0
+    assert df.collect() == search(small_index, req).collect()
+
+
+def test_search_with_count_none_on_non_leaf(small_index):
+    from quickwit_spark.operators.search import search
+
+    df, n = search(
+        small_index, SearchRequest(query="url:[100 TO 300]", max_hits=5),
+        with_count=True,
+    )
+    assert n is None  # range query: general plan, caller counts separately
+    df2, n2 = search(
+        small_index, SearchRequest(query="zzznothing", max_hits=5),
+        with_count=True,
+    )
+    assert n2 == 0 and df2.count() == 0
