@@ -430,7 +430,6 @@ def es_search_endpoint(reader: IndexReader, params: dict) -> dict:
     icfg = reader.manifest.load_index_config()
     name_map = _user_name_map(icfg)
 
-    n = int(count_hits(reader, req).collect()[0]["num_hits"])
     includes = _as_list(params, "_source") or _as_list(
         params, "_source_includes"
     )
@@ -439,9 +438,19 @@ def es_search_endpoint(reader: IndexReader, params: dict) -> dict:
         fetch = tuple(rev.get(f, f) for f in includes)
     else:
         fetch = tuple(_doc_columns(reader))
+    # one-pass hits + hits.total (per-split counts ride the leaf top-k
+    # rows); None = plan couldn't count inline, pay the explicit count
+    hits_df = None
+    n = None
+    if req.max_hits > 0:
+        hits_df, n = search(
+            reader, req, fetch_fields=fetch, with_count=True
+        )
+    if n is None:
+        n = int(count_hits(reader, req).collect()[0]["num_hits"])
     hits = []
     if req.max_hits > 0 and n > 0:
-        for r in search(reader, req, fetch_fields=fetch).collect():
+        for r in hits_df.collect():
             d = r.asDict(recursive=True)
             hits.append(
                 {
