@@ -129,9 +129,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- full-text search (SURVEY §2.4/§2.5) ------------------------------
     q["fts_term_topk"] = lambda s, d: _fts_topk(s, d, "dup", 15)
-    q["fts_and_topk"] = lambda s, d: _fts_topk(s, d, "spark merge", 10)
-    q["fts_or_topk"] = lambda s, d: _fts_topk(s, d, "vector OR window", 10)
-    q["fts_not_topk"] = lambda s, d: _fts_topk(s, d, "batch -scan", 10)
+
+    def fts_bool_topk(s: SparkSession, d: str) -> DataFrame:
+        # one gate, three boolean operators (SURVEY §2 row 26): AND / OR /
+        # NOT top-k unioned under a variant label so each hashes
+        # independently (the fts_search_many / fts_phrase_topk shape)
+        return (
+            _fts_topk(s, d, "spark merge", 10)
+            .select(F.lit("and").alias("variant"), "*")
+            .unionByName(
+                _fts_topk(s, d, "vector OR window", 10).select(
+                    F.lit("or").alias("variant"), "*"
+                )
+            )
+            .unionByName(
+                _fts_topk(s, d, "batch -scan", 10).select(
+                    F.lit("not").alias("variant"), "*"
+                )
+            )
+        )
+
+    q["fts_bool_topk"] = fts_bool_topk
     q["fts_termset_topk"] = lambda s, d: _fts_topk(s, d, "text:IN [dup key]", 10)
     def phrase_topk(s: SparkSession, d: str) -> DataFrame:
         # one gate, both phrase semantics: exact (slop 0) plus slop 1 —
@@ -680,6 +698,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_pairs"] = lambda s, d: DD.ngram_jaccard_pairs(
         docs_df(s, d), threshold=0.8
     )
+
+    def dedup_clusters(s: SparkSession, d: str) -> DataFrame:
+        # pairs -> connected components -> one canonical doc id per
+        # duplicate cluster (operators/dedup.duplicate_clusters); the
+        # documents universe labels singletons with their own id
+        docs = docs_df(s, d)
+        pairs = DD.ngram_jaccard_pairs(docs, threshold=0.8)
+        return DD.duplicate_clusters(pairs, nodes=docs)
+
+    q["dedup_clusters"] = dedup_clusters
     q["dedup_minhash_pairs"] = lambda s, d: DD.minhash_lsh_pairs(
         docs_df(s, d), threshold=0.8
     )
@@ -761,15 +789,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["fts_term_topk"] = bm25_and_sql(["dup"], 15)
-    o["fts_and_topk"] = bm25_and_sql(["spark", "merge"], 10)
-    o["fts_or_topk"] = bm25_or_sql(["vector", "window"], 10)
-    o["fts_not_topk"] = f"""{ORACLE_PRELUDE}
+    fts_not_sql = f"""{ORACLE_PRELUDE}
 SELECT doc_id, round(score + 1e-9, 4) AS score FROM (
   SELECT doc_id, sum(score) AS score FROM scores
   WHERE term = 'batch'
     AND doc_id NOT IN (SELECT doc_id FROM scores WHERE term = 'scan')
   GROUP BY split_id, doc_id
 ) ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    o["fts_bool_topk"] = f"""
+SELECT 'and' AS variant, * FROM ({bm25_and_sql(["spark", "merge"], 10)})
+UNION ALL
+SELECT 'or' AS variant, * FROM ({bm25_or_sql(["vector", "window"], 10)})
+UNION ALL
+SELECT 'not' AS variant, * FROM ({fts_not_sql})
 """
     o["fts_termset_topk"] = bm25_or_sql(["dup", "key"], 10)
     o["fts_phrase_topk"] = f"""
@@ -1092,6 +1125,18 @@ SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM f GROUP BY 1
 """
     o["dedup_ngram_pairs"] = ngram_jaccard_sql(0.8)
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE
+pairs AS ({ngram_jaccard_sql(0.8)}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+comp(node, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.b, c.label FROM comp c JOIN edges e ON e.a = c.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM comp GROUP BY node
+"""
     o["pipeline_decontaminate"] = f"""
 WITH d AS (SELECT doc_id, {TOKENIZE} AS toks FROM documents),
 sh AS (SELECT doc_id, unnest({SHINGLES}) AS sh FROM d),

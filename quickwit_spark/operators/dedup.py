@@ -330,3 +330,67 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    nodes: "DataFrame | None" = None,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list ->
+    (doc_id, cluster_id), cluster_id = the component's minimum doc id —
+    the step between pairwise dedup and "keep one canonical doc per
+    duplicate cluster" (downstream: ``filter(doc_id == cluster_id)``
+    keeps exactly one representative).
+
+    ``nodes`` (optional, a DataFrame with ``id_col``) extends the output
+    to singleton docs (cluster_id = own id); without it only docs that
+    appear in a pair are labeled.
+
+    Algorithm: iterative min-label propagation over the symmetrized edge
+    list — each round every node takes the min of its own label and its
+    neighbors' labels (one join + one groupBy = one shuffle per round),
+    until the label assignment reaches a fixpoint. Rounds needed = the
+    component diameter; near-duplicate graphs from shingle/LSH candidates
+    are near-cliques, so real corpora converge in 2-3 rounds. Lineage is
+    truncated each round with ``localCheckpoint`` (iterative plans
+    otherwise grow unboundedly), and convergence is detected by the label
+    sum (strictly decreasing until fixpoint — labels only ever move down
+    to the component minimum). For adversarial long-chain graphs swap in
+    the alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce"), which is O(log n) rounds of the
+    same join shape.
+    """
+    e = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    if nodes is not None:
+        base = nodes.select(F.col(id_col).alias("node")).distinct()
+    else:
+        base = edges.select(F.col("src").alias("node")).distinct()
+    labels = base.select("node", F.col("node").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "label")
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("label")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )

@@ -361,3 +361,43 @@ def test_decontaminate_benchmark_is_broadcast(docs):
     # the corpus side must probe a broadcast of the benchmark shingles —
     # no shuffle of the training corpus for the join
     assert "BroadcastHashJoin" in plan
+
+
+def test_duplicate_clusters_chain_and_singletons(spark):
+    """Min-label propagation must traverse a CHAIN (1-2, 2-3, 3-4 is one
+    component even though 1 and 4 never share a pair), label singletons
+    with their own id, and converge on an empty pair list."""
+    from quickwit_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+    # canonical-doc filter keeps exactly one doc per cluster
+    keep = [k for k, v in got.items() if k == v]
+    assert sorted(keep) == [1, 10, 99]
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(empty, nodes=nodes).collect()
+    }
+    assert got2 == {i: i for i in (1, 2, 3, 4, 10, 11, 99)}
+
+
+def test_duplicate_clusters_without_universe(spark):
+    from quickwit_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([(7, 3), (3, 9)], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {3: 3, 7: 3, 9: 3}
