@@ -423,6 +423,34 @@ def _col_for(index_dir: str, split_id: str, col: str, docids: np.ndarray):
     return arr.take(pa.array(np.searchsorted(idx, docids)))
 
 
+def _universe_for(index_dir: str, split_id: str) -> np.ndarray:
+    """Sorted docid universe of one split (the docstore docid column,
+    which survives delete-rewrites sparsely) — the all-docs base a
+    pure-negative boolean subtree subtracts from, exactly the general
+    plan's ``_zero(docs)``. Cached with the fast-field entries."""
+    key = (index_dir, split_id, "\x00univ", "")
+    hit = _FAST_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{index_dir}/docstore/split_id={split_id}", columns=["docid"]
+    )
+    d = np.sort(tbl.column("docid").to_numpy().astype(np.int64))
+    entry = (None, d, _EMPTY_U8, False)
+    global _FAST_CACHE_BYTES
+    while _FAST_CACHE and _FAST_CACHE_BYTES + d.nbytes > _FAST_CACHE_MAX_BYTES:
+        oldest = next(iter(_FAST_CACHE))
+        oi, ov, ovd, _ = _FAST_CACHE.pop(oldest)
+        _FAST_CACHE_BYTES -= ov.nbytes + ovd.nbytes + (
+            oi.nbytes if oi is not None else 0
+        )
+    _FAST_CACHE[key] = entry
+    _FAST_CACHE_BYTES += d.nbytes
+    return d
+
+
 # docstore dtypes the leaf kernel can sort by under Spark's cast-to-double
 # semantics (text sorts are rejected upstream; anything else routes to the
 # general plan's docstore join)
@@ -1060,8 +1088,18 @@ def _make_leaf_topk_kernel(
                         add = np.zeros(len(base_d), dtype=np.float64)
                         add[hit_mask] = us[pos_c[hit_mask]]
                         base_s = base_s + add
-                if base_d is None or len(base_d) == 0:
-                    return _empty  # pure-negative is rejected at compile
+                if base_d is None:
+                    if n["must_not"]:
+                        # pure-negative subtree (NOT x / -x alone): all
+                        # docs minus the exclusions — the general plan's
+                        # _zero(docs) base, score 0, read split-locally
+                        # from the docstore docid column
+                        base_d = _universe_for(index_dir, _sid)
+                        base_s = np.zeros(len(base_d), dtype=np.float64)
+                    else:
+                        return _empty
+                elif len(base_d) == 0:
+                    return _empty
                 for c in n["must_not"]:
                     nd, _ns = ev(c)
                     if len(nd) == 0:
@@ -2066,8 +2104,9 @@ class Searcher:
                     ),
                 }
             if isinstance(n, Bool):
-                if not n.must and not n.should:
-                    raise _LeafBail  # pure-negative: needs the all-docs base
+                # pure-negative subtrees compile too: the kernel reads the
+                # split's docid universe from the docstore (same base the
+                # general plan's _zero(docs) provides)
                 return {
                     "op": "bool",
                     "must": [comp(c) for c in n.must],

@@ -31,6 +31,9 @@ QUERIES = [
     "(w1 OR w2) AND (w3 OR -w4)",
     '"w1 w2"',
     "w1^2 OR w4",
+    "-w9",           # pure-negative: kernel subtracts from the docid universe
+    "NOT w9",
+    "w1 OR -w2",     # pure-negative subtree under OR
 ]
 
 
