@@ -769,6 +769,28 @@ def _leaf_spec_tokens(spec: dict) -> list[str]:
     return []
 
 
+def _leaf_spec_matches_without_terms(spec: dict) -> bool:
+    """True when the tree can match docs in a split that holds NONE of the
+    query's postings tokens — pure-negative subtrees (NOT x over the
+    universe). Such specs need one anchor input row per split, or the
+    kernel never visits splits where the negated terms don't occur."""
+    op = spec["op"]
+    if op in ("term", "termset", "phrase", "empty"):
+        return False
+    if op == "boost":
+        return _leaf_spec_matches_without_terms(spec["child"])
+    # bool
+    if spec["must"]:
+        return all(
+            _leaf_spec_matches_without_terms(c) for c in spec["must"]
+        )
+    if spec["should"]:
+        return any(
+            _leaf_spec_matches_without_terms(c) for c in spec["should"]
+        )
+    return bool(spec["must_not"])  # pure-negative node
+
+
 def _leaf_spec_phrase_tokens(spec: dict) -> set[str]:
     """Tokens needing POSITION payloads (phrase nodes only)."""
     op = spec["op"]
@@ -881,7 +903,17 @@ def _make_leaf_topk_kernel(
         # so decode per batch and bucket the slices by split
         rows: dict[str, dict[str, tuple]] = {}
         pcoords: dict[str, dict[str, np.ndarray]] = {}
+        seen: set = set()
         for rb in batches:
+            names0 = rb.schema.names
+            seen.update(rb.column(names0.index("split_id")).to_pylist())
+            tcol = rb.column(names0.index("term"))
+            if tcol.null_count:
+                # null-term anchor rows (pure-negative-reachable specs):
+                # they only mark the split as present — drop before decode
+                rb = rb.filter(pc.is_valid(tcol))
+                if rb.num_rows == 0:
+                    continue
             dec = _decode_blocks_batch(rb, need_tf=True)
             if dec is None:
                 continue
@@ -926,8 +958,10 @@ def _make_leaf_topk_kernel(
             )
         ]
         out_hits: list = []
-        for sid in sorted(rows):
-            per_term = rows[sid]
+        # walk every split this task saw, not just those holding query
+        # tokens — anchor-only splits still match pure-negative subtrees
+        for sid in sorted(seen):
+            per_term = rows.get(sid, {})
             try:
                 n_docs = n_docs_by_split[sid]
             except KeyError:
@@ -2445,6 +2479,22 @@ class Searcher:
         post = self.reader.postings().filter(
             F.col("term").isin(uniq) & F.col("split_id").isin(split_ids)
         ).select(*cols)
+        if _leaf_spec_matches_without_terms(spec):
+            # pure-negative-reachable trees match docs in splits holding
+            # NONE of the query's tokens: anchor one null-term row per
+            # pruned split so every split reaches a kernel task (the
+            # kernel skips null terms at decode and walks seen splits)
+            anchors = local_rows_df(
+                self.reader.spark,
+                [(sid,) for sid in split_ids],
+                T.StructType([T.StructField("split_id", T.StringType())]),
+            )
+            for f_ in post.schema.fields:
+                if f_.name != "split_id":
+                    anchors = anchors.withColumn(
+                        f_.name, F.lit(None).cast(f_.dataType)
+                    )
+            post = post.unionByName(anchors.select(*cols))
         return post.repartition("split_id").mapInArrow(
             _make_leaf_topk_kernel(
                 spec,

@@ -532,3 +532,62 @@ def test_search_with_count_none_on_non_leaf(small_index):
         with_count=True,
     )
     assert n2 == 0 and df2.count() == 0
+
+
+# ---- pure-negative across splits that lack the negated term ---------------
+
+
+@pytest.fixture(scope="module")
+def skewed_term_index(spark, tmp_path_factory):
+    """Two splits; token 'zzztok' occurs ONLY in split 0 — a pure-negative
+    query must still match every doc of split 1 (regression: the kernel
+    once visited only splits holding the query's postings tokens)."""
+    from quickwit_spark.operators.build import IndexConfig, build_index
+    from quickwit_spark.operators.search import IndexReader
+
+    rows = [
+        (
+            f"https://x/p/{i}",
+            "common words here " + ("zzztok " if i % 2 == 0 else ""),
+            i % 2,
+        )
+        for i in range(200)
+    ]
+    df = (
+        spark.createDataFrame(rows, "url string, text string, part int")
+        .withColumn("warc_ts", F.lit("2023-01-01").cast("timestamp"))
+        .withColumn("html", F.encode(F.col("text"), "utf-8"))
+        .withColumn("lang", F.lit("en"))
+    )
+    d = str(tmp_path_factory.mktemp("skew")) + "/idx"
+    build_index(
+        spark, df, d,
+        IndexConfig(index_id="skew", num_splits=2, routing_col="part"),
+    )
+    return IndexReader(spark, d)
+
+
+@pytest.mark.parametrize(
+    "q,expected",
+    [
+        ("-zzztok", 100),
+        ("NOT zzztok", 100),
+        ("common OR -zzztok", 200),
+        ("common -zzztok", 100),
+        ("zzztok OR -common", 100),
+    ],
+)
+def test_pure_negative_covers_tokenless_splits(skewed_term_index, q, expected):
+    from quickwit_spark.operators.search import search
+
+    req = SearchRequest(query=q, max_hits=300)
+    leaf = count_hits(skewed_term_index, req).collect()[0]["num_hits"]
+    gen = count_hits(
+        skewed_term_index, req, leaf_match=False
+    ).collect()[0]["num_hits"]
+    assert leaf == gen == expected
+    sl = search(skewed_term_index, req, fetch_fields=()).collect()
+    sg = search(
+        skewed_term_index, req, fetch_fields=(), leaf_topk=False
+    ).collect()
+    assert sl == sg and len(sl) == expected
