@@ -777,6 +777,8 @@ def _leaf_spec_matches_without_terms(spec: dict) -> bool:
     op = spec["op"]
     if op in ("term", "termset", "phrase", "empty"):
         return False
+    if op == "range":
+        return True  # fast-field compare needs no postings tokens
     if op == "boost":
         return _leaf_spec_matches_without_terms(spec["child"])
     # bool
@@ -1052,6 +1054,59 @@ def _make_leaf_topk_kernel(
                     return union_sum(
                         [h for t in n["toks"] if (h := _scored(t)) is not None]
                     )
+                if op == "range":
+                    # fast-field compare over the split's docid universe,
+                    # score 0 (the general plan's _eval_range); bounds were
+                    # lowered at compile time into the exact comparison
+                    # domain (hex strings / epoch micros / ints / floats)
+                    univ = _universe_for(index_dir, _sid)
+                    lo, hi = n["lo"], n["hi"]
+                    if n["kind"] == "str":
+                        sarr = _col_for(index_dir, _sid, n["col"], univ)
+                        rmask = pc.is_valid(sarr).to_numpy(
+                            zero_copy_only=False
+                        ).copy()
+                        if lo is not None:
+                            cf = pc.greater_equal if n["lo_inc"] else pc.greater
+                            rmask &= pc.fill_null(
+                                cf(sarr, lo), False
+                            ).to_numpy(zero_copy_only=False)
+                        if hi is not None:
+                            cf = pc.less_equal if n["hi_inc"] else pc.less
+                            rmask &= pc.fill_null(
+                                cf(sarr, hi), False
+                            ).to_numpy(zero_copy_only=False)
+                    elif n["kind"] == "int":
+                        iarr = _col_for(index_dir, _sid, n["col"], univ)
+                        rmask = pc.is_valid(iarr).to_numpy(
+                            zero_copy_only=False
+                        ).copy()
+                        ivals = pc.fill_null(iarr.cast(pa.int64()), 0).to_numpy(
+                            zero_copy_only=False
+                        )
+                        if lo is not None:
+                            rmask &= (
+                                (ivals >= lo) if n["lo_inc"] else (ivals > lo)
+                            )
+                        if hi is not None:
+                            rmask &= (
+                                (ivals <= hi) if n["hi_inc"] else (ivals < hi)
+                            )
+                    else:  # "num" (cast-to-double) / "ts" (epoch micros)
+                        fvals, fvalid, _ = _fast_for(
+                            index_dir, _sid, n["col"], univ
+                        )
+                        rmask = fvalid.copy()
+                        if lo is not None:
+                            rmask &= (
+                                (fvals >= lo) if n["lo_inc"] else (fvals > lo)
+                            )
+                        if hi is not None:
+                            rmask &= (
+                                (fvals <= hi) if n["hi_inc"] else (fvals < hi)
+                            )
+                    d = univ[rmask]
+                    return d, np.zeros(len(d), dtype=np.float64)
                 if op == "phrase":
                     by_term = pcoords.get(_sid, {})
                     if any(u not in by_term for u in n["uniq"]):
@@ -1841,6 +1896,69 @@ class Searcher:
             raise ValueError(f"invalid ip literal {value!r} for field {field!r}")
         return canon
 
+    def _leaf_range_spec(self, n) -> dict:
+        """Compile a Range node for the leaf kernel, bailing to the general
+        plan whenever the exact Spark comparison semantics can't be
+        replicated bit-for-bit in numpy/pyarrow:
+          * ip fields — canonical-hex domain, lexicographic compare;
+          * the ts column — bounds through the SAME Spark string→timestamp
+            cast the general plan applies (epoch-micros compare);
+          * integral columns — bounds must parse as ints (ANSI Spark casts
+            the string bound to the column type and THROWS on a mismatch —
+            the general plan surfaces that error);
+          * double/float columns — float bounds (float32 columns round the
+            bound to float32 first, as Spark's cast does);
+          * string columns — raw lexicographic compare.
+        Text fields bail so the general plan raises its canonical error."""
+        col = self.fast_fields.get(n.field, n.field)
+        if col == self.default_field or col in self.extra_text_fields:
+            raise _LeafBail  # "range queries forbidden on text fields"
+        lo, hi = n.lo, n.hi
+        if n.field in self.ip_fields:
+            lo = self._ip_const(n.field, lo) if lo is not None else None
+            hi = self._ip_const(n.field, hi) if hi is not None else None
+            kind = "str"
+        elif col == "ts":
+            kind = "ts"
+            spark = self.reader.spark
+            lo = _ts_micros(spark, lo, is_start=True) if lo is not None else None
+            hi = _ts_micros(spark, hi, is_start=False) if hi is not None else None
+        else:
+            try:
+                dt = dict(self.reader.docstore().dtypes).get(col)
+            except Exception:  # noqa: BLE001 — no docstore files yet
+                raise _LeafBail from None
+            if dt in ("bigint", "int", "smallint", "tinyint"):
+                kind = "int"
+                try:
+                    lo = int(lo) if lo is not None else None
+                    hi = int(hi) if hi is not None else None
+                except (TypeError, ValueError):
+                    raise _LeafBail from None  # ANSI cast error: general
+            elif dt in ("double", "float"):
+                kind = "num"
+                try:
+                    lo = float(lo) if lo is not None else None
+                    hi = float(hi) if hi is not None else None
+                except (TypeError, ValueError):
+                    raise _LeafBail from None
+                if dt == "float":
+                    lo = float(np.float32(lo)) if lo is not None else None
+                    hi = float(np.float32(hi)) if hi is not None else None
+            elif dt == "string":
+                kind = "str"
+            else:
+                raise _LeafBail
+        return {
+            "op": "range",
+            "col": col,
+            "kind": kind,
+            "lo": lo,
+            "hi": hi,
+            "lo_inc": n.lo_inc,
+            "hi_inc": n.hi_inc,
+        }
+
     def _ff_predicate(self, docs: DataFrame, field: str, value: str):
         """Typed fast-field equality for term/termset atoms: array columns
         match any element (MultiValues cardinality), struct paths compare
@@ -2147,7 +2265,9 @@ class Searcher:
                     "should": [comp(c) for c in n.should],
                     "must_not": [comp(c) for c in n.must_not],
                 }
-            raise _LeafBail  # Phrase / Range / MatchAll: general plan
+            if isinstance(n, Range):
+                return self._leaf_range_spec(n)
+            raise _LeafBail  # Phrase / MatchAll: general plan
 
         try:
             return comp(node)

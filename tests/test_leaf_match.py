@@ -34,6 +34,9 @@ QUERIES = [
     "-w9",           # pure-negative: kernel subtracts from the docid universe
     "NOT w9",
     "w1 OR -w2",     # pure-negative subtree under OR
+    "doc_len:[50 TO 100]",            # fast-field range, kernel compare
+    "w1 doc_len:[50 TO 100]",         # term AND range, one kernel pass
+    "w1 OR doc_len:<30",              # range subtree under OR
 ]
 
 
@@ -523,10 +526,10 @@ def test_search_with_count_none_on_non_leaf(small_index):
     from quickwit_spark.operators.search import search
 
     df, n = search(
-        small_index, SearchRequest(query="url:[100 TO 300]", max_hits=5),
+        small_index, SearchRequest(query="*", max_hits=5),
         with_count=True,
     )
-    assert n is None  # range query: general plan, caller counts separately
+    assert n is None  # match-all: general plan, caller counts separately
     df2, n2 = search(
         small_index, SearchRequest(query="zzznothing", max_hits=5),
         with_count=True,
