@@ -844,10 +844,12 @@ def _make_leaf_topk_kernel(
     |matches| to |splits|·k, which is the shape that survives a 10^12-doc
     corpus for sub-WAND-threshold queries.
 
-    ``spec``: a tree of ``{"op": "term"|"termset"|"phrase"|"boost"|"bool"|
-    "empty"}`` nodes compiled by ``Searcher.leaf_plan`` (text terms only;
-    ranges, match-all and pure-negative subtrees stay on the general plan;
-    phrase nodes require every pruned split to store positions). Phrase
+    ``spec``: a tree of ``{"op": "term"|"termset"|"phrase"|"range"|
+    "boost"|"bool"|"empty"}`` nodes compiled by ``Searcher.leaf_plan``
+    (match-all stays on its direct docstore path; pure-negative subtrees
+    subtract from the split docid universe; range nodes compare fast
+    fields in their compile-lowered domain; phrase nodes require every
+    pruned split to store positions). Phrase
     nodes run the same vectorized global-coordinate matcher as the
     standalone phrase kernel and score with tf = phrase frequency, idf
     summed over the token sequence (tantivy Bm25Weight::for_terms).
@@ -2195,12 +2197,13 @@ class Searcher:
 
     # ---- leaf-local top-k (boolean trees of text terms) ------------------
     def leaf_plan(self, node: Node, allow_phrase: bool = False) -> dict | None:
-        """Compile a boolean tree of text terms / term-sets / phrases (with
-        boosts, arbitrary nesting, multi-token terms) into the leaf-local
-        top-k spec tree, or None when the query needs the general plan
-        (ranges, match-all, non-text fields, pure-negative subtrees, and
-        phrases unless ``allow_phrase`` — i.e. unless every pruned split
-        stores positions)."""
+        """Compile a boolean tree of text terms / term-sets / phrases /
+        fast-field ranges (with boosts, arbitrary nesting, multi-token
+        terms, pure-negative subtrees) into the leaf-local top-k spec
+        tree, or None when the query needs the general plan (match-all,
+        non-text term fields, ranges whose comparison domain can't be
+        replicated exactly, and phrases unless ``allow_phrase`` — i.e.
+        unless every pruned split stores positions)."""
 
         def comp(n: Node) -> dict:
             if isinstance(n, Phrase):
