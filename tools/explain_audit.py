@@ -205,19 +205,20 @@ def main() -> None:
     ]
     sections.append(("search aggregation (metric partials)", p4m2, checks4m2))
 
-    # general fallback: a range clause can't leaf-compile, so the agg plan
-    # must restrict the docstore by semi-join instead
+    # forced general plan (ranges now leaf-compile too, so the fallback is
+    # exercised explicitly): the agg restricts the docstore by semi-join
     ag_rng = search_aggs(
         reader,
         SearchRequest(query="w0 AND url:[100 TO 900]", max_hits=1),
         {"langs": {"terms": {"field": "lang", "size": 5}}},
+        leaf_match=False,
     )["langs"]
     p4r = plan_of(ag_rng)
     checks4r = [
         ("fallback aggs docstore restricted by semi-join", "LeftSemi" in p4r),
         ("fallback aggs matching is scoring-free", "avgdl" not in p4r),
     ]
-    sections.append(("search aggregation (non-leaf fallback: range clause)", p4r, checks4r))
+    sections.append(("search aggregation (forced general fallback)", p4r, checks4r))
 
     # match-all + window: one pruned docstore scan, no query evaluation
     ag_ma = search_aggs(
