@@ -594,3 +594,45 @@ def test_pure_negative_covers_tokenless_splits(skewed_term_index, q, expected):
         skewed_term_index, req, fetch_fields=(), leaf_topk=False
     ).collect()
     assert sl == sg and len(sl) == expected
+
+
+def test_fuzz_range_leaf_vs_general(small_index):
+    """Random range shapes (bounds, inclusivity, int/string/ts columns,
+    optional term conjunct/disjunct) — kernel vs general plan, counts and
+    full hit sets."""
+    import random
+
+    from quickwit_spark.operators.search import search
+
+    rng = random.Random(7)
+    checked = 0
+    for _ in range(24):
+        col = rng.choice(["doc_len", "norm_len", "ts"])
+        if col == "ts":
+            lo = f"2023-01-01T0{rng.randint(0, 4)}:00:00"
+            hi = f"2023-01-01T0{rng.randint(5, 9)}:00:00"
+        else:
+            lo, hi = sorted((rng.randint(0, 120), rng.randint(0, 260)))
+            lo, hi = str(lo), str(hi)
+        lob = "[" if rng.random() < 0.5 else "{"
+        hib = "]" if rng.random() < 0.5 else "}"
+        shapes = [
+            f"{col}:{lob}{lo} TO {hi}{hib}",
+            f"w{rng.randint(0, 9)} {col}:{lob}{lo} TO {hi}{hib}",
+            f"w{rng.randint(0, 9)} OR {col}:>{lo}",
+            f"{col}:<={hi} -w{rng.randint(0, 9)}",
+        ]
+        q = rng.choice(shapes)
+        req = SearchRequest(query=q, max_hits=700)
+        cl = count_hits(small_index, req).collect()[0]["num_hits"]
+        cg = count_hits(
+            small_index, req, leaf_match=False
+        ).collect()[0]["num_hits"]
+        assert cl == cg, q
+        sl = search(small_index, req, fetch_fields=()).collect()
+        sg = search(
+            small_index, req, fetch_fields=(), leaf_topk=False
+        ).collect()
+        assert sl == sg, q
+        checked += 1
+    assert checked == 24
