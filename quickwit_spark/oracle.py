@@ -230,6 +230,26 @@ class OracleIndex:
             if node.field != text_field:
                 raise ValueError(f"oracle only evaluates {text_field!r} phrases")
             return self._eval_phrase(sp, node)
+        from quickwit_spark.plans.query import Range
+
+        if isinstance(node, Range):
+            # differential fuzzing evaluates ranges over doc_len only —
+            # the one fast field derivable from the oracle's own state
+            # (doc_len == raw token count, pinned at 1M scale in
+            # tests/test_scale_fuzz.py)
+            if node.field != "doc_len":
+                raise ValueError("oracle ranges support only doc_len")
+            lo = float(node.lo) if node.lo is not None else None
+            hi = float(node.hi) if node.hi is not None else None
+            out2: dict[int, float] = {}
+            for d, toks in sp.docs.items():
+                v = len(toks)
+                if lo is not None and not (v >= lo if node.lo_inc else v > lo):
+                    continue
+                if hi is not None and not (v <= hi if node.hi_inc else v < hi):
+                    continue
+                out2[d] = 0.0
+            return out2
         if isinstance(node, Bool):
             parts = [self._eval_node(sp, c, text_field) for c in node.must]
             base: dict[int, float] | None

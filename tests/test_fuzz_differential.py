@@ -97,6 +97,18 @@ def gen_atom(rng: random.Random, v: Vocab, depth: int) -> str:
     elif r < 0.55:
         q = "*"
         boostable = False
+    elif r < 0.62:  # fast-field range over doc_len (oracle: token count)
+        lo, hi = sorted((rng.randint(0, 80), rng.randint(0, 160)))
+        style = rng.random()
+        if style < 0.4:
+            lob = "[" if rng.random() < 0.5 else "{"
+            hib = "]" if rng.random() < 0.5 else "}"
+            q = f"doc_len:{lob}{lo} TO {hi}{hib}"
+        elif style < 0.7:
+            q = f"doc_len:>{lo}" if rng.random() < 0.5 else f"doc_len:>={lo}"
+        else:
+            q = f"doc_len:<{hi}" if rng.random() < 0.5 else f"doc_len:<={hi}"
+        boostable = False
     else:
         q = v.term(rng)
         if rng.random() < 0.15:
@@ -124,6 +136,10 @@ def gen_bool(rng: random.Random, v: Vocab, depth: int = 0) -> str:
         return " ".join(out)
     if mode < 0.85 and parts[1][0].isalnum():
         return parts[0] + " NOT " + parts[1]
+    if mode < 0.92 and parts[1][0].isalnum():
+        # pure-negative disjunct: 'a OR -b' (the -b group alone matches
+        # every doc without b — universe subtraction in the leaf kernel)
+        return parts[0] + " OR -" + parts[1]
     return parts[0] + " AND " + parts[1] + (" OR " + parts[2] if n == 3 else "")
 
 
