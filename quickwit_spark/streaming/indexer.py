@@ -98,3 +98,37 @@ def index_stream_available_now(
     q = sink.start(stream, checkpoint_dir, trigger_available_now=True)
     q.awaitTermination()
     return sink
+
+
+def dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    watermark: "tuple[str, str] | None" = None,
+) -> DataFrame:
+    """Cross-micro-batch EXACT dedup for a streaming ingest pipeline: keep
+    the first document per content fingerprint (normalized-token md5 — the
+    same fingerprint operators/textstats.fingerprint computes batch-side),
+    dropping re-sends and mirrors that arrive in LATER batches too.
+
+    Spark-native stateful dedup: ``dropDuplicates`` on a streaming
+    DataFrame keeps per-key state in the state store, so the dedup
+    composes with the foreachBatch indexer sink — duplicates never reach
+    the split builder. Unbounded corpora should pass ``watermark =
+    (event_time_col, "N hours")`` so state for keys older than the delay
+    is evicted (``dropDuplicatesWithinWatermark`` — the standard bounded-
+    state trade: an exact duplicate arriving later than the watermark
+    delay is re-admitted). At 10^12 docs the state store is the RocksDB
+    provider and the fingerprint is the only state key — 16 bytes/doc."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.functions.tokenize import tokenize_expr
+
+    fp = F.md5(F.concat_ws(" ", tokenize_expr(F.col(text_col))))
+    out = stream.withColumn("_fp", fp)
+    if watermark is not None:
+        col, delay = watermark
+        return out.withWatermark(col, delay).dropDuplicatesWithinWatermark(
+            ["_fp"]
+        ).drop("_fp")
+    return out.dropDuplicates(["_fp"]).drop("_fp")

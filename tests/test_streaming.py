@@ -194,3 +194,46 @@ def test_streaming_dynamic_split_sizing(spark, pages_small, tmp_path):
     # hash routing is uneven but bounded near the target
     assert all(m.num_docs <= 150 for m in pub)
     assert _count_hits(IndexReader(spark, idx), "*") == 600
+
+
+def test_dedup_stream_across_micro_batches(spark, tmp_path):
+    """dedup_stream keeps per-fingerprint state across micro-batches: a
+    doc re-sent in a LATER batch (different url, same normalized text)
+    never reaches the sink."""
+    from quickwit_spark.streaming.indexer import dedup_stream
+
+    src = str(tmp_path / "src")
+    out: list = []
+
+    rows1 = [(f"https://a/p/{i}", f"unique text number {i}") for i in range(20)]
+    spark.createDataFrame(rows1, "url string, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    # second file: 5 exact re-sends (formatting noise only) + 5 new docs
+    rows2 = [
+        (f"https://b/p/{i}", f"  Unique   TEXT Number {i} ") for i in range(5)
+    ] + [(f"https://a/p/{i}", f"unique text number {i}") for i in range(20, 25)]
+    spark.createDataFrame(rows2, "url string, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.foreachBatch(
+            lambda df, bid: out.extend(r["url"] for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # 25 unique fingerprints; the 5 re-sends (case/whitespace variants of
+    # batch-1 docs) are dropped by cross-batch state
+    assert len(out) == 25
+    assert not any(u.startswith("https://b/") for u in out)
