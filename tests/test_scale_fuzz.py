@@ -343,3 +343,23 @@ def test_metric_partials_parity(big):
     for (gk, gdc, gn, ga, gmx), (ek, edc, en, ea, emx) in zip(rows, exp):
         assert (gk, gdc, gn, gmx) == (ek, edc, en, emx)
         assert abs(ga - ea) <= 1e-9 * max(1.0, abs(ea))
+
+
+def test_duplicate_clusters_1m_chains(spark):
+    """duplicate_clusters at 1M nodes: 200k chains of length 5 (diameter 4
+    — the propagation worst case per component) must all converge to the
+    chain-minimum label, and the representative set must be closed."""
+    from quickwit_spark.operators.dedup import duplicate_clusters
+
+    n = 1_000_000
+    edges = (
+        spark.range(n - 1)
+        .filter((F.col("id") % 5) != 4)  # break every 5th link
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    labels = duplicate_clusters(edges, nodes=nodes)
+    expected = F.col("doc_id") - (F.col("doc_id") % 5)
+    bad = labels.filter(F.col("cluster_id") != expected).count()
+    assert bad == 0
+    assert labels.count() == n
