@@ -1430,6 +1430,14 @@ def _make_leaf_topk_kernel(
                 out_hits.append(
                     np.full(len(base_d), n_match, dtype=np.int64)
                 )
+            # in-kernel fetch: docstore columns for the TRIMMED top-k rows
+            # (the split's docstore is already open here), so a fetched
+            # search needs no second job
+            for j, fcol in enumerate(fields):
+                farr = _col_for(index_dir, sid, fcol, base_d)
+                if pa.types.is_timestamp(farr.type):
+                    farr = farr.cast(pa.timestamp("us", farr.type.tz))
+                out_fields[j].append(farr.cast(field_types[j]))
         if out_sid:
             if emit == "count":
                 yield pa.RecordBatch.from_arrays(
@@ -1504,6 +1512,13 @@ def _make_leaf_topk_kernel(
                         pa.array(np.concatenate(out_hits), type=pa.int64())
                     )
                     names.append("split_hits")
+                for j, chunks in enumerate(out_fields):
+                    cols.append(
+                        pa.concat_arrays(chunks)
+                        if len(chunks) > 1
+                        else chunks[0]
+                    )
+                    names.append(f"f{j}")
                 yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return kernel
@@ -2286,6 +2301,7 @@ class Searcher:
         sort_spec: tuple | None = None,
         order: str = "desc",
         with_hits: bool = False,
+        fetch_cols: "list[str] | None" = None,
     ) -> DataFrame:
         """Leaf-local evaluation of a ``leaf_plan`` spec: shuffle ONLY the
         query terms' still-compressed postings rows to one task per split,
@@ -2295,8 +2311,31 @@ class Searcher:
         docstring). ``with_hits`` adds a ``split_hits`` column carrying
         each split's PRE-trim match count on its rows — the reference
         LeafSearchResponse's num_hits riding alongside the partial hits,
-        so one kernel pass serves both top-k and the total count."""
-        return self._leaf_kernel_df(
+        so one kernel pass serves both top-k and the total count.
+        ``fetch_cols`` attaches docstore columns to the per-split top-k
+        rows INSIDE the kernel (the split's docstore is already open
+        there), so a fetched search needs no second job at all; caller
+        must have checked ``leaf_fields_plan(fetch_cols)``."""
+        base = LEAF_TOPK_HITS_SCHEMA if with_hits else LEAF_TOPK_SCHEMA
+        if not fetch_cols:
+            return self._leaf_kernel_df(
+                spec,
+                split_ids,
+                k,
+                ts_bounds=ts_bounds,
+                sort_spec=sort_spec,
+                order=order,
+                emit="topk_hits" if with_hits else "topk",
+                schema=base,
+            )
+        plan = self.leaf_fields_plan(fetch_cols)
+        if plan is None:
+            raise ValueError(f"columns {fetch_cols!r} not kernel-attachable")
+        schema = T.StructType(
+            list(base.fields)
+            + [T.StructField(f"f{i}", p[0]) for i, p in enumerate(plan)]
+        )
+        df = self._leaf_kernel_df(
             spec,
             split_ids,
             k,
@@ -2304,8 +2343,17 @@ class Searcher:
             sort_spec=sort_spec,
             order=order,
             emit="topk_hits" if with_hits else "topk",
-            schema=LEAF_TOPK_HITS_SCHEMA if with_hits else LEAF_TOPK_SCHEMA,
+            schema=schema,
+            fields=tuple(fetch_cols),
+            field_types=tuple(p[1] for p in plan),
         )
+        sel = [F.col(f.name) for f in base.fields]
+        for i, (c, p) in enumerate(zip(fetch_cols, plan)):
+            e = F.col(f"f{i}")
+            if p[2]:
+                e = F.timestamp_micros(e)
+            sel.append(e.alias(c))
+        return df.select(*sel)
 
     def leaf_matching(
         self,
@@ -3583,6 +3631,20 @@ def search(
         and fetch_mode != "dpp"
         and len(split_ids) * k_total <= 1_000_000
     )
+    # in-kernel fetch: the kernel attaches the fetch/snippet columns to its
+    # per-split top-k rows (the split's docstore is already open there), so
+    # a fetched search costs ONE job — the root merge runs over the
+    # collected |splits|·k partials exactly like the reference root
+    fetch_all = tuple(fetch_fields) + tuple(
+        f for f in snippet_fields if f not in fetch_fields
+    )
+    inline_fetch = bool(
+        leaf_spec is not None
+        and fetch_all
+        and fetch_mode is None  # auto; explicit pointlookup/dpp keep joins
+        and len(split_ids) * k_total <= 200_000
+        and searcher.leaf_fields_plan(list(fetch_all))
+    )
     num_hits: "int | None" = None
     if wand_tokens:
         m = searcher.scored_topk_wand(wand_tokens, split_ids, k_total)
@@ -3595,21 +3657,24 @@ def search(
             sort_spec=leaf_sort,
             order=request.sort_order,
             with_hits=count_inline,
+            fetch_cols=list(fetch_all) if inline_fetch else None,
         )
-        if count_inline:
+        if count_inline or inline_fetch:
             # root merge over the collected per-split partials — the same
             # ordering expressions run below on a local (pure-JVM) relation
+            m_schema = m.schema
             rows_all = m.collect()
-            per_split: dict = {}
-            for r0 in rows_all:
-                per_split[r0["split_id"]] = r0["split_hits"]
-            num_hits = int(sum(per_split.values()))
+            if count_inline:
+                per_split: dict = {}
+                for r0 in rows_all:
+                    per_split[r0["split_id"]] = r0["split_hits"]
+                num_hits = int(sum(per_split.values()))
             if rows_all:
-                m = local_rows_df(
-                    reader.spark, rows_all, LEAF_TOPK_HITS_SCHEMA
-                ).drop("split_hits")
+                m = local_rows_df(reader.spark, rows_all, m_schema)
             else:
-                m = reader.spark.createDataFrame([], LEAF_TOPK_SCHEMA)
+                m = reader.spark.createDataFrame([], m_schema)
+            if count_inline:
+                m = m.drop("split_hits")
     else:
         m = searcher.matching(
             ast, split_ids, request.start_timestamp, request.end_timestamp
@@ -3641,10 +3706,8 @@ def search(
             .filter(F.col("_rn") > request.start_offset)
             .drop("_rn")
         )
-    fetch = tuple(fetch_fields) + tuple(
-        f for f in snippet_fields if f not in fetch_fields
-    )
-    if fetch:
+    fetch = fetch_all
+    if fetch and not inline_fetch:
         if fetch_mode is None:
             # collect-then-fetch is the reference root's own shape
             # (root.rs:487-502 then fetch_docs.rs) and the only one whose

@@ -36,11 +36,12 @@ def test_term_query_plan_shape(small_index):
 
 
 def test_fetch_plan_is_point_lookup(small_index):
-    """The fetch phase (root.rs:487-502 + fetch_docs.rs analog) must read
-    the docstore as a point lookup: winner docids pushed into the parquet
-    DataFilters and the scan pruned to the winner splits' partitions — not
-    a full docstore scan joined against the scoring subtree. (This IS the
-    auto mode at every scale; forced explicitly here for clarity.)"""
+    """FORCED-GENERAL fetch phase (root.rs:487-502 + fetch_docs.rs analog):
+    the docstore read is a point lookup — winner docids pushed into the
+    parquet DataFilters, scan pruned to the winner splits' partitions —
+    not a full docstore scan joined against the scoring subtree. (The
+    default leaf path fetches in-kernel and never plans this join at all;
+    see test_fetch_auto_is_in_kernel.)"""
     p = _plan(
         search(
             small_index,
@@ -55,16 +56,16 @@ def test_fetch_plan_is_point_lookup(small_index):
     assert "postings" not in p
 
 
-def test_fetch_auto_is_point_lookup(small_index):
-    """Auto fetch mode is collect-then-fetch at every scale: the lazy dpp
-    join plans the scored+top-k subtree twice (join build side + DPP
-    subquery), so its cost scales with the query's match count — a
-    common-term query paid the whole scoring plan twice. dpp remains an
-    explicit opt-in for callers composing a fully-lazy plan."""
+def test_fetch_auto_is_in_kernel(small_index):
+    """Default fetched search on a leaf-compiling query: the kernel
+    attaches the fetch columns to its per-split top-k rows, so the final
+    plan is a LOCAL relation — no docstore scan, no join, the whole query
+    was ONE kernel job. dpp remains an explicit opt-in for callers
+    composing a fully-lazy plan (and re-plans the scoring subtree)."""
     req = SearchRequest(query="w0 w3", max_hits=10)
     p = _plan(search(small_index, req, fetch_fields=("url",)))
-    assert "postings" not in p  # winners materialized; plan is the fetch join
-    assert "docid" in p.split("PushedFilters", 1)[1][:400]
+    assert "postings" not in p
+    assert "docstore" not in p and "Join" not in p
     p = _plan(search(small_index, req, fetch_fields=("url",), fetch_mode="dpp"))
     assert "postings" in p  # explicit dpp keeps the lazy scoring subtree
 
