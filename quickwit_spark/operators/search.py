@@ -3816,7 +3816,7 @@ def search_many(
     contribute zero rows."""
     if not requests:
         raise ValueError("search_many needs at least one request")
-    parts = []
+    lanes = []
     for qid, req in requests.items():
         ast = parse_query(req.query)
         needs_scores = req.sort_by_field in (None, "_score")
@@ -3837,6 +3837,24 @@ def search_many(
         spec, lts, lsort = _leaf_topk_gate(
             reader, searcher, ast, split_ids, req
         )
+        lanes.append((qid, req, ast, searcher, split_ids, spec, lts, lsort))
+    # in-kernel batch fetch: when EVERY lane leaf-compiles (and the fetch
+    # columns are kernel-attachable within the row bound), the kernels
+    # attach the fetch fields to their per-split top-k rows and the whole
+    # batch is ONE job — no winners fetch join at all
+    inline = bool(fetch_fields) and bool(lanes)
+    if inline:
+        total_rows = sum(
+            len(sids) * (rq.max_hits + rq.start_offset)
+            for _, rq, _, _, sids, _, _, _ in lanes
+        )
+        inline = (
+            total_rows <= 200_000
+            and all(la[5] is not None for la in lanes)
+            and lanes[0][3].leaf_fields_plan(list(fetch_fields)) is not None
+        )
+    parts = []
+    for qid, req, ast, searcher, split_ids, spec, lts, lsort in lanes:
         if spec is not None:
             # this lane rides the leaf-local top-k kernel: per-split trim
             # at max_hits+offset means the lane contributes |splits|·k
@@ -3848,6 +3866,7 @@ def search_many(
                 ts_bounds=lts,
                 sort_spec=lsort,
                 order=req.sort_order,
+                fetch_cols=list(fetch_fields) if inline else None,
             )
         else:
             m = searcher.matching(
@@ -3891,6 +3910,7 @@ def search_many(
                 ordv.alias("_ord"),
                 F.lit(req.max_hits + req.start_offset).alias("_k"),
                 F.lit(req.start_offset).alias("_off"),
+                *(fetch_fields if inline else ()),
             )
         )
     win_schema = T.StructType(
@@ -3902,6 +3922,12 @@ def search_many(
             T.StructField("_rn", T.IntegerType()),
         ]
     )
+    if inline:
+        win_schema = T.StructType(
+            list(win_schema.fields[:4])
+            + [reader.docstore().schema[f_] for f_ in fetch_fields]
+            + [win_schema.fields[4]]
+        )
     if parts:
         allm = parts[0]
         for p in parts[1:]:
@@ -3919,13 +3945,14 @@ def search_many(
                 "split_id",
                 "docid",
                 "score",
+                *(fetch_fields if inline else ()),
                 (F.col("_rn") - F.col("_off")).cast("int").alias("_rn"),
             )
             .collect()  # the batch's ONE scoring job; ≤ Σ max_hits rows
         )
     else:
         rows = []
-    if not fetch_fields:
+    if inline or not fetch_fields:
         out = local_rows_df(reader.spark, rows, win_schema)
         return out.orderBy("query_id", "_rn").drop("_rn")
     try:
