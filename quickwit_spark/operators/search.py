@@ -3789,7 +3789,9 @@ def search_many(
     quantize_norms: bool = True,
     fetch_fields: tuple[str, ...] = ("url",),
 ) -> DataFrame:
-    """Batch search: N requests → ONE scoring job + ONE fetch job.
+    """Batch search: N requests → ONE Spark job (leaf lanes fetch their
+    fields in-kernel; a batch with any general-plan lane adds one shared
+    point-lookup fetch job).
 
     A single search pays a fixed ~2-job floor (scoring top-k collect +
     point-lookup fetch), and a search head serving concurrent clients pays
