@@ -90,7 +90,7 @@ def main() -> None:
         reader,
         SearchRequest(query="w0 w3", max_hits=10),
         fetch_fields=("url",),
-        fetch_mode="pointlookup",  # = auto mode at every scale
+        fetch_mode="pointlookup",  # forced: auto now fetches in-kernel
     )
     pf = plan_of(fetched)
     checks_f = [
@@ -106,6 +106,19 @@ def main() -> None:
         ("scoring subtree not re-planned under fetch", "postings" not in pf),
     ]
     sections.append(("fetch phase (point-lookup docstore read)", pf, checks_f))
+
+    # default (auto) fetched search: the kernel attached the fetch columns
+    # to its per-split top-k rows and the root merged them driver-side —
+    # the final plan is a LOCAL relation, the whole query was ONE job
+    fetched_auto = search(
+        reader, SearchRequest(query="w0 w3", max_hits=10), fetch_fields=("url",)
+    )
+    pfa = plan_of(fetched_auto)
+    checks_fa = [
+        ("auto fetched search resolves to a local relation (one kernel job)",
+         "docstore" not in pfa and "Join" not in pfa and "postings" not in pfa),
+    ]
+    sections.append(("fetch phase (auto mode: in-kernel fetch)", pfa, checks_fa))
 
     phrase = search(reader, SearchRequest(query='"w0 w1"', max_hits=10), fetch_fields=())
     p2 = plan_of(phrase)
