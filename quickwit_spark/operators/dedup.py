@@ -376,21 +376,36 @@ def duplicate_clusters(
         base = edges.select(F.col("src").alias("node")).distinct()
     labels = base.select("node", F.col("node").alias("label"))
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iters):
         nbr = edges.join(
             labels, edges["src"] == labels["node"]
         ).select(F.col("dst").alias("node"), "label")
-        labels = (
+        new = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        cur = labels.agg(F.sum("label")).collect()[0][0]
-        if cur == prev_sum:
+        # fixpoint test on the LABELS THEMSELVES (works for any orderable
+        # id type — a numeric label-sum is NULL for string ids and would
+        # false-converge): labels only ever move down toward the component
+        # minimum, so zero changed rows == converged
+        changed = (
+            new.join(labels.withColumnRenamed("label", "_prev"), "node")
+            .filter(F.col("label") != F.col("_prev"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            converged = True
             break
-        prev_sum = cur
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} rounds — "
+            "a component's diameter exceeds max_iters; raise max_iters or "
+            "switch to alternating large-star/small-star contraction"
+        )
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )

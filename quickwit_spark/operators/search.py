@@ -27,6 +27,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 from dataclasses import dataclass, replace
 
+import re as _re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -506,6 +508,29 @@ def _term_field(term: str) -> str:
     """'' for the default field; the field name for namespaced terms."""
     i = term.find(FIELD_SEP)
     return term[:i] if i >= 0 else ""
+
+
+# strict numeric-bound parsing for leaf range compiles: accept exactly the
+# literal shapes Spark's ANSI string->number cast accepts (whitespace-trimmed
+# plain decimals) — python's int()/float() are LOOSER (underscores, 'inf'),
+# and a bound the general plan would REJECT must bail, not silently match
+_BAIL = object()
+_INT_RE = _re.compile(r"[+-]?\d+")
+_FLOAT_RE = _re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?")
+
+
+def _strict_int(v):
+    if v is None:
+        return None
+    s = str(v).strip()
+    return int(s) if _INT_RE.fullmatch(s) else _BAIL
+
+
+def _strict_float(v):
+    if v is None:
+        return None
+    s = str(v).strip()
+    return float(s) if _FLOAT_RE.fullmatch(s) else _BAIL
 
 
 @dataclass
@@ -1947,18 +1972,16 @@ class Searcher:
                 raise _LeafBail from None
             if dt in ("bigint", "int", "smallint", "tinyint"):
                 kind = "int"
-                try:
-                    lo = int(lo) if lo is not None else None
-                    hi = int(hi) if hi is not None else None
-                except (TypeError, ValueError):
-                    raise _LeafBail from None  # ANSI cast error: general
+                lo = _strict_int(lo)
+                hi = _strict_int(hi)
+                if lo is _BAIL or hi is _BAIL:
+                    raise _LeafBail  # ANSI cast error: general plan raises
             elif dt in ("double", "float"):
                 kind = "num"
-                try:
-                    lo = float(lo) if lo is not None else None
-                    hi = float(hi) if hi is not None else None
-                except (TypeError, ValueError):
-                    raise _LeafBail from None
+                lo = _strict_float(lo)
+                hi = _strict_float(hi)
+                if lo is _BAIL or hi is _BAIL:
+                    raise _LeafBail
                 if dt == "float":
                     lo = float(np.float32(lo)) if lo is not None else None
                     hi = float(np.float32(hi)) if hi is not None else None
@@ -3629,7 +3652,9 @@ def search(
     count_inline = (
         with_count
         and fetch_mode != "dpp"
-        and len(split_ids) * k_total <= 1_000_000
+        # k_total == 0 would trim away every per-split row WITH its
+        # split_hits payload — the caller must count explicitly instead
+        and 0 < len(split_ids) * k_total <= 1_000_000
     )
     # in-kernel fetch: the kernel attaches the fetch/snippet columns to its
     # per-split top-k rows (the split's docstore is already open there), so
@@ -3988,7 +4013,11 @@ def search_many(
         )
     winners = local_rows_df(reader.spark, rows, win_schema)
     out = F.broadcast(winners).join(store, ["split_id", "docid"], "inner")
-    return out.orderBy("query_id", "_rn").drop("_rn")
+    # column order must not depend on plan routing: match the inline-fetch
+    # and empty-result paths (query_id leads, join keys follow)
+    return out.select(
+        "query_id", "split_id", "docid", "score", *fetch_fields, "_rn"
+    ).orderBy("query_id", "_rn").drop("_rn")
 
 
 def _leaf_match_plan(

@@ -373,10 +373,20 @@ def partial_bucket_spec(
                 "date_histogram", col, {"interval": int(secs)}, metrics
             )
         if kind == "range":
-            spans = [
-                (r.get("from"), r.get("to"))
-                for r in params.get("ranges", [])
-            ]
+            # bounds must be numeric for the kernel's numpy compare; the
+            # general plan's F.lit coercion handles anything else
+            spans = []
+            for r in params.get("ranges", []):
+                lo, hi = r.get("from"), r.get("to")
+                try:
+                    spans.append(
+                        (
+                            float(lo) if lo is not None else None,
+                            float(hi) if hi is not None else None,
+                        )
+                    )
+                except (TypeError, ValueError):
+                    return None
             if not spans:
                 return None
             return ("range", col, {"spans": spans}, metrics)

@@ -636,3 +636,64 @@ def test_fuzz_range_leaf_vs_general(small_index):
         assert sl == sg, q
         checked += 1
     assert checked == 24
+
+
+# ---- review fixes: silent-wrong-answer regressions -------------------------
+
+
+def test_with_count_max_hits_zero_falls_back(small_index):
+    """max_hits=0 trims every kernel row away with its split_hits payload —
+    with_count must return None (caller counts explicitly), never a silent
+    0 (regression)."""
+    from quickwit_spark.operators.search import search
+
+    df, n = search(
+        small_index, SearchRequest(query="w1", max_hits=0), with_count=True
+    )
+    assert n is None
+    assert df.count() == 0
+
+
+def test_range_bound_underscore_matches_general_plan(small_index):
+    """Python int('5_0') == 50 but ANSI Spark rejects '5_0' — the leaf
+    compile must bail so BOTH paths surface the same cast error
+    (regression: the kernel silently answered as [50 TO 100])."""
+    from quickwit_spark.operators.search import search
+
+    req = SearchRequest(query="doc_len:[5_0 TO 100]", max_hits=10)
+    with pytest.raises(Exception):
+        search(small_index, req, fetch_fields=()).collect()
+    with pytest.raises(Exception):
+        search(small_index, req, fetch_fields=(), leaf_topk=False).collect()
+
+
+def test_agg_range_string_bounds(small_index, fields_spy):
+    """ES-JSON range from/to given as STRINGS: the partial path must
+    coerce or fall back — never crash the kernel with a numpy str compare
+    (regression)."""
+    aggs = {"r": {"range": {"field": "doc_len",
+                            "ranges": [{"from": "50", "to": "150"}]}}}
+    req = SearchRequest(query="w1 OR w4", max_hits=0)
+    leaf = search_aggs(small_index, req, aggs)["r"].collect()
+    gen = search_aggs(small_index, req, aggs, leaf_match=False)["r"].collect()
+    assert leaf == gen and leaf[0]["doc_count"] > 0
+
+
+def test_search_many_column_order_stable(small_index):
+    """Column order must not depend on plan routing: all-leaf batches
+    (inline fetch) and mixed batches (join fetch) return the same shape."""
+    from quickwit_spark.operators.search import search_many
+
+    all_leaf = search_many(
+        small_index, {"a": SearchRequest(query="w1", max_hits=3)},
+        fetch_fields=("url", "tag"),
+    )
+    mixed = search_many(
+        small_index,
+        {"a": SearchRequest(query="w1", max_hits=3),
+         "m": SearchRequest(query="*", max_hits=3)},
+        fetch_fields=("url", "tag"),
+    )
+    assert all_leaf.columns == mixed.columns == [
+        "query_id", "split_id", "docid", "score", "url", "tag"
+    ]

@@ -401,3 +401,31 @@ def test_duplicate_clusters_without_universe(spark):
         for r in duplicate_clusters(pairs).collect()
     }
     assert got == {3: 3, 7: 3, 9: 3}
+
+
+def test_duplicate_clusters_string_ids(spark):
+    """String doc ids: convergence must be detected on the labels
+    themselves (a numeric label-sum is NULL for strings and once
+    false-converged after one round — regression)."""
+    from quickwit_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "id_a string, id_b string"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_duplicate_clusters_raises_on_non_convergence(spark):
+    from quickwit_spark.operators.dedup import duplicate_clusters
+    import pytest as _pt
+
+    # a 10-chain needs 9 rounds + 1 confirm; cap at 3 must raise loudly
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    with _pt.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iters=3)
