@@ -835,6 +835,191 @@ def _leaf_spec_phrase_tokens(spec: dict) -> set[str]:
     return set()
 
 
+def _leaf_spec_maxscore_terms(spec: dict) -> "dict[str, float] | None":
+    """token -> combined boost factor when the compiled tree is a pure
+    scored DISJUNCTION of single-token terms — term / OR-of-terms /
+    ``IN [..]`` / boosts thereof, the classic WAND/MaxScore domain
+    (tantivy activates block-max pruning on exactly these shapes when the
+    request sorts by ``_score``, collector.rs:413-421). ``None`` when the
+    tree has any conjunction, negation, phrase or range node: those keep
+    the exhaustive kernel path.
+
+    A token appearing under several children accumulates its boost —
+    ``union_sum`` adds one contribution per occurrence, so scoring the
+    token ONCE at the summed factor is arithmetically identical."""
+    out: dict[str, float] = {}
+
+    def walk(n: dict, factor: float) -> bool:
+        op = n["op"]
+        if op == "term":
+            out[n["tok"]] = out.get(n["tok"], 0.0) + factor
+            return True
+        if op == "termset":
+            for t in n["toks"]:
+                out[t] = out.get(t, 0.0) + factor
+            return True
+        if op == "boost":
+            f = factor * n["factor"]
+            if f < 0:  # negative boosts invert the bound's direction
+                return False
+            return walk(n["child"], f)
+        if op == "bool":
+            if n["must_not"]:
+                return False
+            if n["must"]:
+                # a single-child conjunction is that child (ev() identity)
+                if n["should"] or len(n["must"]) != 1:
+                    return False
+                return walk(n["must"][0], factor)
+            if not n["should"]:
+                return False
+            return all(walk(c, factor) for c in n["should"])
+        return False
+
+    return out if walk(spec, 1.0) and out else None
+
+
+# per-split postings-count threshold below which the exhaustive leaf decode
+# beats the MaxScore machinery (per-term subset decode + candidate merges);
+# captured at kernel-FACTORY (driver) time, so tests can monkeypatch it
+LEAF_MAXSCORE_MIN_POSTINGS = 8192
+# absolute slack on every bound comparison: score magnitudes are O(idf·2.2)
+# ≤ ~60, float64 rounding is ≤ 1e-13 there, so 1e-9 is conservatively safe
+_MS_SLACK = 1e-9
+
+# split-global minimum fieldnorm per (index_dir, split_id, quantize, field)
+# — one float per entry, derived from the (already cached) fieldnorm array
+_MINNORM_CACHE: dict = {}
+
+
+def _split_min_norm(
+    index_dir: str, split_id: str, quantize: bool, field: str
+) -> float:
+    key = (index_dir, split_id, quantize, field)
+    hit = _MINNORM_CACHE.get(key)
+    if hit is None:
+        _idx, dls = _load_norms(index_dir, split_id, quantize, field)
+        hit = float(dls.min()) if len(dls) else 0.0
+        _MINNORM_CACHE[key] = hit
+    return hit
+
+
+def _maxscore_split(
+    per_raw: dict,
+    boosts: dict,
+    n_docs: int,
+    k: int,
+    index_dir: str,
+    split_id: str,
+    quantize: bool,
+    avgdl_map: dict,
+) -> tuple:
+    """Exact split-local BM25 top-k for a scored disjunction WITHOUT
+    decoding every posting — in-kernel MaxScore (Turtle & Flood; the same
+    pruning family as tantivy's block-max WAND, which the reference runs
+    per segment inside the leaf). Zero extra Spark jobs: everything here
+    is numpy over the split's still-compressed block rows.
+
+    ``per_raw``: token -> (Arrow block StructArray, split-local doc_freq).
+
+    Terms are processed in decreasing upper-bound order, where a term's
+    bound is ``boost·idf·S(max block tf, split-min fieldnorm)`` — sound
+    because BM25's tf-norm is monotone increasing in tf and decreasing in
+    |d|. θ is the running k-th best PARTIAL score: contributions are
+    non-negative, so it lower-bounds the final k-th best total. Once the
+    unprocessed suffix's summed bound falls below θ, (a) no unseen doc can
+    enter the top-k, and (b) candidates whose partial + suffix bound is
+    below θ are dead — the remaining terms bit-unpack ONLY the blocks
+    whose [first_docid, last_docid] span (the skip data) overlaps a
+    still-alive candidate. Winners stay alive at every step (their partial
+    + remaining bound ≥ their total ≥ θ), so emitted scores are exact and
+    the returned top-k is rank-identical to the exhaustive kernel,
+    including the (score desc, docid asc) tie-break."""
+    import math
+
+    items = []
+    for tok, (blr, df) in per_raw.items():
+        fld = _term_field(tok)
+        try:
+            avg = avgdl_map[(split_id, fld)]
+        except KeyError:
+            raise KeyError(
+                f"no avgdl for split={split_id!r} field={fld!r}: "
+                "manifest field_total_tokens out of sync with postings"
+            ) from None
+        boost = boosts[tok]
+        idf = math.log(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+        mtf_arr = blr.field("max_tf").to_numpy(zero_copy_only=False)
+        if len(mtf_arr) == 0:
+            continue
+        mtf = float(mtf_arr.max())
+        minn = _split_min_norm(index_dir, split_id, quantize, fld)
+        kd = BM25_K1 * ((1.0 - BM25_B) + BM25_B * minn / avg)
+        ub = boost * idf * (BM25_K1 + 1.0) * mtf / (mtf + kd)
+        items.append((ub, tok, boost, idf, fld, avg, blr))
+    if not items:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float64),
+        )
+    items.sort(key=lambda it: (-it[0], it[1]))
+    ubs = np.array([it[0] for it in items], dtype=np.float64)
+    # rem_incl[i] = bound sum of items[i:] — caps any doc first seen at i
+    rem_incl = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])
+    cand_d = np.empty(0, dtype=np.int64)
+    cand_s = np.empty(0, dtype=np.float64)
+    theta = -np.inf
+    for i, (ub, tok, boost, idf, fld, avg, blr) in enumerate(items):
+        prune = theta > -np.inf and rem_incl[i] < theta - _MS_SLACK
+        alive = None
+        if prune:
+            alive = cand_s + rem_incl[i] >= theta - _MS_SLACK
+            alive_d = cand_d[alive]
+            if len(alive_d) == 0:
+                break  # unreachable (top-k docs stay alive), but sound
+            firsts = blr.field("first_docid").to_numpy(zero_copy_only=False)
+            lasts = blr.field("last_docid").to_numpy(zero_copy_only=False)
+            sel = np.flatnonzero(
+                np.searchsorted(alive_d, firsts, side="left")
+                < np.searchsorted(alive_d, lasts, side="right")
+            )
+            if len(sel) == 0:
+                continue
+            blr = blr.take(pa.array(sel, type=pa.int64()))
+        d, t, _cnt = _decode_struct_blocks(blr, need_tf=True)
+        dl = _norms_for(index_dir, split_id, quantize, d, fld)
+        tfd = t.astype(np.float64)
+        s = (boost * idf) * (
+            tfd
+            * (BM25_K1 + 1.0)
+            / (tfd + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / avg))
+        )
+        if prune:
+            # add contributions to still-alive candidates only: dead
+            # candidates and first-seen docs are bounded below θ already
+            pos = np.searchsorted(cand_d, d)
+            posc = np.minimum(pos, len(cand_d) - 1)
+            hit = (cand_d[posc] == d) & alive[posc]
+            np.add.at(cand_s, posc[hit], s[hit])
+        elif len(cand_d) == 0:
+            cand_d, cand_s = d, s
+        else:
+            cd = np.concatenate([cand_d, d])
+            cs = np.concatenate([cand_s, s])
+            cand_d, inv = np.unique(cd, return_inverse=True)
+            acc = np.zeros(len(cand_d), dtype=np.float64)
+            np.add.at(acc, inv, cs)
+            cand_s = acc
+        if len(cand_s) >= k:
+            kth = float(np.partition(cand_s, len(cand_s) - k)[len(cand_s) - k])
+            if kth > theta:
+                theta = kth
+    if len(cand_d) > k:
+        idx = np.lexsort((cand_d, -cand_s))[:k]
+        return cand_d[idx], cand_s[idx]
+    return cand_d, cand_s
+
+
 def _make_leaf_topk_kernel(
     spec: dict,
     n_docs_by_split: dict[str, int],
@@ -921,6 +1106,22 @@ def _make_leaf_topk_kernel(
 
     phrase_toks = _leaf_spec_phrase_tokens(spec)
     need_scores = sort_spec is None and emit in ("topk", "topk_hits")
+    # in-kernel MaxScore (see _maxscore_split): pure scored disjunctions
+    # ranked best-first, exact-k, no per-doc time window, no pre-trim count
+    # payload. Threshold captured HERE (driver side) so tests can
+    # monkeypatch the module constant before building the plan.
+    ms_terms = (
+        _leaf_spec_maxscore_terms(spec)
+        if (
+            need_scores
+            and emit == "topk"
+            and order == "desc"
+            and ts_bounds is None
+            and k > 0
+        )
+        else None
+    )
+    ms_threshold = LEAF_MAXSCORE_MIN_POSTINGS
 
     def kernel(batches):
         try:
@@ -931,6 +1132,9 @@ def _make_leaf_topk_kernel(
         # one postings row per (split, term): rows never straddle batches,
         # so decode per batch and bucket the slices by split
         rows: dict[str, dict[str, tuple]] = {}
+        # MaxScore path: rows stay COMPRESSED (Arrow block slices) until
+        # the per-split routine decides what to bit-unpack
+        raw: dict[str, dict[str, tuple]] = {}
         pcoords: dict[str, dict[str, np.ndarray]] = {}
         seen: set = set()
         for rb in batches:
@@ -943,16 +1147,30 @@ def _make_leaf_topk_kernel(
                 rb = rb.filter(pc.is_valid(tcol))
                 if rb.num_rows == 0:
                     continue
-            dec = _decode_blocks_batch(rb, need_tf=True)
-            if dec is None:
-                continue
-            docids, tfs, _post_row, row_off = dec
             names = rb.schema.names
             sids = rb.column(names.index("split_id")).to_pylist()
             terms = rb.column(names.index("term")).to_pylist()
             dfs = rb.column(names.index("doc_freq")).to_numpy(
                 zero_copy_only=False
             )
+            if ms_terms is not None:
+                ls = rb.column(names.index("blocks"))
+                loffs = ls.offsets.to_numpy().astype(np.int64)
+                row_off0 = loffs - loffs[0]
+                bl_flat = ls.flatten()
+                for i in range(rb.num_rows):
+                    nb = int(row_off0[i + 1] - row_off0[i])
+                    if nb == 0:
+                        continue
+                    raw.setdefault(sids[i], {})[terms[i]] = (
+                        bl_flat.slice(int(row_off0[i]), nb),
+                        int(dfs[i]),
+                    )
+                continue
+            dec = _decode_blocks_batch(rb, need_tf=True)
+            if dec is None:
+                continue
+            docids, tfs, _post_row, row_off = dec
             for i in range(rb.num_rows):
                 a, b = int(row_off[i]), int(row_off[i + 1])
                 if a == b:
@@ -990,7 +1208,6 @@ def _make_leaf_topk_kernel(
         # walk every split this task saw, not just those holding query
         # tokens — anchor-only splits still match pure-negative subtrees
         for sid in sorted(seen):
-            per_term = rows.get(sid, {})
             try:
                 n_docs = n_docs_by_split[sid]
             except KeyError:
@@ -998,6 +1215,34 @@ def _make_leaf_topk_kernel(
                     f"no num_docs for split={sid!r}: manifest stats out of "
                     "sync with postings"
                 ) from None
+            ms_topk = None
+            if ms_terms is not None:
+                per_raw = raw.get(sid, {})
+                if not per_raw:
+                    continue
+                if sum(p[1] for p in per_raw.values()) >= ms_threshold:
+                    ms_topk = _maxscore_split(
+                        per_raw,
+                        ms_terms,
+                        n_docs,
+                        k,
+                        index_dir,
+                        sid,
+                        quantize,
+                        avgdl_map,
+                    )
+                else:
+                    # tiny split: the pruning machinery costs more than the
+                    # exhaustive decode it would skip — decode everything
+                    # and run the generic tree eval below
+                    per_term = {}
+                    for tok, (blr, df_) in per_raw.items():
+                        d_, t_, _cnt = _decode_struct_blocks(
+                            blr, need_tf=True
+                        )
+                        per_term[tok] = (d_, t_, df_)
+                    rows[sid] = per_term
+            per_term = rows.get(sid, {})
 
             tok_cache: dict[str, tuple | None] = {}
 
@@ -1227,7 +1472,7 @@ def _make_leaf_topk_kernel(
                         return _empty
                 return base_d, base_s
 
-            base_d, base_s = ev(spec)
+            base_d, base_s = ms_topk if ms_topk is not None else ev(spec)
             if len(base_d) == 0:
                 continue
             if ts_bounds is not None:

@@ -403,3 +403,62 @@ def mixed_record_index(spark, pages_small, tmp_path_factory):
 def test_random_query_rank_matches_oracle_mixed_record(mixed_record_index, seed):
     oi = build_oracle(mixed_record_index)
     run_differential(mixed_record_index, oi, gen_query(seed, Vocab(oi)))
+
+
+@pytest.mark.parametrize("seed", range(800, 815))
+def test_random_query_maxscore_path_matches_oracle(
+    small_index, oracle, seed, monkeypatch
+):
+    """Same FETCH_ALL differential with the in-kernel MaxScore path forced
+    on (threshold 0): eligible disjunctions route through _maxscore_split
+    (k > corpus, so no pruning triggers — this pins the path's union /
+    scoring arithmetic against the oracle; pruning itself is pinned by the
+    engine-vs-engine battery below and tests/test_leaf_maxscore.py)."""
+    import quickwit_spark.operators.search as S
+
+    monkeypatch.setattr(S, "LEAF_MAXSCORE_MIN_POSTINGS", 0)
+    run_differential(small_index, oracle, gen_query(seed, Vocab(oracle)))
+
+
+@pytest.mark.parametrize("seed", range(815, 835))
+def test_random_topk_pruned_matches_exhaustive(
+    small_index, oracle, seed, monkeypatch
+):
+    """Small-k engine-vs-engine differential: the pruned MaxScore kernel
+    must return the same ranked top-k as the exhaustive kernel. Equal-score
+    tie groups may permute internally across the two addition orders and
+    the k-cut may fall inside the final tie group, so the comparison is
+    canonical: positional scores approx-equal, all complete tie groups
+    identical, and the (possibly cut) last groups equal-sized."""
+    import quickwit_spark.operators.search as S
+
+    rng = random.Random(seed)
+    v = Vocab(oracle)
+    toks = [v.term(rng) for _ in range(rng.randint(1, 5))]
+    q = " OR ".join(
+        t if rng.random() < 0.8 else f"{t}^{rng.choice([0.5, 2, 3])}"
+        for t in toks
+    )
+    k = rng.choice([3, 5, 10, 25])
+
+    def run():
+        res = search(
+            small_index,
+            SearchRequest(query=q, max_hits=k, search_fields=("text",)),
+            fetch_fields=(),
+        )
+        return [
+            (r["split_id"], r["docid"], r["score"]) for r in res.collect()
+        ]
+
+    monkeypatch.setattr(S, "LEAF_MAXSCORE_MIN_POSTINGS", 1 << 60)
+    exh = run()
+    monkeypatch.setattr(S, "LEAF_MAXSCORE_MIN_POSTINGS", 0)
+    prn = run()
+    assert len(prn) == len(exh), q
+    for p, e in zip(prn, exh):
+        assert p[2] == pytest.approx(e[2], abs=1e-9), q
+    ce, cp = canon(exh), canon(prn)
+    assert ce[:-1] == cp[:-1], q
+    if ce:
+        assert len(ce[-1]) == len(cp[-1]), q
