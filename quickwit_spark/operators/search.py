@@ -879,10 +879,129 @@ def _leaf_spec_maxscore_terms(spec: dict) -> "dict[str, float] | None":
     return out if walk(spec, 1.0) and out else None
 
 
+def _conj_skip_child(n: dict) -> "tuple[str, tuple] | None":
+    """(token, boost-factor chain) when a compiled node is a single-token
+    term possibly wrapped in boosts — the shape the skip-data conjunction
+    path can seek over; None otherwise. Factors come back innermost-first
+    so the caller re-applies them in the generic path's exact
+    multiplication order (``ev`` multiplies on the way out of the
+    recursion, innermost boost first)."""
+    factors: list = []
+    while n["op"] == "boost":
+        factors.append(n["factor"])
+        n = n["child"]
+    if n["op"] != "term":
+        return None
+    return n["tok"], tuple(reversed(factors))
+
+
+def _conj_skip_split(
+    pairs: list,
+    per_raw: dict,
+    dec_cache: dict,
+    need_scores: bool,
+    n_docs: int,
+    index_dir: str,
+    split_id: str,
+    quantize: bool,
+    avgdl_map: dict,
+) -> tuple:
+    """Skip-data AND over single-token (possibly boosted) term children:
+    the conjunction's matches are the intersection of the terms' postings,
+    so decode the RAREST term fully, then for each wider term bit-unpack
+    ONLY the blocks whose [first_docid, last_docid] span (the per-block
+    skip entries) overlaps a surviving candidate — tantivy's
+    SegmentPostings::seek over the skip list, which is what makes
+    ``rare AND common`` cheap: the common term's millions of postings stay
+    compressed except where the rare term lands. Exact for every emit
+    mode (pruning only drops blocks that cannot hold a candidate) and
+    bit-identical to the generic must loop: the same per-element
+    arithmetic restricted to the final candidates, summed in the same
+    child order.
+
+    ``pairs``: (token, boost-factor chain) per must child, query order.
+    ``per_raw``: token -> (Arrow block StructArray, split doc_freq).
+    ``dec_cache``: the split's full-decode cache — reused when another
+    subtree already paid for a term's full decode, never polluted with
+    the pruned partial decodes."""
+    import math
+
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    infos = []
+    for tok, factors in pairs:
+        hit = per_raw.get(tok)
+        if hit is None:
+            return empty
+        infos.append((tok, factors, hit[0], hit[1]))
+    order = sorted(
+        range(len(infos)), key=lambda i: (infos[i][3], infos[i][0])
+    )
+    subs: list = [None] * len(infos)
+    cand = None
+    for oi in order:
+        tok, _f, blr, df = infos[oi]
+        cached = dec_cache.get(tok)
+        if cached is not None or cand is None:
+            if cached is None:
+                d, t, _cnt = _decode_struct_blocks(blr, need_tf=True)
+                dec_cache[tok] = (d, t, df)
+            else:
+                d, t = cached[0], cached[1]
+        else:
+            firsts = blr.field("first_docid").to_numpy(zero_copy_only=False)
+            lasts = blr.field("last_docid").to_numpy(zero_copy_only=False)
+            sel = np.flatnonzero(
+                np.searchsorted(cand, firsts, side="left")
+                < np.searchsorted(cand, lasts, side="right")
+            )
+            if len(sel) == 0:
+                return empty
+            if len(sel) < len(firsts):
+                blr = blr.take(pa.array(sel, type=pa.int64()))
+            d, t, _cnt = _decode_struct_blocks(blr, need_tf=need_scores)
+        subs[oi] = (d, t)
+        cand = (
+            d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+        )
+        if len(cand) == 0:
+            return empty
+    if not need_scores:
+        return cand, np.zeros(len(cand), dtype=np.float64)
+    total = np.zeros(len(cand), dtype=np.float64)
+    for (tok, factors, _blr, df), (d, t) in zip(infos, subs):
+        # cand ⊆ d: candidates only ever shrank after d's turn
+        tfd = t[np.searchsorted(d, cand)].astype(np.float64)
+        fld = _term_field(tok)
+        dl = _norms_for(index_dir, split_id, quantize, cand, fld)
+        try:
+            avg = avgdl_map[(split_id, fld)]
+        except KeyError:
+            raise KeyError(
+                f"no avgdl for split={split_id!r} field={fld!r}: "
+                "manifest field_total_tokens out of sync with postings"
+            ) from None
+        idf = math.log(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+        tf_norm = (
+            tfd
+            * (BM25_K1 + 1.0)
+            / (tfd + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / avg))
+        )
+        s = idf * tf_norm
+        for f in factors:
+            s = s * f
+        total = total + s
+    return cand, total
+
+
 # per-split postings-count threshold below which the exhaustive leaf decode
 # beats the MaxScore machinery (per-term subset decode + candidate merges);
 # captured at kernel-FACTORY (driver) time, so tests can monkeypatch it
 LEAF_MAXSCORE_MIN_POSTINGS = 8192
+# skip-data conjunctions (always a win: the pruning check is two
+# searchsorted calls over block bounds the full decode pays for anyway);
+# captured at kernel-factory time — tests flip it to pin engine-vs-engine
+# identity between the pruned and exhaustive AND paths
+LEAF_CONJ_SKIP_ENABLED = True
 # absolute slack on every bound comparison: score magnitudes are O(idf·2.2)
 # ≤ ~60, float64 rounding is ≤ 1e-13 there, so 1e-9 is conservatively safe
 _MS_SLACK = 1e-9
@@ -1122,6 +1241,7 @@ def _make_leaf_topk_kernel(
         else None
     )
     ms_threshold = LEAF_MAXSCORE_MIN_POSTINGS
+    conj_enabled = LEAF_CONJ_SKIP_ENABLED
 
     def kernel(batches):
         try:
@@ -1129,11 +1249,11 @@ def _make_leaf_topk_kernel(
             pa.set_io_thread_count(1)
         except Exception:  # noqa: BLE001
             pass
-        # one postings row per (split, term): rows never straddle batches,
-        # so decode per batch and bucket the slices by split
-        rows: dict[str, dict[str, tuple]] = {}
-        # MaxScore path: rows stay COMPRESSED (Arrow block slices) until
-        # the per-split routine decides what to bit-unpack
+        # one postings row per (split, term): rows never straddle batches.
+        # Rows stay COMPRESSED (Arrow block slices) — the per-split eval
+        # decides what to bit-unpack: full decode for generic nodes, a
+        # block-pruned subset for MaxScore disjunctions and skip-data
+        # conjunctions (tantivy's SegmentPostings seek over the skip list)
         raw: dict[str, dict[str, tuple]] = {}
         pcoords: dict[str, dict[str, np.ndarray]] = {}
         seen: set = set()
@@ -1153,31 +1273,16 @@ def _make_leaf_topk_kernel(
             dfs = rb.column(names.index("doc_freq")).to_numpy(
                 zero_copy_only=False
             )
-            if ms_terms is not None:
-                ls = rb.column(names.index("blocks"))
-                loffs = ls.offsets.to_numpy().astype(np.int64)
-                row_off0 = loffs - loffs[0]
-                bl_flat = ls.flatten()
-                for i in range(rb.num_rows):
-                    nb = int(row_off0[i + 1] - row_off0[i])
-                    if nb == 0:
-                        continue
-                    raw.setdefault(sids[i], {})[terms[i]] = (
-                        bl_flat.slice(int(row_off0[i]), nb),
-                        int(dfs[i]),
-                    )
-                continue
-            dec = _decode_blocks_batch(rb, need_tf=True)
-            if dec is None:
-                continue
-            docids, tfs, _post_row, row_off = dec
+            ls = rb.column(names.index("blocks"))
+            loffs = ls.offsets.to_numpy().astype(np.int64)
+            row_off0 = loffs - loffs[0]
+            bl_flat = ls.flatten()
             for i in range(rb.num_rows):
-                a, b = int(row_off[i]), int(row_off[i + 1])
-                if a == b:
+                nb = int(row_off0[i + 1] - row_off0[i])
+                if nb == 0:
                     continue
-                rows.setdefault(sids[i], {})[terms[i]] = (
-                    docids[a:b],
-                    tfs[a:b],
+                raw.setdefault(sids[i], {})[terms[i]] = (
+                    bl_flat.slice(int(row_off0[i]), nb),
                     int(dfs[i]),
                 )
             if phrase_toks:
@@ -1188,7 +1293,7 @@ def _make_leaf_topk_kernel(
                     _accumulate_phrase_coords(
                         rb.filter(pa.array(mask, type=pa.bool_())),
                         pcoords,
-                        {},  # doc freqs already in `rows`
+                        {},  # doc freqs live in `raw`
                     )
         out_sid: list = []
         out_doc: list = []
@@ -1215,9 +1320,9 @@ def _make_leaf_topk_kernel(
                     f"no num_docs for split={sid!r}: manifest stats out of "
                     "sync with postings"
                 ) from None
+            per_raw = raw.get(sid, {})
             ms_topk = None
             if ms_terms is not None:
-                per_raw = raw.get(sid, {})
                 if not per_raw:
                     continue
                 if sum(p[1] for p in per_raw.values()) >= ms_threshold:
@@ -1231,27 +1336,35 @@ def _make_leaf_topk_kernel(
                         quantize,
                         avgdl_map,
                     )
-                else:
-                    # tiny split: the pruning machinery costs more than the
-                    # exhaustive decode it would skip — decode everything
-                    # and run the generic tree eval below
-                    per_term = {}
-                    for tok, (blr, df_) in per_raw.items():
-                        d_, t_, _cnt = _decode_struct_blocks(
-                            blr, need_tf=True
-                        )
-                        per_term[tok] = (d_, t_, df_)
-                    rows[sid] = per_term
-            per_term = rows.get(sid, {})
+                # else: tiny split — the pruning machinery costs more than
+                # the exhaustive decode it would skip; fall through to the
+                # generic tree eval, which bit-unpacks lazily via postings()
+
+            dec_cache: dict[str, tuple | None] = {}
+
+            def postings(tok: str, _pr=per_raw, _c=dec_cache):
+                """(docids, tfs, split doc_freq) for one token, bit-unpacked
+                on demand and cached for the split; None when the split
+                lacks the term."""
+                if tok in _c:
+                    return _c[tok]
+                hit = _pr.get(tok)
+                if hit is None:
+                    _c[tok] = None
+                    return None
+                d_, t_, _cnt = _decode_struct_blocks(hit[0], need_tf=True)
+                out = (d_, t_, hit[1])
+                _c[tok] = out
+                return out
 
             tok_cache: dict[str, tuple | None] = {}
 
             def scored(
-                tok: str, _sid=sid, _pt=per_term, _n=n_docs, _c=tok_cache
+                tok: str, _sid=sid, _post=postings, _n=n_docs, _c=tok_cache
             ):
                 if tok in _c:
                     return _c[tok]
-                hit = _pt.get(tok)
+                hit = _post(tok)
                 if hit is None:
                     _c[tok] = None
                     return None
@@ -1310,7 +1423,7 @@ def _make_leaf_topk_kernel(
                 _scored=scored,
                 _empty=empty,
                 _sid=sid,
-                _pt=per_term,
+                _pr=per_raw,
                 _n=n_docs,
             ):
                 """Recursive tree eval -> (sorted-unique docids, scores);
@@ -1394,7 +1507,7 @@ def _make_leaf_topk_kernel(
                         sum(
                             np.log(
                                 1.0
-                                + (_n - _pt[t][2] + 0.5) / (_pt[t][2] + 0.5)
+                                + (_n - _pr[t][1] + 0.5) / (_pr[t][1] + 0.5)
                             )
                             for t in n["toks"]
                         )
@@ -1425,18 +1538,41 @@ def _make_leaf_topk_kernel(
                     return d, s * n["factor"]
                 # bool node
                 base_d = base_s = None
-                for c in n["must"]:
-                    d, s = ev(c)
-                    if base_d is None:
-                        base_d, base_s = d, s
-                    else:
-                        # every node emits unique + ascending docids
-                        base_d, ia, ib = np.intersect1d(
-                            base_d, d, assume_unique=True, return_indices=True
-                        )
-                        base_s = base_s[ia] + s[ib]
+                pairs = None
+                if conj_enabled and len(n["must"]) >= 2:
+                    pairs = [_conj_skip_child(c) for c in n["must"]]
+                    if any(p is None for p in pairs):
+                        pairs = None
+                if pairs is not None:
+                    base_d, base_s = _conj_skip_split(
+                        pairs,
+                        _pr,
+                        dec_cache,
+                        need_scores,
+                        _n,
+                        index_dir,
+                        _sid,
+                        quantize,
+                        avgdl_map,
+                    )
                     if len(base_d) == 0:
                         return _empty
+                else:
+                    for c in n["must"]:
+                        d, s = ev(c)
+                        if base_d is None:
+                            base_d, base_s = d, s
+                        else:
+                            # every node emits unique + ascending docids
+                            base_d, ia, ib = np.intersect1d(
+                                base_d,
+                                d,
+                                assume_unique=True,
+                                return_indices=True,
+                            )
+                            base_s = base_s[ia] + s[ib]
+                        if len(base_d) == 0:
+                            return _empty
                 if n["should"]:
                     ud, us = union_sum([ev(c) for c in n["should"]])
                     if base_d is None:
