@@ -1255,7 +1255,7 @@ def _make_leaf_topk_kernel(
         # block-pruned subset for MaxScore disjunctions and skip-data
         # conjunctions (tantivy's SegmentPostings seek over the skip list)
         raw: dict[str, dict[str, tuple]] = {}
-        pcoords: dict[str, dict[str, np.ndarray]] = {}
+        praw: dict[str, dict] = {}
         seen: set = set()
         for rb in batches:
             names0 = rb.schema.names
@@ -1286,14 +1286,24 @@ def _make_leaf_topk_kernel(
                     int(dfs[i]),
                 )
             if phrase_toks:
-                mask = [t in phrase_toks for t in terms]
-                if any(mask):
-                    # position payloads only for the phrase's tokens (the
-                    # scan carries pos_blocks only when the spec has one)
-                    _accumulate_phrase_coords(
-                        rb.filter(pa.array(mask, type=pa.bool_())),
-                        pcoords,
-                        {},  # doc freqs live in `raw`
+                # position payloads stay COMPRESSED too (the scan carries
+                # pos_blocks only when the spec has a phrase); rows with a
+                # null payload (mixed-record split) are simply absent, so
+                # the phrase node returns empty there — the driver routes
+                # those splits to the fallback plan
+                pls = rb.column(names.index("pos_blocks"))
+                pvalid = np.asarray(pls.is_valid(), dtype=bool)
+                ploffs = pls.offsets.to_numpy().astype(np.int64)
+                prow_off = ploffs - ploffs[0]
+                pl_flat = pls.flatten()
+                for i in range(rb.num_rows):
+                    if terms[i] not in phrase_toks or not pvalid[i]:
+                        continue
+                    npb = int(prow_off[i + 1] - prow_off[i])
+                    if npb == 0:
+                        continue
+                    praw.setdefault(sids[i], {})[terms[i]] = pl_flat.slice(
+                        int(prow_off[i]), npb
                     )
         out_sid: list = []
         out_doc: list = []
@@ -1493,9 +1503,49 @@ def _make_leaf_topk_kernel(
                     d = univ[rmask]
                     return d, np.zeros(len(d), dtype=np.float64)
                 if op == "phrase":
-                    by_term = pcoords.get(_sid, {})
-                    if any(u not in by_term for u in n["uniq"]):
+                    praw_t = praw.get(_sid, {})
+                    if any(
+                        u not in praw_t or u not in _pr for u in n["uniq"]
+                    ):
                         return _empty
+                    # a phrase match needs every token in the doc, so the
+                    # tokens' docid intersection (skip-pruned, scores off)
+                    # bounds the match set — then decode POSITIONS only for
+                    # blocks that can hold a candidate. "the quick" no
+                    # longer bit-unpacks every position of "the".
+                    cand, _z = _conj_skip_split(
+                        [(u, ()) for u in n["uniq"]],
+                        _pr,
+                        dec_cache,
+                        False,
+                        _n,
+                        index_dir,
+                        _sid,
+                        quantize,
+                        avgdl_map,
+                    )
+                    if len(cand) == 0:
+                        return _empty
+                    by_term = {}
+                    for u in n["uniq"]:
+                        blr = _pr[u][0]
+                        firsts = blr.field("first_docid").to_numpy(
+                            zero_copy_only=False
+                        )
+                        lasts = blr.field("last_docid").to_numpy(
+                            zero_copy_only=False
+                        )
+                        sel = np.flatnonzero(
+                            np.searchsorted(cand, firsts, side="left")
+                            < np.searchsorted(cand, lasts, side="right")
+                        )
+                        if len(sel) == 0:
+                            return _empty
+                        if len(sel) == len(firsts):
+                            sel = None  # nothing prunable: take() not worth it
+                        by_term[u] = _phrase_coords_pruned(
+                            blr, praw_t[u], sel
+                        )
                     udoc, pf = _phrase_freqs(by_term, n["toks"], n["slop"])
                     if len(udoc) == 0:
                         return _empty
@@ -1944,6 +1994,38 @@ PHRASE_PF_SCHEMA = T.StructType(
 # doc-local token indices < 2^32; docids < 2^30 (merged ceiling 120M), so g
 # fits int64 and cross-doc gaps always exceed any practical slop.
 _PHRASE_SHIFT = np.int64(1) << np.int64(32)
+
+
+def _phrase_coords_pruned(blr, plr, sel=None) -> np.ndarray:
+    """Global phrase coordinates ``docid * 2^32 + pos`` for SELECTED blocks
+    of one (split, term) postings row. ``blr``/``plr`` are the row's
+    docid-block and position-block StructArray slices — 1:1, the same
+    128-posting boundaries (codec.encode_positions), so pruning docid
+    blocks prunes their position payloads with them. ``sel``: int64 block
+    indices to decode (None = all). Positions are per-posting delta
+    streams with a +1-shifted first value, so any block subset decodes
+    independently — the cumsum resets at every posting start."""
+    from quickwit_spark.index.codec import binary_np, decode_blocks_ragged
+
+    if sel is not None:
+        idx = pa.array(sel, type=pa.int64())
+        blr = blr.take(idx)
+        plr = plr.take(idx)
+    docids, tfs, _cnt = _decode_struct_blocks(blr, need_tf=True)
+    pws = plr.field("pos_bits").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    nps = plr.field("n_pos").to_numpy(zero_copy_only=False).astype(np.int64)
+    pdata, poffs = binary_np(plr.field("positions"))
+    gvals = decode_blocks_ragged(pws, nps, pdata, poffs)
+    a2 = gvals.copy()
+    pstarts = np.concatenate([[0], np.cumsum(tfs)])[:-1]
+    pstarts = pstarts[tfs > 0]
+    a2[pstarts] -= 1  # undo the +1 posting-start shift
+    cacc = np.cumsum(a2)
+    base = cacc[pstarts] - a2[pstarts]
+    flat_abs = cacc - np.repeat(base, tfs[tfs > 0])
+    return np.repeat(docids, tfs) * _PHRASE_SHIFT + flat_abs
 
 
 def _accumulate_phrase_coords(

@@ -244,3 +244,89 @@ def test_conj_skip_split_disjoint_terms_empty():
         "/nonexistent", "s0", False, {("s0", ""): 50.0},
     )
     assert len(got_d) == 0
+
+
+# ---------------------------------------------------------------------------
+# phrase positions ride the same skip data: pruned coords == full coords
+# ---------------------------------------------------------------------------
+
+
+def _posting_set(rng, df, n_docs, lo=0, hi=None, tf_hi=3):
+    from quickwit_spark.index.codec import (
+        encode_position_blocks,
+        encode_postings,
+    )
+    from quickwit_spark.operators.build import PA_BLOCK, PA_POS_BLOCK
+
+    hi = hi or n_docs
+    d = np.sort(
+        rng.choice(np.arange(lo, hi), size=df, replace=False)
+    ).astype(np.int64)
+    t = rng.integers(1, tf_hi + 1, size=df).astype(np.int64)
+    flat = np.concatenate(
+        [np.sort(rng.choice(500, size=k, replace=False)) for k in t]
+    ).astype(np.int64)
+    blr = pa.array(encode_postings(d, t), type=PA_BLOCK)
+    plr = pa.array(encode_position_blocks(t, flat), type=PA_POS_BLOCK)
+    return blr, plr
+
+
+@pytest.mark.parametrize("slop", [0, 5, 500])
+def test_phrase_coords_pruned_identical_and_prunes(slop, monkeypatch):
+    """The leaf phrase node intersects the tokens' docids first (scores
+    off) and decodes positions only for blocks that can hold a candidate.
+    The pruned match set must equal the full-decode match set, and the
+    rare+common shape must skip most of the common token's position
+    payload."""
+    from quickwit_spark.operators.search import (
+        _conj_skip_split,
+        _phrase_coords_pruned,
+        _phrase_freqs,
+    )
+
+    rng = np.random.default_rng(5)
+    n_docs = 300_000
+    blr_r, plr_r = _posting_set(rng, 120, n_docs, lo=10_000, hi=14_000)
+    blr_c, plr_c = _posting_set(rng, 200_000, n_docs)
+    per_raw = {"r": (blr_r, 120), "c": (blr_c, 200_000)}
+    praw = {"r": plr_r, "c": plr_c}
+
+    decoded_blocks = {"n": 0}
+    real_decode = S._decode_struct_blocks
+
+    def counting_decode(bl, need_tf):
+        decoded_blocks["n"] += len(bl)
+        return real_decode(bl, need_tf)
+
+    by_full = {
+        u: _phrase_coords_pruned(per_raw[u][0], praw[u], None)
+        for u in ("r", "c")
+    }
+    full = _phrase_freqs(by_full, ["r", "c"], slop)
+
+    monkeypatch.setattr(S, "_decode_struct_blocks", counting_decode)
+    cand, _z = _conj_skip_split(
+        [("r", ()), ("c", ())], per_raw, {}, False, n_docs,
+        "/nonexistent", "s0", False, {("s0", ""): 100.0},
+    )
+    by = {}
+    for u in ("r", "c"):
+        blr = per_raw[u][0]
+        f = blr.field("first_docid").to_numpy(zero_copy_only=False)
+        l = blr.field("last_docid").to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(
+            np.searchsorted(cand, f, side="left")
+            < np.searchsorted(cand, l, side="right")
+        )
+        if len(sel) == len(f):
+            sel = None
+        by[u] = _phrase_coords_pruned(blr, praw[u], sel)
+    pruned = _phrase_freqs(by, ["r", "c"], slop)
+
+    assert np.array_equal(full[0], pruned[0])
+    assert np.array_equal(full[1], pruned[1])
+    total_blocks = sum(len(b) for b, _ in per_raw.values())
+    assert decoded_blocks["n"] < total_blocks / 2, (
+        f"no real pruning: decoded {decoded_blocks['n']} of "
+        f"{total_blocks} blocks"
+    )
