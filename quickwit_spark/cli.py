@@ -379,7 +379,11 @@ def cmd_merge(args) -> int:
 def cmd_gc(args) -> int:
     from quickwit_spark.operators.merge import garbage_collect
 
-    removed = garbage_collect(args.index_dir)
+    removed = garbage_collect(
+        args.index_dir,
+        deletion_grace_secs=args.deletion_grace_secs,
+        staged_grace_secs=args.staged_grace_secs,
+    )
     _emit({"removed_splits": removed})
     return 0
 
@@ -462,7 +466,9 @@ def cmd_clear(args) -> int:
     from quickwit_spark.operators.merge import garbage_collect
 
     cleared = Manifest(args.index_dir).clear()
-    removed = garbage_collect(args.index_dir)
+    # explicit clear = the operator wants the space back now; no in-flight
+    # reader is expected to survive an index clear
+    removed = garbage_collect(args.index_dir, deletion_grace_secs=0.0)
     _emit({"cleared_splits": cleared, "removed_splits": removed})
     return 0
 
@@ -680,6 +686,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("gc", help="remove dead split files")
     common(sp)
+    sp.add_argument(
+        "--deletion-grace-secs", type=float, default=120.0,
+        help="keep MarkedForDeletion split files this long for in-flight "
+        "readers (reference DELETION_GRACE_PERIOD; 0 = immediate)",
+    )
+    sp.add_argument(
+        "--staged-grace-secs", type=float, default=86_400.0,
+        help="mark dangling Staged splits for deletion after this long "
+        "(reference STAGED_GRACE_PERIOD, 24 h)",
+    )
     sp.set_defaults(fn=cmd_gc)
 
     sp = sub.add_parser("delete", help="delete-by-query (split rewrite)")

@@ -40,6 +40,11 @@ class SplitMetadata:
     time_range_start: str | None  # isoformat
     time_range_end: str | None
     create_timestamp: float = 0.0
+    # last state-transition time (stage / publish / mark-for-deletion) — the
+    # GC grace periods key off this, like the reference metastore's
+    # update_timestamp (split_metadata.rs:63-129, garbage_collection.rs:92-98).
+    # Rows predating the field read back 0.0 = "older than any grace period".
+    update_timestamp: float = 0.0
     tags: list[str] = field(default_factory=list)
     num_merge_ops: int = 0
     state: str = "Staged"  # Staged | Published | MarkedForDeletion
@@ -103,7 +108,30 @@ class Manifest:
         self.dir = os.path.join(index_dir, "manifest")
         os.makedirs(self.dir, exist_ok=True)
         self.log = TransactionLog(os.path.join(self.dir, "_txn"), store=store)
+        # MVCC pin: when set, READ methods (get / list_* / load_index_config
+        # / config_generations) replay the log only up to this version, so a
+        # reader sees one consistent split set for its whole lifetime even
+        # while merges, deletes and GC commit behind it — the reference root
+        # plans a whole scatter-gather against one metastore snapshot the
+        # same way. Writes always go to the tip.
+        self.pinned_version: int | None = None
         self._migrate_legacy()
+
+    def pin(self, version: int | None = None) -> int:
+        """Pin reads to ``version`` (default: the current tip). Returns the
+        pinned version. Files of splits retired after the pin stay readable
+        for the GC deletion-grace window (operators/merge.py
+        garbage_collect), which is what bounds how long a pin should live."""
+        self.pinned_version = (
+            self.log.latest_version() if version is None else version
+        )
+        return self.pinned_version
+
+    def unpin(self) -> None:
+        self.pinned_version = None
+
+    def _read_state(self) -> dict:
+        return self.log.state(self.pinned_version)
 
     # -- legacy migration ---------------------------------------------------
     def _migrate_legacy(self) -> None:
@@ -148,6 +176,7 @@ class Manifest:
         for meta in metas:
             meta.state = "Staged"
             meta.create_timestamp = meta.create_timestamp or now
+            meta.update_timestamp = now
         self.log.commit(
             [{"op": "upsert", "meta": asdict(m)} for m in metas]
         )
@@ -161,14 +190,17 @@ class Manifest:
         all of it or none of it; the per-file backend could tear here)."""
         actions: list[dict] = []
         state = self.log.state()
+        now = time.time()
         for split_id in replaced or []:
             d = state["splits"].get(split_id)
             if d is not None:
                 d = dict(d)
                 d["state"] = "MarkedForDeletion"
+                d["update_timestamp"] = now
                 actions.append({"op": "upsert", "meta": d})
         for meta in new:
             meta.state = "Published"
+            meta.update_timestamp = now
             actions.append({"op": "upsert", "meta": asdict(meta)})
         # durable checkpoint lineage: (generation, partition) -> fingerprint
         # for original (never-merged) splits, surviving merge/retention/GC —
@@ -241,9 +273,11 @@ class Manifest:
             if d.get("state") == "Published"
         ]
         actions: list[dict] = []
+        now = time.time()
         for sid in published:
             d = dict(state["splits"][sid])
             d["state"] = "MarkedForDeletion"
+            d["update_timestamp"] = now
             actions.append({"op": "upsert", "meta": d})
         for gen, rec in (state.get("lineage") or {}).items():
             actions.append(
@@ -335,7 +369,7 @@ class Manifest:
     def load_index_config(self, generation: int | None = None) -> dict:
         """Latest config, or the config a given generation's splits were
         built under (falls back to latest for pre-versioning logs)."""
-        state = self.log.state()
+        state = self._read_state()
         if generation is not None:
             hist = state.get("configs") or {}
             if str(generation) in hist:
@@ -345,7 +379,7 @@ class Manifest:
     def config_generations(self) -> list[int]:
         """All config generations the log has seen (>=1 entry once any
         config was saved; empty for a bare log)."""
-        state = self.log.state()
+        state = self._read_state()
         hist = state.get("configs") or {}
         if hist:
             return sorted(int(g) for g in hist)
@@ -382,13 +416,13 @@ class Manifest:
         return gen
 
     def get(self, split_id: str) -> SplitMetadata | None:
-        d = self.log.state()["splits"].get(split_id)
+        d = self._read_state()["splits"].get(split_id)
         return SplitMetadata(**d) if d is not None else None
 
     def list_all(self) -> list[SplitMetadata]:
         return [
             SplitMetadata(**d)
-            for _, d in sorted(self.log.state()["splits"].items())
+            for _, d in sorted(self._read_state()["splits"].items())
         ]
 
     # -- pruning (the reference's list_relevant_splits) --------------------

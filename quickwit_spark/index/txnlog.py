@@ -54,6 +54,11 @@ class CommitConflict(Exception):
     """Another writer claimed the version (internal; commit() retries)."""
 
 
+class VersionPruned(Exception):
+    """A pinned (time-travel) read targets a version whose commit tail was
+    removed by checkpoint pruning — re-open the snapshot at the tip."""
+
+
 # ---------------------------------------------------------------------------
 # Storage backends. The ONLY primitive the commit protocol needs from storage
 # is an atomic claim: "create this object iff it does not exist". Everything
@@ -223,6 +228,8 @@ class TransactionLog:
         self.store = store if store is not None else PosixLogStore(log_dir)
         self._cache_version: int = -1
         self._cache_state: dict | None = None
+        # bounded memo for pinned (time-travel) reads: version -> state
+        self._pin_cache: dict[int, dict] = {}
 
     # -- version bookkeeping ----------------------------------------------
 
@@ -254,37 +261,67 @@ class TransactionLog:
 
     # -- read path ---------------------------------------------------------
 
-    def state(self) -> dict:
-        """Current replayed state. Memoized per log version: a listdir
-        decides staleness, so repeated planner calls (stats, pruning) cost
-        one directory scan, not a replay."""
+    def state(self, version: int | None = None) -> dict:
+        """Replayed state — at the tip by default, or pinned to ``version``
+        (MVCC time travel, the Delta-protocol read model): newest checkpoint
+        at-or-below the target, then the commit tail up to it. Pinned reads
+        work as long as the target is within checkpoint-pruning retention
+        (``_prune`` keeps one full checkpoint generation behind the tip);
+        older targets raise ``VersionPruned``.
+
+        Tip reads are memoized per log version: a listdir decides staleness,
+        so repeated planner calls (stats, pruning) cost one directory scan,
+        not a replay. Pinned states are immutable, memoized in a small
+        bounded cache."""
         commits, ckpts = self._scan()
         latest = max(
             commits[-1] if commits else 0, ckpts[-1] if ckpts else 0
         )
-        if self._cache_state is not None and self._cache_version == latest:
-            return self._cache_state
+        pinned = version is not None and version < latest
+        if not pinned:
+            if (
+                self._cache_state is not None
+                and self._cache_version == latest
+            ):
+                return self._cache_state
+            version = latest
+        else:
+            hit = self._pin_cache.get(version)
+            if hit is not None:
+                return hit
 
         state: dict = {"splits": {}, "lineage": {}, "config": {}}
         base = 0
-        # newest checkpoint at-or-below the tip; tolerate a torn/missing
-        # checkpoint by falling back to the one before it
-        for cv in reversed(ckpts):
+        # newest readable checkpoint at-or-below the target; tolerate a
+        # torn/missing checkpoint by falling back to the one before it
+        for cv in reversed([c for c in ckpts if c <= version]):
             try:
                 state = json.loads(self.store.read(self._ckpt_name(cv)))
                 base = cv
                 break
             except (json.JSONDecodeError, OSError):
                 continue
-        for v in commits:
-            if v <= base:
-                continue
+        have = set(commits)
+        for v in range(base + 1, version + 1):
+            if v not in have:
+                if pinned:
+                    raise VersionPruned(
+                        f"log version {version} needs commit {v}, which "
+                        "checkpoint pruning removed — the pinned snapshot "
+                        "is older than the log's retention"
+                    )
+                continue  # tip read: a gap only means a racing checkpoint
             actions = json.loads(self.store.read(self._commit_name(v)))[
                 "actions"
             ]
             self._apply(state, actions, version=v)
-        self._cache_version = latest
-        self._cache_state = state
+        if pinned:
+            if len(self._pin_cache) >= 8:
+                self._pin_cache.pop(next(iter(self._pin_cache)))
+            self._pin_cache[version] = state
+        else:
+            self._cache_version = latest
+            self._cache_state = state
         return state
 
     @staticmethod

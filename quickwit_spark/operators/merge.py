@@ -368,19 +368,52 @@ def execute_merge(
     return meta
 
 
-def garbage_collect(index_dir: str) -> list[str]:
-    """Delete data of MarkedForDeletion splits (replaced by merges) and drop
-    their manifest rows — the janitor's GC pass (quickwit-janitor/src/
-    garbage_collection.rs). Safe any time after publish: searches only ever
-    read splits listed Published in the manifest."""
+def garbage_collect(
+    index_dir: str,
+    deletion_grace_secs: float = 120.0,
+    staged_grace_secs: float = 86_400.0,
+    now: float | None = None,
+) -> list[str]:
+    """The janitor's GC pass (quickwit-janitor/src/garbage_collection.rs,
+    actors/garbage_collector.rs:39-46):
+
+    1. Staged splits whose last update is older than ``staged_grace_secs``
+       (reference: 24 h) are dangling debris of a crashed build — mark them
+       for deletion. A live build always publishes (or re-stages) well
+       inside the grace window.
+    2. MarkedForDeletion splits older than ``deletion_grace_secs``
+       (reference: 120 s) have their files deleted and manifest rows
+       dropped. The grace period is what makes GC safe under concurrent
+       readers: a search plans against a manifest snapshot, so a split
+       replaced by a merge *after* that snapshot must keep its files until
+       every in-flight query over the old snapshot has drained — the
+       reference bounds that by DELETION_GRACE_PERIOD rather than tracking
+       readers (garbage_collector.rs:38-46 comment).
+
+    Pass ``deletion_grace_secs=0`` for immediate reclaim (tests, `index
+    clear`). Returns the split ids whose files were deleted."""
     import os
     import shutil
+    import time as _time
 
+    t_now = _time.time() if now is None else now
     manifest = Manifest(index_dir)
+    stale_staged = [
+        m.split_id
+        for m in manifest.list_all()
+        if m.state == "Staged"
+        and m.update_timestamp <= t_now - staged_grace_secs
+    ]
+    if stale_staged:
+        # one atomic commit marks the whole stale set; they become
+        # deletable once deletion_grace_secs passes
+        manifest.publish([], replaced=stale_staged)
     removed: list[str] = []
     for m in manifest.list_all():
         if m.state != "MarkedForDeletion":
             continue
+        if m.update_timestamp > t_now - deletion_grace_secs:
+            continue  # inside the grace window: in-flight readers may hold it
         for sub in ("docstore", "postings"):
             shutil.rmtree(
                 os.path.join(index_dir, sub, f"split_id={m.split_id}"),

@@ -570,10 +570,20 @@ class IndexReader:
     re-opens with its hotcache/footer cache — reusing the relation is the
     Spark analog). Call ``refresh()`` after builds/merges/deletes."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self, spark: SparkSession, index_dir: str, pin: bool = False
+    ):
+        """``pin=True`` freezes the manifest at its current transaction-log
+        version (``Manifest.pin``): every search through this reader then
+        plans against one consistent split set even while merges / deletes /
+        GC commit concurrently — the retired splits' files stay on disk for
+        the GC deletion-grace window. ``refresh()`` re-pins at the new tip."""
         self.spark = spark
         self.index_dir = index_dir
         self.manifest = Manifest(index_dir)
+        self._pinned = pin
+        if pin:
+            self.manifest.pin()
         self._postings: DataFrame | None = None
         self._docstore: DataFrame | None = None
         self._term_dict: DataFrame | None = None
@@ -594,6 +604,8 @@ class IndexReader:
         self._term_dict = None
         self._split_stats = None
         self._stats_map = None
+        if self._pinned:
+            self.manifest.pin()  # advance the snapshot to the current tip
 
     def hold_scratch(self, df: DataFrame) -> DataFrame:
         """Register a per-query cached DataFrame (e.g. WAND block metadata)

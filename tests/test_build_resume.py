@@ -68,7 +68,7 @@ def test_lineage_survives_merge(spark, pages_small, tmp_path):
     policy = StableLogMergePolicy(StableLogConfig(merge_factor=2, max_merge_factor=3))
     mm = run_merge_pipeline(spark, index_dir, policy)
     assert mm.num_ops >= 1
-    garbage_collect(index_dir)
+    garbage_collect(index_dir, deletion_grace_secs=0.0)
 
     # original gen-0 splits are gone, but the lineage record survives …
     assert reader.manifest.published_fingerprints(0) == fps_before

@@ -300,7 +300,7 @@ def deleted_index(spark, pages_small, tmp_path_factory):
         spark, index_dir, "needleone OR needletwo", search_fields=("text",)
     )
     assert dm.matched_docs > 0
-    garbage_collect(index_dir)
+    garbage_collect(index_dir, deletion_grace_secs=0.0)
     return IndexReader(spark, index_dir)
 
 

@@ -97,7 +97,7 @@ def test_retention(spark, pages_small, tmp_path):
     assert len(dropped) >= 1
     left = reader.manifest.list_published()
     assert all(m.time_range_end >= cutoff or m.time_range_end > ends[0] for m in left)
-    removed = garbage_collect(d)
+    removed = garbage_collect(d, deletion_grace_secs=0.0)
     assert set(removed) == set(dropped)
 
 
@@ -131,7 +131,7 @@ def test_delete_by_query(spark, pages_small, tmp_path):
     # other content still searchable, scores consistent with shrunken stats
     assert hits2("needletwo") > 0
     # replaced split data reclaimed by GC
-    garbage_collect(d)
+    garbage_collect(d, deletion_grace_secs=0.0)
     assert hits2("needletwo") > 0
 
 
@@ -412,3 +412,145 @@ def test_snippet_validation_is_prune_independent(spark, pages_small, tmp_path):
             ),
             snippet_fields=("text",),
         )
+
+
+def test_gc_deletion_grace_protects_inflight_readers(
+    spark, pages_small, tmp_path
+):
+    """garbage_collection.rs:142-176 + garbage_collector.rs:38-46: a merge
+    retires its source splits, but their files must survive
+    DELETION_GRACE_PERIOD so queries planned against the pre-merge manifest
+    snapshot can still read them — the reference bounds in-flight readers
+    by time instead of tracking them."""
+    import time
+
+    from quickwit_spark.index.merge_policy import (
+        StableLogConfig,
+        StableLogMergePolicy,
+    )
+    from quickwit_spark.operators.merge import run_merge_pipeline
+
+    d = str(tmp_path / "grace")
+    build_index(spark, pages_small, d, IndexConfig(index_id="p", num_splits=3))
+    reader = IndexReader(spark, d)
+    old_ids = [m.split_id for m in reader.manifest.list_published()]
+    # the in-flight query: a lazy plan pinned to the PRE-merge snapshot
+    searcher = Searcher(reader)
+    plan = searcher.matching(parse_query("needleone"), old_ids)
+    before = {(r["split_id"], r["docid"]) for r in plan.collect()}
+    assert before
+
+    policy = StableLogMergePolicy(
+        StableLogConfig(merge_factor=2, max_merge_factor=3)
+    )
+    mm = run_merge_pipeline(spark, d, policy)
+    assert mm.num_ops >= 1
+    marked = [
+        m.split_id
+        for m in reader.manifest.list_all()
+        if m.state == "MarkedForDeletion"
+    ]
+    assert set(marked) == set(old_ids)
+
+    # default grace: nothing reclaimed, the old snapshot still reads fully
+    assert garbage_collect(d) == []
+    assert {(r["split_id"], r["docid"]) for r in plan.collect()} == before
+    for sid in old_ids:
+        assert os.path.isdir(os.path.join(d, "docstore", f"split_id={sid}"))
+
+    # grace elapsed (simulated clock): files reclaimed, rows dropped
+    removed = garbage_collect(d, now=time.time() + 121.0)
+    assert set(removed) == set(old_ids)
+    for sid in old_ids:
+        assert not os.path.isdir(os.path.join(d, "docstore", f"split_id={sid}"))
+    # the merged index serves the same matches (a NEW query opens a fresh
+    # reader = fresh manifest + file-listing snapshot)
+    fresh = IndexReader(spark, d)
+    new_ids = [m.split_id for m in fresh.manifest.list_published()]
+    after = {
+        r["docid"]
+        for r in Searcher(fresh).matching(
+            parse_query("needleone"), new_ids
+        ).collect()
+    }
+    assert len(after) == len(before)
+
+
+def test_gc_marks_stale_staged_then_reclaims(tmp_path):
+    """garbage_collector.rs:39 STAGED_GRACE_PERIOD: staged splits abandoned
+    by a crashed build are marked for deletion after the staged grace, then
+    reclaimed after the deletion grace — two separate GC transitions."""
+    from quickwit_spark.index.manifest import Manifest, SplitMetadata
+
+    d = str(tmp_path / "stale")
+    os.makedirs(d, exist_ok=True)
+    man = Manifest(d)
+    man.stage(
+        SplitMetadata(
+            split_id="dangling",
+            index_id="p",
+            partition_id=0,
+            num_docs=10,
+            uncompressed_docs_size_in_bytes=100,
+            total_tokens=50,
+            time_range_start=None,
+            time_range_end=None,
+        )
+    )
+
+    # inside the staged grace: untouched
+    assert garbage_collect(d) == []
+    assert man.get("dangling").state == "Staged"
+
+    # staged grace elapsed: marked, but deletion grace now applies
+    assert garbage_collect(d, staged_grace_secs=0.0) == []
+    assert man.get("dangling").state == "MarkedForDeletion"
+
+    # deletion grace elapsed: row dropped
+    assert garbage_collect(d, deletion_grace_secs=0.0) == ["dangling"]
+    assert man.get("dangling") is None
+
+
+def test_pinned_reader_searches_through_concurrent_merge(
+    spark, pages_small, tmp_path
+):
+    """IndexReader(pin=True) + deletion-grace GC = full read isolation: the
+    pinned reader's searches return identical results before and after a
+    concurrent merge retires every split it planned against."""
+    from quickwit_spark.index.merge_policy import (
+        StableLogConfig,
+        StableLogMergePolicy,
+    )
+    from quickwit_spark.operators.merge import run_merge_pipeline
+
+    d = str(tmp_path / "pinned")
+    build_index(spark, pages_small, d, IndexConfig(index_id="p", num_splits=3))
+    pinned = IndexReader(spark, d, pin=True)
+
+    def hits(reader):
+        rows = search(
+            reader,
+            SearchRequest(query="needleone OR needletwo", max_hits=50),
+            fetch_fields=("url",),
+        ).collect()
+        return {(r["url"], round(r["score"], 6)) for r in rows}
+
+    before = hits(pinned)
+    assert before
+
+    run_merge_pipeline(
+        spark, d,
+        StableLogMergePolicy(StableLogConfig(merge_factor=2, max_merge_factor=3)),
+    )
+    assert garbage_collect(d) == []  # grace window protects the pinned set
+
+    # scores too must be identical: per-split BM25 stats come from the
+    # pinned manifest rows, not the merged replacements
+    assert hits(pinned) == before
+    # a fresh (unpinned) reader sees the merged index with the same docs
+    assert {u for u, _ in hits(IndexReader(spark, d))} == {
+        u for u, _ in before
+    }
+    # refresh() re-pins at the tip
+    pinned.refresh()
+    assert {u for u, _ in hits(pinned)} == {u for u, _ in before}

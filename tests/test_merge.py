@@ -180,7 +180,7 @@ def test_merge_equals_fresh_single_split(spark, pages_small, tmp_path):
         assert _result_set(merged, q) == _result_set(fresh, q), q
 
     # replaced splits are gone after GC, queries still work
-    removed = garbage_collect(d_multi)
+    removed = garbage_collect(d_multi, deletion_grace_secs=0.0)
     assert len(removed) == 3
     assert sorted(os.listdir(os.path.join(d_multi, "docstore"))) == [
         f"split_id={meta.split_id}"

@@ -253,3 +253,78 @@ def test_object_store_torn_transaction_recovery():
     st = log.state()
     assert st["splits"]["new"]["state"] == "Published"
     assert st["splits"]["old"]["state"] == "MarkedForDeletion"
+
+
+def test_time_travel_reads(tmp_path):
+    """state(version=v) replays only through commit v — the Delta-protocol
+    snapshot-read model that lets a searcher pin one manifest version for
+    its whole scatter-gather (root plans against ONE metastore snapshot)."""
+    log = TransactionLog(str(tmp_path / "txn"))
+    log.commit([{"op": "upsert", "meta": _meta("a")}])
+    log.commit([{"op": "upsert", "meta": _meta("b")}])
+    log.commit([{"op": "remove", "split_id": "a"}])
+
+    assert set(log.state(1)["splits"]) == {"a"}
+    assert set(log.state(2)["splits"]) == {"a", "b"}
+    assert set(log.state(3)["splits"]) == {"b"}
+    assert log.state() == log.state(3)
+    # a version beyond the tip clamps to the tip (reads never block on
+    # writers that haven't committed yet)
+    assert log.state(99) == log.state()
+    # pinned states are immutable: later commits don't leak in
+    pinned = log.state(2)
+    log.commit([{"op": "upsert", "meta": _meta("c")}])
+    assert set(log.state(2)["splits"]) == {"a", "b"}
+    assert pinned is log.state(2)  # memoized
+
+
+def test_time_travel_beyond_retention_raises(tmp_path):
+    """Checkpoint pruning keeps one full checkpoint generation of commits;
+    pinned reads older than that fail loudly instead of returning a torn
+    partial state."""
+    import pytest
+
+    from quickwit_spark.index.txnlog import VersionPruned
+
+    log = TransactionLog(str(tmp_path / "txn"))
+    for i in range(2 * CHECKPOINT_INTERVAL):
+        log.commit([{"op": "upsert", "meta": _meta(f"s{i:03d}")}])
+    # commits at or below the previous checkpoint are pruned by now
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "txn"), f"{1:020d}.json")
+    )
+    with pytest.raises(VersionPruned):
+        log.state(CHECKPOINT_INTERVAL - 1)
+    # versions at/after the surviving checkpoint still read fine
+    st = log.state(CHECKPOINT_INTERVAL)
+    assert len(st["splits"]) == CHECKPOINT_INTERVAL
+
+
+def test_manifest_pin_isolates_reader(tmp_path):
+    """A pinned Manifest keeps listing the split set as of pin() while a
+    concurrent writer publishes/retires behind it; unpin() (or a fresh
+    Manifest) sees the tip."""
+    from quickwit_spark.index.manifest import Manifest, SplitMetadata
+
+    def _sm(sid):
+        return SplitMetadata(
+            split_id=sid, index_id="i", partition_id=0, num_docs=5,
+            uncompressed_docs_size_in_bytes=50, total_tokens=20,
+            time_range_start=None, time_range_end=None,
+        )
+
+    d = str(tmp_path / "idx")
+    writer = Manifest(d)
+    writer.publish([_sm("g0-a"), _sm("g0-b")])
+
+    reader = Manifest(d)
+    reader.pin()
+    assert {m.split_id for m in reader.list_published()} == {"g0-a", "g0-b"}
+
+    # concurrent merge publishes the replacement and retires the sources
+    writer.publish([_sm("merged")], replaced=["g0-a", "g0-b"])
+    assert {m.split_id for m in reader.list_published()} == {"g0-a", "g0-b"}
+    assert {m.split_id for m in writer.list_published()} == {"merged"}
+
+    reader.unpin()
+    assert {m.split_id for m in reader.list_published()} == {"merged"}
