@@ -49,8 +49,9 @@ def _assert_identical(spark, d1, d2):
     assert sorted(m1) == sorted(m2)
     for sid in m1:
         a, b = vars(m1[sid]).copy(), vars(m2[sid]).copy()
-        a.pop("create_timestamp", None)
-        b.pop("create_timestamp", None)
+        for wallclock in ("create_timestamp", "update_timestamp"):
+            a.pop(wallclock, None)
+            b.pop(wallclock, None)
         assert a == b, sid
 
 
