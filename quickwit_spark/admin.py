@@ -364,11 +364,65 @@ def get_delete_task(index_dir: str, opstamp: int) -> dict:
     return _task_body(janitor.get_delete_task(index_dir, int(opstamp)))
 
 
+def _queue_dir(index_dir: str) -> str:
+    """Durable ingest-queue dir for an index: a registered ``ingest-api``
+    source's ``queue_dir`` param wins (the CLI's `ingest --source` drains
+    the same path); convention ``<index_dir>/ingest_queue`` otherwise."""
+    if os.path.isdir(os.path.join(index_dir, "manifest")):
+        try:
+            for s in Manifest(index_dir).list_sources().values():
+                if s.get("source_type") == "ingest-api":
+                    qd = (s.get("params") or {}).get("queue_dir")
+                    if qd:
+                        return qd
+        except (FileNotFoundError, KeyError):
+            pass
+    return os.path.join(index_dir, "ingest_queue")
+
+
+def ingest(index_dir: str, payload: str) -> dict:
+    """``POST api/v1/<index id>/ingest`` (rest-api.md:140-168): append an
+    NDJSON batch to the index's durable queue; response counts docs accepted
+    FOR PROCESSING (indexing happens when the queue is drained — exactly the
+    reference's semantics). Malformed lines are skipped, as the reference
+    reports ingest errors only in logs."""
+    from quickwit_spark.sources.ingest_queue import enqueue
+
+    records = []
+    for ln in payload.splitlines():
+        if not ln.strip():
+            continue
+        try:
+            doc = json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(doc, dict):
+            records.append(doc)
+    if records:
+        enqueue(_queue_dir(index_dir), records)
+    return {"num_docs_for_processing": len(records)}
+
+
+def es_bulk(root: str, payload: str) -> dict:
+    """``POST api/v1/_bulk`` (rest-api.md:169-203): Elasticsearch bulk
+    framing routed to per-index durable queues; only ``create`` ingests."""
+    from quickwit_spark.sources.ingest_queue import enqueue_es_bulk
+
+    counts = enqueue_es_bulk(
+        root,
+        payload,
+        queue_dir_for=lambda ix: _queue_dir(os.path.join(root, ix)),
+    )
+    return {"num_docs_for_processing": sum(counts.values())}
+
+
 # ---------------------------------------------------------------------------
 # the documented URL table as one dispatcher
 
 
-def route(method: str, path: str, root: str, payload: dict | None = None):
+def route(
+    method: str, path: str, root: str, payload: dict | str | None = None
+):
     """Dispatch one ``api/v1`` management request.
 
     ``root`` is the index root directory (the ``default_index_root_uri``
@@ -382,7 +436,13 @@ def route(method: str, path: str, root: str, payload: dict | None = None):
     parts = parts[2:]
     m = method.upper()
 
-    if parts == ["indexes"]:
+    if parts == ["_bulk"]:
+        if m == "POST":
+            return es_bulk(root, payload or "")
+    elif len(parts) == 2 and parts[1] == "ingest":
+        if m == "POST":
+            return ingest(os.path.join(root, parts[0]), payload or "")
+    elif parts == ["indexes"]:
         if m == "POST":
             return create_index(root, payload or {})
         if m == "GET":

@@ -43,7 +43,7 @@ def enqueue(queue_dir: str, records: list[dict]) -> str:
 
 
 def enqueue_es_bulk(
-    queue_root: str, payload: str
+    queue_root: str, payload: str, queue_dir_for=None
 ) -> "dict[str, int]":
     """Elasticsearch-compatible `_bulk` ingest (rest-api.md "Ingest data
     with Elasticsearch compatible API", elasticsearch_compatible_api): NDJSON
@@ -87,7 +87,14 @@ def enqueue_es_bulk(
         per_index.setdefault(index_id, []).append(doc)
     counts: dict[str, int] = {}
     for index_id, docs in per_index.items():
-        enqueue(os.path.join(queue_root, index_id), docs)
+        # queue_dir_for lets callers honor a registered ingest-api source's
+        # queue_dir (admin.py REST routes); default = <root>/<index_id>
+        qd = (
+            queue_dir_for(index_id)
+            if queue_dir_for
+            else os.path.join(queue_root, index_id)
+        )
+        enqueue(qd, docs)
         counts[index_id] = len(docs)
     return counts
 

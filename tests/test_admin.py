@@ -257,3 +257,67 @@ def test_raw_config_persisted_verbatim(tmp_path):
     route("POST", "api/v1/indexes", root, HDFS_LOGS)
     with open(os.path.join(root, "hdfs-logs", admin.RAW_CONFIG)) as f:
         assert json.load(f) == HDFS_LOGS
+
+
+def test_ingest_routes(spark, tmp_path):
+    """POST /ingest (NDJSON) and /_bulk enqueue durably; draining the queue
+    makes the docs searchable — the reference's accepted-for-processing
+    semantics."""
+    from quickwit_spark.operators.build import IndexConfig
+    from quickwit_spark.operators.search import (
+        IndexReader,
+        SearchRequest,
+        search,
+    )
+    from quickwit_spark.sources.ingest_queue import drain_queue
+
+    root = str(tmp_path)
+    route("POST", "api/v1/indexes", root, {"index_id": "wiki", "doc_mapping": {
+        "field_mappings": [{"name": "text", "type": "text"}]}})
+    ndjson = "\n".join(
+        json.dumps({"url": f"u{i}", "text": f"alpha beta{i}", "lang": "en"})
+        for i in range(10)
+    ) + "\nnot json\n"
+    body = route("POST", "api/v1/wiki/ingest", root, ndjson)
+    assert body == {"num_docs_for_processing": 10}
+
+    bulk = (
+        '{ "create" : { "_index" : "wiki", "_id" : "x" } }\n'
+        '{"url":"u10","text":"alpha gamma","lang":"de"}\n'
+        '{ "delete" : { "_index" : "wiki", "_id" : "y" } }\n'
+    )
+    assert route("POST", "api/v1/_bulk", root, bulk) == {
+        "num_docs_for_processing": 1
+    }
+
+    index_dir = os.path.join(root, "wiki")
+    cfg = IndexConfig(index_id="wiki", num_splits=2, timestamp_field=None)
+    drain_queue(
+        spark,
+        os.path.join(index_dir, "ingest_queue"),
+        index_dir,
+        os.path.join(root, "ckpt"),
+        "url string, text string, lang string",
+        cfg,
+    )
+    reader = IndexReader(spark, index_dir)
+    got = search(
+        reader, SearchRequest(query="alpha", max_hits=100), fetch_fields=()
+    ).count()
+    assert got == 11
+
+
+def test_ingest_honors_registered_queue_dir(tmp_path):
+    """A registered ingest-api source's queue_dir param wins over the
+    default convention (the CLI drains the same path)."""
+    root = str(tmp_path)
+    route("POST", "api/v1/indexes", root, {"index_id": "ix", "doc_mapping": {
+        "field_mappings": [{"name": "text", "type": "text"}]}})
+    custom_q = os.path.join(root, "elsewhere")
+    route("POST", "api/v1/indexes/ix/sources", root, {
+        "version": "0.4", "source_id": "api", "source_type": "ingest-api",
+        "params": {"queue_dir": custom_q, "checkpoint_dir": "c",
+                   "schema_ddl": "text string"}})
+    route("POST", "api/v1/ix/ingest", root, '{"text": "hello"}')
+    assert len(os.listdir(custom_q)) == 1
+    assert not os.path.isdir(os.path.join(root, "ix", "ingest_queue"))
