@@ -4145,6 +4145,66 @@ def search(
         and len(split_ids) * k_total <= 200_000
         and searcher.leaf_fields_plan(list(fetch_all))
     )
+    # "latest N" early-stop: a ts-DESC-sorted request executes over only
+    # the newest splits that can still reach the provisional k-th sort
+    # value (_ts_desc_prune_splits). count_inline keeps the full set —
+    # exact num_hits needs every split's match count.
+    if (
+        leaf_topk is not False
+        and request.sort_order == "desc"
+        and k_total > 0
+        and len(split_ids) >= 8
+    ):
+        if (
+            leaf_spec is not None
+            and leaf_sort is not None
+            and leaf_sort[0] == "ts"
+            and not count_inline
+        ):
+            split_ids = _ts_desc_prune_splits(
+                reader.spark,
+                splits,
+                split_ids,
+                k_total,
+                lambda ids: searcher.scored_topk_leaf(
+                    leaf_spec,
+                    ids,
+                    k_total,
+                    ts_bounds=leaf_ts,
+                    sort_spec=leaf_sort,
+                    order="desc",
+                ).collect(),
+            )
+        elif (
+            leaf_spec is None
+            and not wand_tokens
+            and isinstance(ast, MatchAll)
+            and request.sort_by_field not in (None, "_score")
+            and searcher.fast_fields.get(
+                request.sort_by_field, request.sort_by_field
+            )
+            == "ts"
+        ):
+
+            def _ma_probe(ids: list[str]) -> list:
+                return (
+                    _matchall_docs(reader, ids, request)
+                    .select(
+                        "split_id",
+                        "docid",
+                        F.col("ts").cast("double").alias("score"),
+                    )
+                    .orderBy(
+                        F.desc("score"), F.asc("split_id"), F.asc("docid")
+                    )
+                    .limit(k_total)
+                    .collect()
+                )
+
+            split_ids = _ts_desc_prune_splits(
+                reader.spark, splits, split_ids, k_total, _ma_probe
+            )
+
     num_hits: "int | None" = None
     if wand_tokens:
         m = searcher.scored_topk_wand(wand_tokens, split_ids, k_total)
@@ -4532,6 +4592,85 @@ def _leaf_match_plan(
             _ts_micros(reader.spark, request.end_timestamp, is_start=False),
         )
     return spec, ts
+
+
+def _ts_desc_prune_splits(
+    spark: SparkSession,
+    splits_meta: list,
+    split_ids: list[str],
+    k: int,
+    probe,
+) -> list[str]:
+    """Time-ordered split pruning for timestamp-DESC-sorted top-k ("latest
+    N"): search splits newest-first, stop as soon as no remaining split's
+    max timestamp can reach the provisional k-th sort value — the root
+    sorting its leaf jobs by time and early-terminating, which is how the
+    reference serves `sort by timestamp` over years of history without
+    touching cold splits (root.rs jobs + tantivy sorted-index
+    early-termination per segment).
+
+    Sound for ANY matching query, because the bound uses only manifest
+    time ranges: a doc's ts never exceeds its split's inclusive
+    ``time_range_end``; DESC placement puts null sort values last, so a
+    null can only reach the top-k when fewer than k non-null matches
+    exist — and in that case the loop has already scanned every split;
+    boundary ties stay scanned via the inclusive comparison (±1 µs slack
+    covers the micros→double→micros round-trip). Splits without a
+    recorded time range are scanned unconditionally in the first round.
+
+    ``probe(ids)`` runs the query's own per-split top-k restricted to
+    ``ids`` and returns collected rows whose ``score`` is the sort value
+    in fractional epoch seconds (NULL for null-ts docs). Returns the
+    time-ordered subset of ``split_ids`` the caller should execute —
+    re-running the probed splits once more, a bounded duplication that
+    keeps this a pure split-selection step — or the full list on
+    overlap-heavy layouts (bail after probing half the splits: when every
+    split spans the whole time axis, pruning cannot help and the full
+    scan is the right plan)."""
+    metas = {m.split_id: m for m in splits_meta}
+    always: list[str] = []
+    timed: list[tuple[str, int]] = []
+    for sid in split_ids:
+        m = metas.get(sid)
+        e = (
+            _ts_micros(spark, m.time_range_end, is_start=False)
+            if m is not None and m.time_range_end is not None
+            else None
+        )
+        if e is None:
+            always.append(sid)
+        else:
+            timed.append((sid, e))
+    if len(timed) < 4:
+        return split_ids
+    timed.sort(key=lambda t: t[1], reverse=True)
+    bail_at = len(split_ids) // 2
+    vals: list[float] = []
+    scanned: list[str] = []
+    i, batch = 0, 2
+    while i < len(timed):
+        ids = [s for s, _ in timed[i : i + batch]]
+        if i == 0:
+            ids = always + ids
+        if len(ids) * k > 100_000:
+            return split_ids  # probe row cap: huge k × wide batch
+        vals.extend(
+            r["score"] for r in probe(ids) if r["score"] is not None
+        )
+        scanned.extend(ids)
+        i += batch
+        batch *= 2
+        if i >= len(timed):
+            return split_ids  # scanned everything anyway — full plan
+        if len(vals) >= k:
+            vals.sort(reverse=True)
+            del vals[k:]
+            theta_micros = round(vals[k - 1] * 1e6)
+            if timed[i][1] < theta_micros - 1:
+                return scanned
+        if len(scanned) > bail_at:
+            return split_ids
+    return split_ids
 
 
 def _leaf_topk_gate(
@@ -4999,7 +5138,32 @@ def count_hits(
         bad = set(exclude_split_ids)
         split_ids = [s for s in split_ids if s not in bad]
     if leaf_match is not False:
+        no_ts = (
+            request.start_timestamp is None
+            and request.end_timestamp is None
+        )
         if isinstance(ast, MatchAll):
+            if no_ts:
+                # metastore-only count: num_docs is maintained exactly by
+                # build / merge / delete-rewrite (stats recomputed from the
+                # rewritten rows each time), so an unbounded match-all count
+                # is a manifest sum — zero split files touched at any corpus
+                # size (the metastore list_splits analog,
+                # metastore/mod.rs:304-390). Time-bounded windows keep the
+                # pruned scan: per-doc semantics (null-ts docs match
+                # nothing, unparseable bounds cast to NULL = empty) must
+                # stay with the engine's cast expressions.
+                keep = set(split_ids)
+                total = sum(
+                    s.num_docs for s in splits if s.split_id in keep
+                )
+                return local_rows_df(
+                    reader.spark,
+                    [(total,)],
+                    T.StructType(
+                        [T.StructField("num_hits", T.LongType(), False)]
+                    ),
+                )
             # match-all count: one pruned docstore scan (docid-only after
             # column pruning), no query evaluation or matching join
             return _matchall_docs(reader, split_ids, request).agg(
@@ -5007,6 +5171,27 @@ def count_hits(
             )
         spec, ts = _leaf_match_plan(reader, searcher, ast, split_ids, request)
         if spec is not None:
+            if ts is None and spec.get("op") == "term":
+                # single-term count = Σ per-split doc_freq: a columnar
+                # aggregate over the postings' doc_freq column — no block
+                # decode, no python kernel, parquet reads only the filter
+                # columns + one int (tantivy answers TermQuery counts from
+                # the term dictionary's doc_freq without touching postings
+                # bytes). Sound because doc_freq is per-(split, term) exact
+                # and delete rewrites recompute it.
+                return (
+                    reader.postings()
+                    .filter(
+                        (F.col("term") == spec["tok"])
+                        & F.col("split_id").isin(split_ids)
+                    )
+                    .agg(
+                        F.coalesce(
+                            F.sum("doc_freq").cast("long"),
+                            F.lit(0).cast("long"),
+                        ).alias("num_hits")
+                    )
+                )
             return searcher.leaf_count(spec, split_ids, ts).agg(
                 F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias(
                     "num_hits"

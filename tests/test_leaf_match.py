@@ -89,6 +89,88 @@ def test_count_empty_result_is_zero_long(small_index):
     assert row["num_hits"] == 0
 
 
+def test_count_matchall_unbounded_is_metadata_only(small_index):
+    # unbounded '*' count = manifest num_docs sum: the physical plan must
+    # contain no file scan at all (metastore-only, any corpus size)
+    df = count_hits(small_index, SearchRequest(query="*"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower()
+    assert df.collect()[0]["num_hits"] == 600
+
+
+def test_count_matchall_ts_bounded_still_scans(small_index):
+    # a bounded window must keep per-doc semantics (null-ts docs match
+    # nothing; boundary docs filtered) — plan reads the docstore
+    df = count_hits(
+        small_index,
+        SearchRequest(
+            query="*",
+            start_timestamp="2023-01-01T00:30:00",
+            end_timestamp="2023-01-01T03:00:00",
+        ),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan.lower()
+    gen = count_hits(
+        small_index,
+        SearchRequest(
+            query="*",
+            start_timestamp="2023-01-01T00:30:00",
+            end_timestamp="2023-01-01T03:00:00",
+        ),
+        leaf_match=False,
+    ).collect()[0]["num_hits"]
+    assert df.collect()[0]["num_hits"] == gen > 0
+
+
+def test_count_single_term_is_docfreq_sum(small_index):
+    # unbounded single-term count = columnar Σ doc_freq: no python kernel,
+    # no docstore read — and value-identical to the general matching plan
+    df = count_hits(small_index, SearchRequest(query="w1"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "python" not in plan.lower()  # no mapInArrow kernel
+    assert "docstore" not in plan
+    gen = count_hits(
+        small_index, SearchRequest(query="w1"), leaf_match=False
+    ).collect()[0]["num_hits"]
+    assert df.collect()[0]["num_hits"] == gen > 0
+
+
+def test_count_shortcuts_survive_delete_rewrite(spark, pages_small, tmp_path):
+    # delete_by_query rewrites splits and recomputes num_docs/doc_freq;
+    # both metadata count paths must track the rewrite exactly
+    from quickwit_spark.operators.build import IndexConfig, build_index
+    from quickwit_spark.operators.janitor import delete_by_query
+    from quickwit_spark.operators.search import IndexReader
+
+    d = str(tmp_path / "cnt_del")
+    build_index(
+        spark, pages_small, d, IndexConfig(index_id="pages", num_splits=3)
+    )
+    reader = IndexReader(spark, d)
+    star0 = count_hits(reader, SearchRequest(query="*")).collect()[0][0]
+    w1_0, w1_gen0 = _count(reader, "w1")
+    assert star0 == 600 and w1_0 == w1_gen0
+
+    deleted = delete_by_query(spark, d, "needleone").matched_docs
+    assert deleted > 0
+    reader2 = IndexReader(spark, d)
+    star1 = count_hits(reader2, SearchRequest(query="*")).collect()[0][0]
+    assert star1 == star0 - deleted
+    w1_1, w1_gen1 = _count(reader2, "w1")
+    assert w1_1 == w1_gen1
+    needle, needle_gen = _count_allow_zero(reader2, "needleone")
+    assert needle == needle_gen == 0
+
+
+def _count_allow_zero(reader, q, **req_kw):
+    leaf = count_hits(reader, SearchRequest(query=q, **req_kw)).collect()
+    gen = count_hits(
+        reader, SearchRequest(query=q, **req_kw), leaf_match=False
+    ).collect()
+    return leaf[0]["num_hits"], gen[0]["num_hits"]
+
+
 def test_aggs_leaf_matches_general(small_index):
     aggs = {
         "langs": {
