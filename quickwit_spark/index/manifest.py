@@ -68,6 +68,13 @@ class SplitMetadata:
     # the reference's per-split DocMapper (doc_mapper.rs:85-93). Splits
     # predating the field carry generation 0 (the initial config).
     config_generation: int = 0
+    # per-numeric-fast-field [min, max] over the split's NON-NULL values —
+    # the Iceberg column-stats analog for sound range-query split pruning
+    # (timestamps as epoch micros). A field is omitted when its stats are
+    # unavailable (legacy rows, all-null columns, NaN-bearing floats), and
+    # an omitted field is never pruned on. Delete rewrites keep the
+    # original ranges (rows only shrink — a stale range stays sound).
+    field_ranges: dict | None = None
 
     def field_avgdl(self, field_name: str | None) -> float:
         if field_name and self.field_total_tokens and field_name in self.field_total_tokens:

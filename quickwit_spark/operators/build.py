@@ -793,6 +793,7 @@ ONE_PASS_STATS_SCHEMA = T.StructType(
         T.StructField("ts_max", T.StringType()),
         T.StructField("tags", T.ArrayType(T.StringType())),
         T.StructField("field_total_tokens", T.StringType()),  # JSON map
+        T.StructField("field_ranges", T.StringType()),  # JSON {col: [lo, hi]}
     ]
 )
 
@@ -806,6 +807,7 @@ _PA_STATS_SCHEMA = pa.schema(
         ("ts_max", pa.string()),
         ("tags", pa.list_(pa.string())),
         ("field_total_tokens", pa.string()),
+        ("field_ranges", pa.string()),
     ]
 )
 
@@ -968,6 +970,28 @@ def _make_split_writer_kernel(
             post, os.path.join(index_dir, "postings", f"split_id={sid}")
         )
 
+        # --- per-numeric-field min/max over non-null values (the Iceberg
+        # column-stats analog; consumed by range-query split pruning).
+        # NaN-bearing float columns are omitted: Spark and numpy disagree
+        # on NaN's place in the total order, so no sound bound exists.
+        franges: dict[str, list] = {}
+
+        def _rng(name: str, arr) -> None:
+            if len(arr) == 0 or arr.null_count == len(arr):
+                return
+            t = arr.type
+            if pa.types.is_floating(t):
+                if pc.any(pc.is_nan(pc.drop_null(arr))).as_py() or False:
+                    return
+            elif not pa.types.is_integer(t):
+                return
+            mm = pc.min_max(arr)
+            franges[name] = [mm["min"].as_py(), mm["max"].as_py()]
+
+        _rng("doc_len", dl)
+        for c in passthrough:
+            _rng(c, tbl.column(c))
+
         # --- stats row
         ts_min = ts_max = None
         if has_ts:
@@ -1001,6 +1025,7 @@ def _make_split_writer_kernel(
                     "ts_max": ts_max,
                     "tags": tags,
                     "field_total_tokens": _json.dumps(ftt) if ftt else None,
+                    "field_ranges": _json.dumps(franges) if franges else None,
                 }
             ],
             schema=_PA_STATS_SCHEMA,
@@ -1468,6 +1493,11 @@ def build_index(
                     if r["field_total_tokens"]
                     else None
                 ),
+                "franges": (
+                    json.loads(r["field_ranges"])
+                    if r["field_ranges"]
+                    else None
+                ),
             }
             for r in stats_rows
         ]
@@ -1639,9 +1669,54 @@ def build_index(
         agg_exprs.append(
             F.collect_set(cfg.tag_field).alias("tags")
         )
+    # per-numeric-field min/max over non-null values — must mirror the
+    # one-pass kernel's field_ranges exactly (test_build_onepass compares
+    # manifests): doc_len + numeric store passthrough; NaN-bearing float
+    # columns omitted (no sound total-order bound across engines)
+    reserved_rng = {
+        cfg.doc_key,
+        cfg.text_field,
+        cfg.tag_field,
+        cfg.timestamp_field,
+        *cfg.extra_text_fields,
+    }
+    dtypes = dict(docs.dtypes)
+    rng_int, rng_flt = [], []
+    for c in ("doc_len",) + tuple(
+        f_ for f_ in cfg.store_fields if f_ not in reserved_rng
+    ):
+        t = dtypes.get(c)
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            rng_int.append(c)
+        elif t in ("float", "double"):
+            rng_flt.append(c)
+    for c in rng_int:
+        agg_exprs += [
+            F.min(c).alias(f"_rlo__{c}"),
+            F.max(c).alias(f"_rhi__{c}"),
+        ]
+    for c in rng_flt:
+        nn = F.when(~F.isnan(F.col(c)), F.col(c))
+        agg_exprs += [
+            F.min(nn).alias(f"_rlo__{c}"),
+            F.max(nn).alias(f"_rhi__{c}"),
+            F.max(
+                F.when(F.isnan(F.col(c)), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"_rnan__{c}"),
+        ]
     stats = (
         docs.groupBy("partition_id", "split_id").agg(*agg_exprs).collect()
     )
+
+    def _row_franges(row) -> "dict | None":
+        out = {}
+        for c in rng_int:
+            if row[f"_rlo__{c}"] is not None:
+                out[c] = [row[f"_rlo__{c}"], row[f"_rhi__{c}"]]
+        for c in rng_flt:
+            if row[f"_rlo__{c}"] is not None and not row[f"_rnan__{c}"]:
+                out[c] = [row[f"_rlo__{c}"], row[f"_rhi__{c}"]]
+        return out or None
     norm_stats = [
         {
             "partition_id": row["partition_id"],
@@ -1665,6 +1740,7 @@ def build_index(
                 if cfg.extra_text_fields
                 else None
             ),
+            "franges": _row_franges(row),
         }
         for row in stats
     ]
@@ -1719,6 +1795,7 @@ def _stage_and_publish(
             record=cfg.record,
             field_total_tokens=row["ftt"],
             config_generation=cgen,
+            field_ranges=row.get("franges"),
         )
         new_metas.append(meta)
         metrics.num_docs += row["num_docs"]

@@ -257,6 +257,9 @@ def delete_by_query(
             ),
             record="position" if with_pos else "freq",
             config_generation=meta.config_generation,
+            # deletion only removes rows: the source split's column stats
+            # stay a sound (if no longer tight) over-approximation
+            field_ranges=meta.field_ranges,
         )
         manifest.stage(new_meta)
         manifest.publish([new_meta], replaced=[split_id])

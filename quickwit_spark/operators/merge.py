@@ -333,6 +333,21 @@ def execute_merge(
             for f_, v in (m.field_total_tokens or {}).items():
                 field_tt[f_] = field_tt.get(f_, 0) + v
     tags = sorted({t for m in metas for t in m.tags})
+    # merged column stats: per field, min of mins / max of maxes — only
+    # when EVERY source records the field (a missing range means "unknown",
+    # and unknown ∪ known = unknown)
+    franges: "dict | None" = None
+    if all(m.field_ranges for m in metas):
+        shared = set(metas[0].field_ranges)
+        for m in metas[1:]:
+            shared &= set(m.field_ranges)
+        franges = {
+            f_: [
+                min(m.field_ranges[f_][0] for m in metas),
+                max(m.field_ranges[f_][1] for m in metas),
+            ]
+            for f_ in sorted(shared)
+        } or None
     starts = [m.time_range_start for m in metas if m.time_range_start]
     ends = [m.time_range_end for m in metas if m.time_range_end]
     meta = SplitMetadata(
@@ -362,6 +377,7 @@ def execute_merge(
         # the planner only groups same-config-generation splits, so the
         # merged split inherits its sources' (shared) config generation
         config_generation=metas[0].config_generation,
+        field_ranges=franges,
     )
     manifest.stage(meta)
     manifest.publish([meta], replaced=op.split_ids)

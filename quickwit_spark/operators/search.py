@@ -4012,6 +4012,8 @@ def search(
     if exclude_split_ids:
         bad = set(exclude_split_ids)
         splits = [m for m in splits if m.split_id not in bad]
+    if leaf_topk is not False:
+        splits = _prune_splits_by_field_ranges(searcher, ast, splits)
     split_ids = [m.split_id for m in splits]
     if snippet_fields and not searcher._collect_text_terms(ast):
         # validate BEFORE the empty-prune early return: an invalid request
@@ -4594,6 +4596,80 @@ def _leaf_match_plan(
     return spec, ts
 
 
+def _required_range_atoms(
+    searcher: "Searcher", node: Node
+) -> list[tuple[str, float | None, float | None]]:
+    """Conjunctively-REQUIRED numeric range atoms of a query tree, mapped
+    to docstore column names: every match must satisfy each returned
+    (col, lo, hi). ``must`` clauses are required regardless of siblings
+    (should is optional/score-additive once a must exists — Lucene
+    semantics, `_eval_bool`/`_bool_tail`); a single-should bool is that
+    child; must_not and multi-should contribute nothing. Exclusive bounds
+    widen to inclusive, non-numeric bounds (timestamps, IPs) drop the
+    atom — both directions are sound over-approximations for PRUNING
+    (never for evaluation)."""
+    out: list[tuple[str, float | None, float | None]] = []
+
+    def _num(v: str | None) -> "float | None | type(...)":
+        if v is None:
+            return None
+        try:
+            return float(v)
+        except ValueError:
+            return ...  # sentinel: unparseable -> drop the atom
+
+    def walk(n: Node) -> None:
+        if isinstance(n, Range):
+            lo, hi = _num(n.lo), _num(n.hi)
+            if lo is ... or hi is ...:
+                return
+            col = searcher.fast_fields.get(n.field, n.field)
+            out.append((col, lo, hi))
+        elif isinstance(n, Boost):
+            walk(n.child)
+        elif isinstance(n, Bool):
+            for c in n.must:
+                walk(c)
+            if not n.must and len(n.should) == 1:
+                walk(n.should[0])
+
+    walk(node)
+    return out
+
+
+def _prune_splits_by_field_ranges(
+    searcher: "Searcher", ast: Node, splits: list
+) -> list:
+    """Iceberg-column-stats split pruning: drop splits whose recorded
+    per-field [min, max] cannot intersect a required range atom. Sound
+    because range predicates never match null values (the recorded range
+    covers every non-null value), and a split with no recorded range for
+    a field is never pruned. At 10^12 docs this turns `doc_len:[1000 TO
+    *]`-style filters into metadata pruning before any scan is planned —
+    the same machinery Iceberg/Delta run on parquet column stats, applied
+    at the split-manifest level (the reference prunes only by time range
+    and tags, metastore/mod.rs:304-390)."""
+    atoms = _required_range_atoms(searcher, ast)
+    if not atoms:
+        return splits
+    kept = []
+    for m in splits:
+        fr = getattr(m, "field_ranges", None) or {}
+        keep = True
+        for col, lo, hi in atoms:
+            r = fr.get(col)
+            if not r or r[0] is None or r[1] is None:
+                continue
+            if (hi is not None and r[0] > hi) or (
+                lo is not None and r[1] < lo
+            ):
+                keep = False
+                break
+        if keep:
+            kept.append(m)
+    return kept
+
+
 def _ts_desc_prune_splits(
     spark: SparkSession,
     splits_meta: list,
@@ -4797,6 +4873,8 @@ def export_fast_field(
         request.end_timestamp,
         tags=searcher.extract_tags(ast),
     )
+    if leaf_match is not False:
+        splits = _prune_splits_by_field_ranges(searcher, ast, splits)
     split_ids = [s.split_id for s in splits]
     cols = (column,) + tuple(c for c in partition_by if c != column)
     if isinstance(ast, MatchAll) and leaf_match is not False:
@@ -5004,6 +5082,9 @@ def search_aggs(
         request.end_timestamp,
         tags=searcher.extract_tags(ast),
     )
+    # NOTE: no field-range split pruning here — the min_doc_count:0 key
+    # universe (_agg_universe) is defined over the metadata-pruned split
+    # set, and shrinking it per-query would drop zero-count buckets
     split_ids = [s.split_id for s in splits]
     try:
         cfg = reader.manifest.load_index_config()
@@ -5133,6 +5214,8 @@ def count_hits(
         request.end_timestamp,
         tags=searcher.extract_tags(ast),
     )
+    if leaf_match is not False:
+        splits = _prune_splits_by_field_ranges(searcher, ast, splits)
     split_ids = [s.split_id for s in splits]
     if exclude_split_ids:
         bad = set(exclude_split_ids)
