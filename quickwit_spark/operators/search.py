@@ -1015,6 +1015,14 @@ LEAF_MAXSCORE_MIN_POSTINGS = 8192
 # captured at kernel-factory time — tests flip it to pin engine-vs-engine
 # identity between the pruned and exhaustive AND paths
 LEAF_CONJ_SKIP_ENABLED = True
+# phrase top-k pruning (the block-max analog for positional queries):
+# candidates are scored with a positions-free upper bound (pf <= min tf),
+# then position-verified in descending-bound chunks until the provisional
+# k-th true score beats every remaining bound. Engages only above this
+# per-split candidate count — below it the exhaustive positions decode is
+# cheaper than the bound arithmetic. Captured at kernel-factory time.
+LEAF_PHRASE_PRUNE_MIN_CANDS = 4096
+LEAF_PHRASE_PRUNE_ENABLED = True
 # absolute slack on every bound comparison: score magnitudes are O(idf·2.2)
 # ≤ ~60, float64 rounding is ≤ 1e-13 there, so 1e-9 is conservatively safe
 _MS_SLACK = 1e-9
@@ -1255,6 +1263,26 @@ def _make_leaf_topk_kernel(
     )
     ms_threshold = LEAF_MAXSCORE_MIN_POSTINGS
     conj_enabled = LEAF_CONJ_SKIP_ENABLED
+    # phrase top-k pruning engages only when the request ROOT (modulo
+    # positive boosts) is the phrase node itself: any other parent (bool,
+    # must_not, should) needs the node's FULL match set. Same collector
+    # conditions as MaxScore: pure score-desc top-k, no per-doc time
+    # window, no pre-trim count payload (emit "topk_hits" carries n_match).
+    pp_node = None
+    if (
+        LEAF_PHRASE_PRUNE_ENABLED
+        and need_scores
+        and emit == "topk"
+        and order == "desc"
+        and ts_bounds is None
+        and k > 0
+    ):
+        _nn = spec
+        while _nn["op"] == "boost" and _nn["factor"] > 0:
+            _nn = _nn["child"]
+        if _nn["op"] == "phrase":
+            pp_node = _nn
+    pp_min = LEAF_PHRASE_PRUNE_MIN_CANDS
 
     def kernel(batches):
         try:
@@ -1539,6 +1567,27 @@ def _make_leaf_topk_kernel(
                     )
                     if len(cand) == 0:
                         return _empty
+                    if (
+                        pp_node is not None
+                        and n is pp_node
+                        and len(cand) >= pp_min
+                    ):
+                        # cap-ordered lazy verification: positions decoded
+                        # only until the provisional k-th true score beats
+                        # every remaining candidate's positions-free cap
+                        return _phrase_topk_pruned(
+                            n,
+                            cand,
+                            _pr,
+                            praw_t,
+                            dec_cache,
+                            _n,
+                            index_dir,
+                            _sid,
+                            quantize,
+                            avgdl_map,
+                            k,
+                        )
                     by_term = {}
                     for u in n["uniq"]:
                         blr = _pr[u][0]
@@ -2143,6 +2192,182 @@ def _phrase_freqs(
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     mdoc = (starts[match] // _PHRASE_SHIFT).astype(np.int64)
     return np.unique(mdoc, return_counts=True)
+
+
+def _phrase_topk_pruned(
+    n: dict,
+    cand: np.ndarray,
+    per_raw: dict,
+    praw_t: dict,
+    dec_cache: dict,
+    n_docs: int,
+    index_dir: str,
+    split_id: str,
+    quantize: bool,
+    avgdl_map: dict,
+    k: int,
+) -> tuple:
+    """Upper-bound-ordered phrase verification — the block-max analog for
+    positional queries (tantivy has no equivalent: SegmentPostings decodes
+    positions for every conjunctive candidate; here the degenerate
+    every-doc-contains-it bigram stops after a few chunks).
+
+    ``cand`` is the split's sorted-unique docid intersection of the phrase
+    tokens (every phrase match lies inside it). Each candidate gets a
+    positions-free score CAP: phrase_freq <= min over unique tokens of tf
+    when slop == 0 (each match consumes one occurrence of the token at
+    every phrase position, distinct per start), and <= tf of the FIRST
+    token otherwise (with slop, later-token occurrences can be shared by
+    two starts, so only the start-token bound is sound — "a a b" matches
+    "a b"~1 twice on one 'b'). BM25 is monotone in pf, so
+    cap = idf_sum * satur(pf_cap, dl) >= the true score. Candidates are
+    verified (positions decoded, greedy matcher run) in descending-cap
+    chunks; once k docs are verified and the k-th best TRUE score beats
+    every remaining cap (with the `_MS_SLACK` float guard), the rest can
+    never enter the top-k — including score ties, since a skipped doc's
+    true score is strictly below theta. Returns (asc-unique docids, true
+    scores) for the verified docs only: rank-identical top-k to the
+    exhaustive node, valid ONLY when this phrase is the request root
+    (modulo positive boosts) and the emit is pure score-desc top-k —
+    the kernel factory gates on exactly that."""
+    import math
+
+    uniq, toks, slop, fld = n["uniq"], n["toks"], n["slop"], n["field"]
+    tf_min = None
+    first_tf = None
+    for u in uniq:
+        cached = dec_cache.get(u)
+        if cached is not None:
+            d, t = cached[0], cached[1]
+        else:
+            blr = per_raw[u][0]
+            firsts = blr.field("first_docid").to_numpy(zero_copy_only=False)
+            lasts = blr.field("last_docid").to_numpy(zero_copy_only=False)
+            sel = np.flatnonzero(
+                np.searchsorted(cand, firsts, side="left")
+                < np.searchsorted(cand, lasts, side="right")
+            )
+            if len(sel) < len(firsts):
+                blr = blr.take(pa.array(sel, type=pa.int64()))
+            d, t, _cnt = _decode_struct_blocks(blr, need_tf=True)
+        # cand is a subset of every token's docids, and sel kept every
+        # block that can hold a candidate, so the gather is total
+        tfc = t[np.searchsorted(d, cand)].astype(np.float64)
+        if tf_min is None:
+            tf_min = tfc.copy()
+        else:
+            np.minimum(tf_min, tfc, out=tf_min)
+        if u == toks[0]:
+            first_tf = tfc
+    pf_cap = tf_min if slop == 0 else first_tf
+    dl = _norms_for(index_dir, split_id, quantize, cand, fld)
+    try:
+        avg = avgdl_map[(split_id, fld)]
+    except KeyError:
+        raise KeyError(
+            f"no avgdl for split={split_id!r} field={fld!r}: "
+            "manifest field_total_tokens out of sync with postings"
+        ) from None
+    idf_sum = float(
+        sum(
+            math.log(
+                1.0
+                + ((n_docs - per_raw[t][1]) + 0.5) / (per_raw[t][1] + 0.5)
+            )
+            for t in toks
+        )
+    )
+    kk = BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / avg)
+    cap = idf_sum * (pf_cap * (BM25_K1 + 1.0) / (pf_cap + kk))
+    # BLOCK-granular verification order (the actual block-max shape):
+    # per-doc cap order would scatter each chunk across the whole docid
+    # range and re-decode every position block per chunk. Instead each
+    # candidate belongs to exactly ONE first-token posting block; blocks
+    # are ranked by their best member cap and verified best-block-first in
+    # geometrically growing batches, so every first-token block is decoded
+    # at most once and continuation-term blocks (selected by the batch's
+    # docid ranges, which are disjoint across batches) at most ~once plus
+    # one straddle per batch.
+    blr0 = per_raw[toks[0]][0]
+    lasts0 = blr0.field("last_docid").to_numpy(zero_copy_only=False)
+    # cand is sorted and a subset of the first token's docids, so the
+    # first block whose last_docid >= cand[i] is cand[i]'s block
+    blk_of_cand = np.searchsorted(lasts0, cand, side="left")
+    ublk, blk_inv = np.unique(blk_of_cand, return_inverse=True)
+    blk_cap = np.full(len(ublk), -np.inf)
+    np.maximum.at(blk_cap, blk_inv, cap)
+    border = np.argsort(-blk_cap, kind="stable")
+    blk_cap_sorted = blk_cap[border]
+    # rank of each candidate's block in the verification order
+    blk_rank = np.empty(len(ublk), dtype=np.int64)
+    blk_rank[border] = np.arange(len(ublk))
+    cand_rank = blk_rank[blk_inv]
+    res_d: list = []
+    res_s: list = []
+    n_verified = 0
+    theta = -np.inf
+    i = 0
+    nblk = len(ublk)
+    batch = max(4, -(-4 * k // 128))  # blocks hold up to 128 postings
+    while i < nblk:
+        if n_verified >= k and blk_cap_sorted[i] < theta - _MS_SLACK:
+            break
+        j = min(i + batch, nblk)
+        if nblk - j <= batch // 2:
+            j = nblk  # absorb a small tail into this batch
+        # this batch's candidates: exactly those whose first-token block
+        # ranks in [i, j) — every start decoded below is either one of
+        # them or lacks a term (no match possible), so no doc filtering
+        # is needed and no candidate is verified twice
+        m = (cand_rank >= i) & (cand_rank < j)
+        sub = cand[m]
+        by_term = {}
+        for u in uniq:
+            blr = per_raw[u][0]
+            if u == toks[0]:
+                sel = np.sort(ublk[border[i:j]])
+            else:
+                firsts = blr.field("first_docid").to_numpy(
+                    zero_copy_only=False
+                )
+                lasts = blr.field("last_docid").to_numpy(
+                    zero_copy_only=False
+                )
+                sel = np.flatnonzero(
+                    np.searchsorted(sub, firsts, side="left")
+                    < np.searchsorted(sub, lasts, side="right")
+                )
+            nb = len(blr.field("last_docid"))
+            by_term[u] = _phrase_coords_pruned(
+                blr, praw_t[u], None if len(sel) == nb else sel
+            )
+        udoc, pf = _phrase_freqs(by_term, toks, slop)
+        if len(udoc):
+            # matched docs hold every term, so they are candidates; their
+            # first-token block is in this batch, so udoc is batch-unique
+            dlu = dl[np.searchsorted(cand, udoc)]
+            pfd = pf.astype(np.float64)
+            sc = idf_sum * (
+                pfd
+                * (BM25_K1 + 1.0)
+                / (pfd + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dlu / avg))
+            )
+            res_d.append(udoc)
+            res_s.append(sc)
+            n_verified += len(udoc)
+            if n_verified >= k:
+                flat = (
+                    np.concatenate(res_s) if len(res_s) > 1 else res_s[0]
+                )
+                theta = np.partition(flat, n_verified - k)[n_verified - k]
+        i = j
+        batch *= 4
+    if not res_d:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    ad = np.concatenate(res_d)
+    asc = np.concatenate(res_s)
+    o = np.argsort(ad, kind="stable")
+    return ad[o], asc[o]
 
 
 def _make_phrase_kernel(
