@@ -25,6 +25,7 @@ from quickwit_spark.entry_helpers import (
     K1,
     N_GATE_SPLITS,
     ORACLE_PRELUDE,
+    ORACLE_PRELUDE_MERGED,
     ORACLE_PRELUDE_STEM,
     SHINGLES,
     TOKENIZE,
@@ -34,6 +35,7 @@ from quickwit_spark.entry_helpers import (
     docs_df,
     gate_index,
     gate_index_evolved,
+    gate_index_merged,
     minhash_lsh_sql,
     ngram_jaccard_sql,
     phrase_sql,
@@ -783,6 +785,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SIM.lsh_topk(emb, qv, k=10, multiprobe=2)
 
     q["sim_lsh_topk"] = sim_lsh_topk
+
+    def fts_merged_topk(s: SparkSession, d: str) -> DataFrame:
+        # merge executor + GC gate (SURVEY §2 rows 21/51): 4-split build
+        # merged to ONE split (docid rebase, postings re-encode, atomic
+        # replace-publish) then GC'd; per-split BM25 stats collapse to the
+        # corpus-global stats the SQL oracle computes directly
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        reader = gate_index_merged(s, d)
+        res = search(
+            reader,
+            SearchRequest(query="dup", max_hits=15),
+            quantize_norms=False,
+            fetch_fields=("url",),
+        )
+        return res.select(
+            F.col("url").cast("long").alias("doc_id"),
+            F.round(F.col("score") + F.lit(1e-9), 4).alias("score"),
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+    q["fts_merged_topk"] = fts_merged_topk
     return q
 
 
@@ -1239,4 +1261,10 @@ SELECT doc_id AS media_id, w AS width, h AS height,
       * (y * w + x + 1) * (c + 1))::BIGINT AS pix_stat
 FROM px GROUP BY 1, 2, 3
 """
+    # merged-to-one-split index: same term query as fts_term_topk but BM25
+    # stats are corpus-global (n_splits=1 prelude) — a wrong docid rebase,
+    # postings re-encode or stats merge would shift every score
+    o["fts_merged_topk"] = bm25_and_sql(
+        ["dup"], 15, prelude=ORACLE_PRELUDE_MERGED
+    )
     return o

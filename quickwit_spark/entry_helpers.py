@@ -114,6 +114,60 @@ def gate_index(
     return IndexReader(spark, index_dir)
 
 
+def gate_index_merged(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Merged-index gate (r4): 4-split build -> one ``execute_merge`` over
+    every published split -> GC of the replaced splits. Gives the merge
+    executor + garbage collector a driver CORRECTNESS row: the merged
+    single split's BM25 stats are corpus-global, so the oracle is the
+    plain whole-corpus BM25 SQL (``ORACLE_PRELUDE_MERGED``). Mirrors the
+    reference merge pipeline semantics (merge_executor.rs: docid rebase,
+    postings re-encode, atomic replace-publish)."""
+    from quickwit_spark.index.manifest import Manifest
+    from quickwit_spark.operators.merge import (
+        MergeOperation,
+        execute_merge,
+        garbage_collect,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_") + "__merged"
+    index_dir = os.path.join(_CACHE_ROOT, tag)
+    marker = os.path.join(index_dir, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        docs = (
+            docs_df(spark, sf_dir)
+            .withColumn(
+                "gate_part", (F.col("doc_id") % N_GATE_SPLITS).cast("int")
+            )
+            .withColumn(
+                "synth_ts",
+                F.timestamp_seconds(
+                    F.lit(1672531200) + F.col("doc_id") * F.lit(60)
+                ),
+            )
+        )
+        build_index(
+            spark,
+            docs,
+            index_dir,
+            IndexConfig(
+                index_id="docs",
+                num_splits=N_GATE_SPLITS,
+                text_field="text",
+                tag_field="lang",
+                timestamp_field="synth_ts",
+                doc_key="doc_id",
+                routing_col="gate_part",
+            ),
+        )
+        man = Manifest(index_dir)
+        op = MergeOperation(splits=man.list_published())
+        execute_merge(spark, index_dir, op)
+        garbage_collect(index_dir, deletion_grace_secs=0.0)
+        open(marker, "w").close()
+    return IndexReader(spark, index_dir)
+
+
 def gate_index_evolved(spark: SparkSession, sf_dir: str) -> IndexReader:
     """Two-config-generation gate index (schema evolution, r4):
 
@@ -203,12 +257,13 @@ STEM_CASE = (
 TOKENIZE_STEM = f"list_transform({TOKENIZE}, t -> {STEM_CASE})"
 
 
-def _prelude(tok_expr: str) -> str:
+def _prelude(tok_expr: str, n_splits: int = N_GATE_SPLITS) -> str:
     """Shared CTE prelude: per-doc tokens, per-split stats, tf, df — under
-    the given tokenizer expression."""
+    the given tokenizer expression. ``n_splits=1`` models an index merged
+    to a single split (BM25 stats become corpus-global)."""
     return f"""
 WITH d AS (
-  SELECT doc_id, doc_id % {N_GATE_SPLITS} AS split_id, {tok_expr} AS toks
+  SELECT doc_id, doc_id % {n_splits} AS split_id, {tok_expr} AS toks
   FROM documents
 ),
 dl AS (SELECT doc_id, split_id, len(toks) AS dl FROM d),
@@ -237,6 +292,8 @@ scores AS (
 
 ORACLE_PRELUDE = _prelude(TOKENIZE)
 ORACLE_PRELUDE_STEM = _prelude(TOKENIZE_STEM)
+# merged-to-one-split index: per-split BM25 stats ARE the corpus stats
+ORACLE_PRELUDE_MERGED = _prelude(TOKENIZE, n_splits=1)
 
 
 # ---------------------------------------------------------------------------
