@@ -71,10 +71,12 @@ def _fts_topk(
     tokenizer: str = "default",
     start_timestamp: str | None = None,
     end_timestamp: str | None = None,
+    reader=None,
 ) -> DataFrame:
     # pin UTC: the synthetic timestamp gate casts ISO strings session-side
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    reader = gate_index(spark, sf_dir, tokenizer=tokenizer)
+    if reader is None:
+        reader = gate_index(spark, sf_dir, tokenizer=tokenizer)
     res = search(
         reader,
         SearchRequest(
@@ -786,25 +788,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_lsh_topk"] = sim_lsh_topk
 
-    def fts_merged_topk(s: SparkSession, d: str) -> DataFrame:
-        # merge executor + GC gate (SURVEY §2 rows 21/51): 4-split build
-        # merged to ONE split (docid rebase, postings re-encode, atomic
-        # replace-publish) then GC'd; per-split BM25 stats collapse to the
-        # corpus-global stats the SQL oracle computes directly
-        s.conf.set("spark.sql.session.timeZone", "UTC")
-        reader = gate_index_merged(s, d)
-        res = search(
-            reader,
-            SearchRequest(query="dup", max_hits=15),
-            quantize_norms=False,
-            fetch_fields=("url",),
-        )
-        return res.select(
-            F.col("url").cast("long").alias("doc_id"),
-            F.round(F.col("score") + F.lit(1e-9), 4).alias("score"),
-        ).orderBy(F.desc("score"), F.asc("doc_id"))
-
-    q["fts_merged_topk"] = fts_merged_topk
+    # merge executor + GC gate (SURVEY §2 rows 21/51): 4-split build
+    # merged to ONE split (docid rebase, postings re-encode, atomic
+    # replace-publish) then GC'd; per-split BM25 stats collapse to the
+    # corpus-global stats the SQL oracle computes directly
+    q["fts_merged_topk"] = lambda s, d: _fts_topk(
+        s, d, "dup", 15, reader=gate_index_merged(s, d)
+    )
     return q
 
 

@@ -1246,37 +1246,28 @@ def _make_leaf_topk_kernel(
 
     phrase_toks = _leaf_spec_phrase_tokens(spec)
     need_scores = sort_spec is None and emit in ("topk", "topk_hits")
-    # in-kernel MaxScore (see _maxscore_split): pure scored disjunctions
-    # ranked best-first, exact-k, no per-doc time window, no pre-trim count
-    # payload. Threshold captured HERE (driver side) so tests can
-    # monkeypatch the module constant before building the plan.
-    ms_terms = (
-        _leaf_spec_maxscore_terms(spec)
-        if (
-            need_scores
-            and emit == "topk"
-            and order == "desc"
-            and ts_bounds is None
-            and k > 0
-        )
-        else None
-    )
-    ms_threshold = LEAF_MAXSCORE_MIN_POSTINGS
-    conj_enabled = LEAF_CONJ_SKIP_ENABLED
-    # phrase top-k pruning engages only when the request ROOT (modulo
-    # positive boosts) is the phrase node itself: any other parent (bool,
-    # must_not, should) needs the node's FULL match set. Same collector
-    # conditions as MaxScore: pure score-desc top-k, no per-doc time
-    # window, no pre-trim count payload (emit "topk_hits" carries n_match).
-    pp_node = None
-    if (
-        LEAF_PHRASE_PRUNE_ENABLED
-        and need_scores
+    # collector shape under which score-upper-bound pruning is sound:
+    # pure score-desc top-k, no per-doc time window, no pre-trim count
+    # payload (emit "topk_hits" carries the exact n_match per split).
+    # Shared by MaxScore and phrase pruning so they gate identically.
+    prunable_topk = (
+        need_scores
         and emit == "topk"
         and order == "desc"
         and ts_bounds is None
         and k > 0
-    ):
+    )
+    # in-kernel MaxScore (see _maxscore_split): pure scored disjunctions
+    # ranked best-first, exact-k. Threshold captured HERE (driver side) so
+    # tests can monkeypatch the module constant before building the plan.
+    ms_terms = _leaf_spec_maxscore_terms(spec) if prunable_topk else None
+    ms_threshold = LEAF_MAXSCORE_MIN_POSTINGS
+    conj_enabled = LEAF_CONJ_SKIP_ENABLED
+    # phrase top-k pruning engages only when the request ROOT (modulo
+    # positive boosts) is the phrase node itself: any other parent (bool,
+    # must_not, should) needs the node's FULL match set.
+    pp_node = None
+    if LEAF_PHRASE_PRUNE_ENABLED and prunable_topk:
         _nn = spec
         while _nn["op"] == "boost" and _nn["factor"] > 0:
             _nn = _nn["child"]
@@ -2235,7 +2226,8 @@ def _phrase_topk_pruned(
     uniq, toks, slop, fld = n["uniq"], n["toks"], n["slop"], n["field"]
     tf_min = None
     first_tf = None
-    for u in uniq:
+    # with slop only the first-token bound is used, so only its tf matters
+    for u in uniq if slop == 0 else (toks[0],):
         cached = dec_cache.get(u)
         if cached is not None:
             d, t = cached[0], cached[1]
