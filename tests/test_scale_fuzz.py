@@ -206,6 +206,23 @@ ORDER BY score DESC, split_id ASC, url ASC LIMIT 100
     assert _canon_topk([(u, round(s, 4)) for u, s in exp]) == _canon_topk(got)
 
 
+def test_phrase_prune_hot_bigram_ab(big, monkeypatch):
+    """Block-max phrase pruning at 1M-doc geometry: the hottest corpus
+    bigram produces per-split candidate sets far above the engage
+    threshold, so the cap-ordered lazy-verification path runs for real
+    (multi-batch, early stop or tie-bound) — its top-k must be
+    EXACTLY the exhaustive kernel's, including tie order."""
+    import quickwit_spark.operators.search as S
+
+    reader, _con = big
+    for q, k in ((' "w0 w1" '.strip(), 25), ('"w1 w2"~2', 10)):
+        monkeypatch.setattr(S, "LEAF_PHRASE_PRUNE_MIN_CANDS", 1 << 60)
+        ex = _engine(reader, q, k)
+        monkeypatch.setattr(S, "LEAF_PHRASE_PRUNE_MIN_CANDS", 4096)
+        pr = _engine(reader, q, k)
+        assert pr == ex and len(ex) == k, q
+
+
 def test_phrase_positions_block_boundaries(big):
     """True-position phrase over the 1M index: position payloads decode
     through the ragged multi-block path; compare pf-BM25 on every match."""
