@@ -679,23 +679,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- training-data pipeline ops (dedup / textstats / similarity / mm) --
     def ts_doc_stats(s: SparkSession, d: str) -> DataFrame:
-        # all four textstats operators in ONE tokenize pass (the shape a
-        # 100 TB pipeline would run them in): token count, heuristic
-        # language-ID, quality score, content fingerprint. Each column is
-        # exactly the corresponding operator's output expression
-        # (operators/textstats.py), so the single gate verifies all four.
+        # all textstats operators in one gate: token count, heuristic
+        # language-ID, quality score, content fingerprint (one tokenize
+        # pass, pure projections) plus the Gopher-style repetition
+        # signals (repetition_stats: dup-line projection + the exploded
+        # bigram-mode aggregation). Each column is exactly the
+        # corresponding operator's output expression
+        # (operators/textstats.py), so the single gate verifies all.
         from quickwit_spark.functions.tokenize import tokenize_expr
 
-        df = docs_df(s, d).select(
+        docs = docs_df(s, d)
+        df = docs.select(
             "doc_id", "text", tokenize_expr(F.col("text")).alias("_toks")
         )
-        return df.select(
+        base = df.select(
             "doc_id",
             F.size("_toks").alias("n_tokens"),
             TS.lang_pred_expr(F.col("text"), F.col("_toks")).alias("lang_pred"),
             TS.quality_expr(F.col("_toks")).alias("quality"),
             F.md5(F.concat_ws(" ", "_toks")).alias("fingerprint"),
         )
+        return base.join(TS.repetition_stats(docs), "doc_id")
 
     q["ts_doc_stats"] = ts_doc_stats
     q["dedup_exact"] = lambda s, d: DD.exact_dedup(docs_df(s, d))
@@ -1108,8 +1112,24 @@ ORDER BY doc_id
     mx = f"greatest({hits['de']}, {hits['en']}, {hits['es']}, {hits['fr']})"
     all_stop = _sql_list(sorted({w for ws in STOPWORDS.values() for w in ws}))
     o["ts_doc_stats"] = f"""
-WITH t AS (SELECT doc_id, text, {TOKENIZE} AS toks FROM documents)
-SELECT doc_id,
+WITH t AS (SELECT doc_id, text, {TOKENIZE} AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t WHERE len(toks) >= 2
+),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+rep AS (SELECT doc_id, max(c) AS max_c, sum(c) AS n_bg,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ
+        FROM bgc GROUP BY 1),
+ln AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                     s -> trim(s)), s -> len(s) > 0) AS lines
+  FROM t
+)
+SELECT t.doc_id,
   len(toks) AS n_tokens,
   CASE
     WHEN regexp_matches(text, '[一-鿿㐀-䶿]') THEN 'zh'
@@ -1127,8 +1147,15 @@ SELECT doc_id,
         (list_sum(list_transform(toks, x -> len(x)))::DOUBLE
          / len(toks)::DOUBLE) / 8.0)
     ELSE 0.0 END) + 1e-9, 4) AS quality,
-  md5(array_to_string(toks, ' ')) AS fingerprint
-FROM t
+  md5(array_to_string(toks, ' ')) AS fingerprint,
+  round((CASE WHEN len(lines) > 0 THEN
+      1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+    ELSE 0.0 END) + 1e-9, 4) AS dup_line_frac,
+  round(coalesce(rep.max_c::DOUBLE / rep.n_bg, 0.0) + 1e-9, 4)
+    AS top_bigram_frac,
+  round(coalesce(rep.dup_occ::DOUBLE / rep.n_bg, 0.0) + 1e-9, 4)
+    AS dup_bigram_frac
+FROM t JOIN ln USING (doc_id) LEFT JOIN rep USING (doc_id)
 """
     o["dedup_exact"] = f"""
 WITH f AS (SELECT doc_id, md5(array_to_string({TOKENIZE}, ' ')) AS fp

@@ -136,3 +136,96 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
     )
+
+
+def dup_line_frac_expr(text: Column) -> Column:
+    """Fraction of non-empty (trimmed) lines that are duplicates of an
+    earlier line — the Gopher/MassiveText "duplicate line fraction"
+    repetition rule (Rae et al. 2021, table A1), as a pure column
+    expression. 0.0 for documents with no non-empty lines."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    n = F.size(lines).cast("double")
+    return F.round(
+        F.when(
+            n > 0,
+            F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n,
+        ).otherwise(F.lit(0.0))
+        + F.lit(1e-9),
+        4,
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals per doc:
+
+    - ``dup_line_frac``   — fraction of non-empty lines that repeat an
+      earlier line (pure projection, zero shuffle);
+    - ``top_bigram_frac`` — fraction of token-bigram occurrences taken by
+      the single most frequent bigram ("fraction in most common 2-gram");
+    - ``dup_bigram_frac`` — fraction of bigram occurrences whose bigram
+      occurs more than once in the doc.
+
+    The bigram counts need a per-doc mode, which a per-row expression can
+    only reach in O(tokens^2); instead bigrams explode into a
+    ``groupBy(doc_id, bigram)`` — Catalyst's map-side partial aggregation
+    counts each doc's bigrams locally (a doc's exploded rows stay in its
+    input partition), so the shuffle carries one row per DISTINCT
+    (doc, bigram), not per occurrence, then collapses per doc. Docs with
+    fewer than two tokens report 0.0 for both bigram fractions."""
+    toks = tokenize_expr(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        dup_line_frac_expr(F.col(text_col)).alias("dup_line_frac"),
+        toks.alias("_toks"),
+    )
+    bigrams = base.select(
+        id_col,
+        # sequence(a, b) runs DESCENDING when b < a, so short docs must
+        # yield an empty array explicitly (explode then emits no rows)
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_toks) >= 2 THEN "
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> concat(_toks[i - 1], ' ', _toks[i])) "
+                "ELSE array() END"
+            )
+        ).alias("_bg"),
+    )
+    per_doc = (
+        bigrams.groupBy(id_col, "_bg")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("_c").alias("_max_c"),
+            F.sum("_c").alias("_n_bg"),
+            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0)).alias(
+                "_dup_occ"
+            ),
+        )
+    )
+    nbg = F.col("_n_bg").cast("double")
+    return (
+        base.drop("_toks")
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("dup_line_frac"),
+            F.round(
+                F.coalesce(F.col("_max_c").cast("double") / nbg, F.lit(0.0))
+                + F.lit(1e-9),
+                4,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("_dup_occ").cast("double") / nbg, F.lit(0.0)
+                )
+                + F.lit(1e-9),
+                4,
+            ).alias("dup_bigram_frac"),
+        )
+    )

@@ -46,6 +46,36 @@ def vecs(spark):
 
 # --- textstats -------------------------------------------------------------
 
+def test_repetition_stats(spark):
+    """Gopher-style repetition signals with hand-computed expectations."""
+    rows = [
+        # 4 non-empty lines, 'same line' repeats twice -> dup_line 1/4;
+        # tokens: same line other text same line more words ->
+        # bigrams (7): 'same line' x2, others x1 -> top 2/7, dup 2/7
+        (0, "same line\nother text\nsame line\n\n  \nmore words"),
+        # no repetition at all
+        (1, "alpha beta gamma delta"),
+        # degenerate: one token repeated -> the single bigram 'a a' x4
+        (2, "a a a a a"),
+        # short docs: no bigrams, no lines
+        (3, "single"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (
+            r["dup_line_frac"], r["top_bigram_frac"], r["dup_bigram_frac"]
+        )
+        for r in TS.repetition_stats(df).collect()
+    }
+    assert out[0] == (0.25, round(2 / 7 + 1e-9, 4), round(2 / 7 + 1e-9, 4))
+    assert out[1] == (0.0, round(1 / 3 + 1e-9, 4), 0.0)
+    assert out[2] == (0.0, 1.0, 1.0)
+    assert out[3] == (0.0, 0.0, 0.0)
+    assert out[4] == (0.0, 0.0, 0.0)
+    assert len(out) == 5  # short/empty docs keep their rows
+
+
 def test_token_count(docs):
     out = {r["doc_id"]: r["n_tokens"] for r in TS.token_count(docs).collect()}
     assert out[0] == 9
