@@ -132,3 +132,91 @@ def decontaminate(
         F.count_distinct("_bench_id").alias("n_bench_docs"),
     )
     return report.filter(F.col("n_overlap_shingles") >= F.lit(min_overlap))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + URL canonicalization (pre-tokenize transform stage)
+# ---------------------------------------------------------------------------
+
+# Redaction patterns follow the shapes public corpus pipelines scrub
+# (BigCode/StarCoder PII pass, CCNet-style prep): emails, bare IPv4s and
+# international-ish phone numbers. Order matters — emails first so their
+# domains cannot be half-matched as hosts, IPs before phones so dotted
+# quads never match the phone pattern's digit runs.
+_PII_RULES = (
+    # local@domain.tld (letters/digits/._%+- local part)
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    # dotted-quad IPv4 with word boundaries
+    (
+        r"(?<![0-9.])(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})"
+        r"(?:\.(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})){3}(?![0-9.])",
+        "[IP]",
+    ),
+    # +country / (area) phone shapes with >= 7 digits total
+    (
+        r"(?<![0-9A-Za-z])(?:\+?[0-9]{1,3}[ \-.])?"
+        r"(?:\([0-9]{2,4}\)[ \-.]?)?[0-9]{3}[ \-.][0-9]{3,4}"
+        r"(?:[ \-.][0-9]{2,4})?(?![0-9])",
+        "[PHONE]",
+    ),
+)
+
+
+def scrub_pii_expr(text):
+    """PII redaction as a pure chained ``regexp_replace`` expression
+    (whole-stage codegen, zero Python): emails -> [EMAIL], IPv4 -> [IP],
+    phone-shaped digit runs -> [PHONE]."""
+    out = text
+    for pat, repl in _PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace the text column with its PII-scrubbed form. Runs before
+    tokenize/index/dedup so no downstream artifact (postings, docstore,
+    fingerprints) retains the raw identifiers."""
+    return df.withColumn(text_col, scrub_pii_expr(F.col(text_col)))
+
+
+def normalize_url_expr(url):
+    """Canonical URL form for URL-level dedup (the CCNet-style key):
+    lowercase scheme+host, strip any fragment, drop utm_* tracking params,
+    drop default ports, collapse a trailing slash on a bare path. Pure
+    expression; query-param ORDER is preserved (sorting params cannot be
+    expressed without a shuffle or higher-order aggregate and real
+    pipelines treat reordered params as distinct)."""
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment
+    # lowercase scheme://host[:port] prefix only (path/query stay cased)
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*)", 1)),
+        F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*", ""),
+    )
+    u = F.regexp_replace(u, r"^(https://[^/]*):443(?=[/?]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(http://[^/]*):80(?=[/?]|$)", r"$1")
+    # utm_* params (leading or mid-query), then a dangling '?' or '&'
+    u = F.regexp_replace(u, r"([?&])utm_[^=&]*=[^&]*", r"$1")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.\-]*://[^/?]*)/$", r"$1")
+    return u
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level exact dedup: one row per canonical URL with the surviving
+    (lowest-id) document and the duplicate count — the same
+    keep-lowest-id convention as exact_dedup. ONE shuffle keyed by the
+    canonical URL string."""
+    return (
+        df.select(
+            F.col(id_col), normalize_url_expr(F.col(url_col)).alias("canon_url")
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )

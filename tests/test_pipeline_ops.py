@@ -311,6 +311,59 @@ def test_metadata_warm_mode(spark, small_index):
     small_index.refresh()
 
 
+def test_scrub_pii(spark):
+    from quickwit_spark.operators.pipeline import scrub_pii
+
+    rows = [
+        (0, "contact me at john.doe+spam@example.co.uk for details"),
+        (1, "server at 192.168.1.254 and 8.8.8.8 responded"),
+        (2, "call +1 555-123-4567 or (089) 123 4567 now"),
+        (3, "no pii here, just text with numbers 42 and 2023"),
+        (4, "version 1.2.3.4.5 is not an ip; 999.1.1.1 neither"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in scrub_pii(df).collect()}
+    assert out[0] == "contact me at [EMAIL] for details"
+    assert out[1] == "server at [IP] and [IP] responded"
+    assert "[PHONE]" in out[2] and "4567" not in out[2]
+    assert out[3] == rows[3][1]
+    # 1.2.3.4.5 must not be half-redacted; 999 is out of octet range
+    assert "[IP]" not in out[4]
+
+
+def test_url_dedup(spark):
+    from quickwit_spark.operators.pipeline import normalize_url_expr, url_dedup
+
+    rows = [
+        (0, "HTTP://Example.COM/a"),
+        (1, "http://example.com/a#frag"),
+        (2, "http://example.com:80/a"),
+        (3, "https://example.com/a?utm_source=x&q=1"),
+        (4, "https://example.com/a?q=1"),
+        (5, "https://example.com/"),
+        (6, "https://example.com"),
+        (7, "https://other.com/a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    canon = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", normalize_url_expr(F.col("url")).alias("c")
+        ).collect()
+    }
+    assert canon[0] == canon[1] == canon[2] == "http://example.com/a"
+    assert canon[3] == canon[4] == "https://example.com/a?q=1"
+    assert canon[5] == canon[6] == "https://example.com"
+    out = {
+        r["canon_url"]: (r["n_docs"], r["keep_id"])
+        for r in url_dedup(df).collect()
+    }
+    assert out["http://example.com/a"] == (3, 0)
+    assert out["https://example.com/a?q=1"] == (2, 3)
+    assert out["https://example.com"] == (2, 5)
+    assert out["https://other.com/a"] == (1, 7)
+
+
 def test_clean_corpus_pipeline(spark):
     """clean_corpus end-to-end semantics on a hand-built corpus: lang gate,
     quality gate, exact keep-first, greedy near-dup drop."""
