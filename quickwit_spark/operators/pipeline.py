@@ -220,3 +220,58 @@ def url_dedup(
             F.min(id_col).alias("keep_id"),
         )
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style cross-document line deduplication (Raffel et al. 2020 §2.2
+    discard repeated spans; the common corpus-prep simplification is the
+    line): every non-blank line that occurs more than once in the WHOLE
+    corpus is kept only at its first occurrence — ordered by (doc id,
+    line position) — and removed everywhere else. Blank/whitespace lines
+    are structural, never deduplicated.
+
+    Scale shape: posexplode lines -> groupBy(md5(line)) keeps one
+    16-byte-keyed shuffle whose map-side partial aggregation collapses
+    per-partition repeats; the survivors join back by the same hash
+    (no text comparison crosses the wire twice) and each doc reassembles
+    via sort_array over (position, line) — order-exact reconstruction
+    without a window function."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    keyed = lines.withColumn("lkey", F.md5(F.trim(F.col("line")))).withColumn(
+        "blank", F.length(F.trim(F.col("line"))) == 0
+    )
+    first = (
+        keyed.filter(~F.col("blank"))
+        .groupBy("lkey")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keeper"),
+        )
+    )
+    kept = keyed.join(first, "lkey", "left").filter(
+        F.col("blank")
+        | (
+            (F.col("keeper")[id_col] == F.col(id_col))
+            & (F.col("keeper")["pos"] == F.col("pos"))
+        )
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias(text_col)
+        )
+    )

@@ -364,6 +364,27 @@ def test_url_dedup(spark):
     assert out["https://other.com/a"] == (1, 7)
 
 
+def test_dedup_lines(spark):
+    """C4-style line dedup: a repeated non-blank line survives only at its
+    first (doc_id, pos) occurrence; blank lines are structural and stay;
+    reconstruction preserves in-doc line order exactly."""
+    from quickwit_spark.operators.pipeline import dedup_lines
+
+    rows = [
+        (0, "unique a\nshared line\nunique b"),
+        (1, "shared line\n\nunique c\nshared line"),  # dup across AND within
+        (2, "  shared line  \nunique d"),  # trim-equal counts as the same
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(df).collect()}
+    assert out[0] == "unique a\nshared line\nunique b"
+    assert out[1] == "\nunique c"
+    assert out[2] == "unique d"
+    assert out[3] == ""
+    assert len(out) == 4
+
+
 def test_clean_corpus_pipeline(spark):
     """clean_corpus end-to-end semantics on a hand-built corpus: lang gate,
     quality gate, exact keep-first, greedy near-dup drop."""
