@@ -681,8 +681,15 @@ class IndexReader:
         self._postings = p
         self._docstore = d
         if materialize:
-            p.count()
-            d.count()
+            # concurrent materialization: the byte-coalesced cache scans
+            # have few tasks each, so running the two count jobs serially
+            # leaves most executor threads idle — submit both at once
+            # (Spark's scheduler interleaves the jobs' tasks)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                for f in [ex.submit(p.count), ex.submit(d.count)]:
+                    f.result()
 
     def term_dict(self) -> DataFrame:
         """(split_id, term, doc_freq, sum_tf) — cached when warmed with
