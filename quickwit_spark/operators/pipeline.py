@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 
 from quickwit_spark.functions.tokenize import tokenize_expr
 from quickwit_spark.operators.dedup import ngram_jaccard_pairs
-from quickwit_spark.operators.textstats import lang_pred_expr, quality_expr
+from quickwit_spark.operators.textstats import (
+    lang_pred_expr,
+    quality_expr,
+    repetition_stats,
+)
 
 
 def clean_corpus(
@@ -40,17 +44,54 @@ def clean_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int | None = None,
+    url_col: str | None = None,
+    pii_scrub: bool = False,
+    max_dup_line_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
 ) -> DataFrame:
     """Filter + dedup pipeline; returns the SURVIVING documents as
     (doc_id, lang_pred, quality), ordered by doc_id upstream of the caller.
 
     Survivor rule (deterministic):
+    - when ``url_col`` is set: doc_id == min(doc_id) within its canonical
+      URL group (URL-level dedup runs FIRST — it is the cheapest key and
+      web crawls are url-duplicate-heavy);
     - lang_pred in ``langs`` AND quality >= ``min_quality``;
+    - when a repetition bound is set: dup_line_frac / top_bigram_frac at
+      or below it (Gopher repetition rules, on the post-scrub text);
     - doc_id == min(doc_id) within its canonical-token fingerprint group
       (computed over the filtered set);
     - not the higher id of any surviving near-dup pair with
       jaccard >= ``jaccard_threshold``.
+
+    ``pii_scrub=True`` redacts PII BEFORE any tokenization so the
+    fingerprints, shingles and outputs never see raw identifiers. All
+    extensions default OFF; the 4-stage core is the oracle-gated shape.
     """
+    if url_col is not None:
+        u_min = (
+            df.select(
+                F.col(id_col),
+                normalize_url_expr(F.col(url_col)).alias("_cu"),
+            )
+            .groupBy("_cu")
+            .agg(F.min(id_col).alias("_ukeep"))
+        )
+        df = df.join(
+            u_min.select(F.col("_ukeep").alias(id_col)), id_col, "left_semi"
+        )
+    if pii_scrub:
+        df = scrub_pii(df, text_col=text_col)
+    if max_dup_line_frac is not None or max_top_bigram_frac is not None:
+        rep = repetition_stats(df, text_col=text_col, id_col=id_col)
+        cond = F.lit(True)
+        if max_dup_line_frac is not None:
+            cond = cond & (F.col("dup_line_frac") <= max_dup_line_frac)
+        if max_top_bigram_frac is not None:
+            cond = cond & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        df = df.join(
+            rep.filter(cond).select(id_col), id_col, "left_semi"
+        )
     toks = tokenize_expr(F.col(text_col))
     scored = df.select(
         F.col(id_col),

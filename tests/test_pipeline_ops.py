@@ -364,6 +364,39 @@ def test_url_dedup(spark):
     assert out["https://other.com/a"] == (1, 7)
 
 
+def test_clean_corpus_extended_stages(spark):
+    """clean_corpus with the optional web-prep stages ON: url dedup first,
+    PII scrub before fingerprints, Gopher repetition bound before dedup."""
+    from quickwit_spark.operators.pipeline import clean_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "barn with it")
+    rows = [
+        (0, "http://ex.com/a", good),
+        (1, "HTTP://EX.com/a#f", good + " again"),   # url-dup of 0 -> out
+        (2, "http://ex.com/b", good + " mail me at a@b.co now please ok"),
+        (3, "http://ex.com/c", "spam spam spam spam spam spam spam spam"),
+        (4, "http://ex.com/d", good),                # exact dup of 0 -> out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = clean_corpus(
+        df,
+        langs=("en",),
+        min_quality=0.3,
+        jaccard_threshold=0.95,
+        url_col="url",
+        pii_scrub=True,
+        max_top_bigram_frac=0.5,
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 1 dropped by url dedup, 3 by the top-bigram repetition bound
+    # (every bigram is 'spam spam'), 4 by exact dedup
+    assert ids == [0, 2]
+    # and the scrubbed fingerprint path: 2 must survive with [EMAIL]
+    # replacing the address (same id set whether or not the raw email
+    # would have tokenized differently)
+
+
 def test_dedup_lines(spark):
     """C4-style line dedup: a repeated non-blank line survives only at its
     first (doc_id, pos) occurrence; blank lines are structural and stay;
