@@ -214,3 +214,92 @@ def test_disabled_flag_restores_exhaustive(small_index, monkeypatch):
     monkeypatch.setattr(S, "LEAF_PHRASE_PRUNE_ENABLED", True)
     on = _topk(small_index, '"w0 w1"')
     assert off == on
+
+
+# ---------------------------------------------------------------------------
+# direct unit: the routine PRUNES real work (not just rank-identity)
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_prune_skips_position_decode(monkeypatch):
+    """30k-doc split, every doc a candidate: 100 hot docs (tf 8, adjacent
+    pairs -> pf 8) and 29.9k cold docs (tf 1, non-adjacent -> pf 0). The
+    k-th true score among the hot docs beats every cold block's cap
+    (satur(1) < satur(8)), so verification must stop after the hot blocks
+    — decoded position blocks << total blocks — while returning exactly
+    the brute-force top docs."""
+    import numpy as np
+    import pyarrow as pa
+
+    import quickwit_spark.operators.search as S
+    from quickwit_spark.index.codec import (
+        encode_position_blocks,
+        encode_postings,
+    )
+    from quickwit_spark.operators.build import PA_BLOCK, PA_POS_BLOCK
+
+    N, HOT = 30_000, 100
+    docids = np.arange(N, dtype=np.int64)
+    tf = np.ones(N, dtype=np.int64)
+    tf[:HOT] = 8
+    # aa at evens / bb at odds for hot docs (8 adjacent pairs); cold docs:
+    # aa@0, bb@20 (never adjacent)
+    pos_a, pos_b = [], []
+    for d in range(N):
+        if d < HOT:
+            pos_a.append(np.arange(0, 16, 2))
+            pos_b.append(np.arange(1, 17, 2))
+        else:
+            pos_a.append(np.array([0]))
+            pos_b.append(np.array([20]))
+    flat_a = np.concatenate(pos_a)
+    flat_b = np.concatenate(pos_b)
+
+    def mk(tfs, flat):
+        blr = pa.array(encode_postings(docids, tfs), type=PA_BLOCK)
+        plr = pa.array(
+            encode_position_blocks(tfs, flat), type=PA_POS_BLOCK
+        )
+        return blr, plr
+
+    blr_a, plr_a = mk(tf, flat_a)
+    blr_b, plr_b = mk(tf, flat_b)
+    n_blocks = len(blr_a)
+    assert n_blocks > 100  # the split really is many blocks
+
+    decoded = {"blocks": 0, "calls": 0}
+    orig = S._phrase_coords_pruned
+
+    def counting(blr, plr, sel=None):
+        decoded["calls"] += 1
+        decoded["blocks"] += len(blr) if sel is None else len(sel)
+        return orig(blr, plr, sel)
+
+    monkeypatch.setattr(S, "_phrase_coords_pruned", counting)
+    monkeypatch.setattr(
+        S,
+        "_norms_for",
+        lambda index_dir, sid, quantize, docs, field: np.full(
+            len(docs), 40.0
+        ),
+    )
+
+    node = {
+        "op": "phrase",
+        "toks": ["aa", "bb"],
+        "uniq": ["aa", "bb"],
+        "slop": 0,
+        "field": "",
+    }
+    per_raw = {"aa": (blr_a, N), "bb": (blr_b, N)}
+    praw_t = {"aa": plr_a, "bb": plr_b}
+    d, s = S._phrase_topk_pruned(
+        node, docids, per_raw, praw_t, {}, N, "/nonexistent", "s0",
+        False, {("s0", ""): 40.0}, 10,
+    )
+    # only the hot docs match at all, and they rank by docid on equal score
+    assert list(d[:10]) == list(range(10))
+    assert (s[:HOT] == s[0]).all() and s[0] > 0
+    # the whole point: position decode stopped after the hot blocks
+    assert decoded["blocks"] < n_blocks  # per ALL calls combined,
+    assert decoded["blocks"] <= 40  # ~hot blocks + first-batch overhead
