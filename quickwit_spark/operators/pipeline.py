@@ -316,3 +316,26 @@ def dedup_lines(
             ).alias(text_col)
         )
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    holdout_pct: float = 1.0,
+    salt: str = "qs-holdout-v1",
+) -> DataFrame:
+    """Deterministic train/holdout assignment — the standard
+    reproducible-split rule for training corpora: a doc's bucket is a pure
+    function of its id (never of partitioning, ordering or sampling RNG),
+    so re-runs, incremental builds and different cluster sizes all agree,
+    and the holdout can be re-derived from ids alone.
+
+    Adds ``split`` ('train' | 'holdout'): holdout iff
+    pmod(xxhash64(salt, id), 10_000) < holdout_pct * 100. Pure projection,
+    zero shuffle; change ``salt`` to draw an independent split."""
+    bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(10_000))
+    return df.withColumn(
+        "split",
+        F.when(bucket < F.lit(int(round(holdout_pct * 100))), "holdout")
+        .otherwise("train"),
+    )

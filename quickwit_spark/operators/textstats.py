@@ -229,3 +229,67 @@ def repetition_stats(
             ).alias("dup_bigram_frac"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus-unigram surprisal per doc — the broadcast-vocabulary
+    surrogate for CCNet's KenLM perplexity filter (Wenzek et al. 2020):
+    docs whose tokens are improbable under the corpus's own unigram
+    distribution (gibberish, boilerplate soup, wrong-language fragments) score
+    high and can be cut at a percentile.
+
+    Returns (id_col, n_tokens, mean_neg_logprob) where mean_neg_logprob =
+    -(1/n) * sum_i ln P(tok_i), with Lidstone smoothing
+    P(t) = (c_t + alpha) / (C + alpha * (V + 1)) over the top
+    ``vocab_size`` corpus terms; out-of-vocabulary tokens take c_t = 0.
+    Empty docs report NULL.
+
+    Scale shape: ONE token-keyed aggregation builds the vocabulary (map-
+    side combine collapses each partition's counts first), the top-V slice
+    is driver-collected (bounded by ``vocab_size``) and BROADCAST back, so
+    the scoring pass is a map-side hash probe per token — the corpus pays
+    no shuffle to be scored, exactly like `decontaminate`'s benchmark
+    broadcast."""
+    toks = tokenize_expr(F.col(text_col))
+    tok_rows = df.select(F.explode(toks).alias("_t"))
+    counts = tok_rows.groupBy("_t").agg(F.count("*").alias("_c"))
+    top = counts.orderBy(F.desc("_c"), F.asc("_t")).limit(vocab_size)
+    # total corpus tokens INCLUDING the tail that fell outside the vocab:
+    # the smoothing denominator must cover the true distribution mass
+    total = tok_rows.count()
+    vocab = F.broadcast(top)
+    denom = float(total) + alpha * (vocab_size + 1)
+    exploded = df.select(
+        F.col(id_col), F.posexplode(toks).alias("_p", "_t")
+    )
+    scored = exploded.join(vocab, "_t", "left").select(
+        id_col,
+        (
+            -(
+                F.log(
+                    (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(alpha))
+                    / F.lit(denom)
+                )
+            )
+        ).alias("_nlp"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.avg("_nlp").alias("mean_neg_logprob"),
+    )
+    # empty docs keep a row (NULL surprisal), mirroring token_count's total
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.col("mean_neg_logprob"),
+        )
+    )

@@ -397,6 +397,54 @@ def test_clean_corpus_extended_stages(spark):
     # would have tokenized differently)
 
 
+def test_unigram_logprob(spark):
+    """Corpus-unigram surprisal: common-token docs score LOW, rare/OOV-token
+    docs score HIGH, exact values match a hand-computed Lidstone model."""
+    import math
+
+    rows = [(i, "common common common") for i in range(20)]
+    rows.append((100, "common rareword"))
+    rows.append((101, ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["mean_neg_logprob"])
+        for r in TS.unigram_logprob(df, vocab_size=1).collect()
+    }
+    # corpus: 62 tokens, vocab = top-1 = {'common': 61}; alpha=0.5, V=1
+    denom = 62 + 0.5 * 2
+    nlp_common = -math.log((61 + 0.5) / denom)
+    nlp_oov = -math.log(0.5 / denom)
+    assert out[0][0] == 3
+    assert out[0][1] == pytest.approx(nlp_common, rel=1e-9)
+    assert out[100][1] == pytest.approx((nlp_common + nlp_oov) / 2, rel=1e-9)
+    assert out[100][1] > out[0][1]
+    assert out[101] == (0, None)
+    assert len(out) == 22
+
+
+def test_hash_split(spark):
+    """Deterministic holdout: pure function of (salt, id); fraction close
+    to requested; independent salts give a different assignment."""
+    from quickwit_spark.operators.pipeline import hash_split
+
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    a = hash_split(df, holdout_pct=1.0)
+    frac = a.filter(F.col("split") == "holdout").count() / 20_000
+    assert 0.005 < frac < 0.015
+    # re-derivable: same call, same assignment
+    b = hash_split(df, holdout_pct=1.0)
+    assert a.exceptAll(b).count() == 0
+    # a different salt draws an independent split
+    c = hash_split(df, holdout_pct=1.0, salt="other")
+    joined = a.select("doc_id", "split").join(
+        c.select("doc_id", F.col("split").alias("s2")), "doc_id"
+    )
+    both = joined.filter(
+        (F.col("split") == "holdout") & (F.col("s2") == "holdout")
+    ).count()
+    assert both < 10  # ~independent 1% x 1%
+
+
 def test_dedup_lines(spark):
     """C4-style line dedup: a repeated non-blank line survives only at its
     first (doc_id, pos) occurrence; blank lines are structural and stay;
