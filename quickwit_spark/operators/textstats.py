@@ -5,16 +5,21 @@ the document-processing ops a 100 TB web-text corpus needs before indexing or
 training: language ID, quality scoring, token counting, fingerprinting.
 
 Design rules:
-- everything is a pure Spark column expression (whole-stage codegen, zero
-  Python in the hot path);
+- declarative Spark plans throughout, zero Python in the hot path: the core
+  stats are pure column expressions (whole-stage codegen); the two ops that
+  need cross-row state use the cheapest scalable shape instead —
+  ``repetition_stats`` a map-side-combined exploded groupBy,
+  ``unigram_logprob`` one vocabulary aggregation + broadcast probe;
 - every op shares the engine's `default` tokenizer (functions/tokenize.py) so
   term universes agree across search, dedup and stats;
-- all arithmetic is expressible 1:1 in ANSI SQL — each op has a DuckDB oracle
-  in __spark_entry__.py and is correctness-gated like the search operators.
+- all arithmetic is expressible 1:1 in ANSI SQL — the expression ops are
+  driver-gated against DuckDB oracles via the ``ts_doc_stats`` gate in
+  __spark_entry__.py (the gate registry is at its 50-query cap, so
+  ``unigram_logprob`` is pinned by a hand-computed pytest model instead).
 
-Scale notes: all ops are embarrassingly parallel per-row projections — no
-shuffle at all; at 10^12 docs they pipeline into the same scan that feeds the
-index build (one pass over the corpus).
+Scale notes: the per-row projections pipeline into the same scan that feeds
+the index build (one pass over the corpus); the aggregating ops shuffle one
+row per distinct (doc, bigram) / vocabulary term, never per occurrence.
 """
 
 from __future__ import annotations
