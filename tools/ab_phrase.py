@@ -74,6 +74,37 @@ def main() -> None:
         "phrase_over_and_min": round(mn["q_phrase"] / mn["q_and"], 2),
         "samples": {n: [round(x, 3) for x in v] for n, v in samples.items()},
     }
+
+    if os.environ.get("QS_PRUNE_AB"):
+        # interleaved pruned-vs-exhaustive arms for the hot phrase — the
+        # drift-proof check that block-max phrase pruning still pays
+        # (results must also be identical; rank identity proper is pinned
+        # by tests/test_phrase_prune.py)
+        import quickwit_spark.operators.search as S
+
+        req = SearchRequest(query='"w0 w1"', max_hits=10)
+        arms: dict[str, list[float]] = {"exhaustive": [], "pruned": []}
+        tops: dict[str, list] = {}
+        for _ in range(rounds):
+            for arm, mc in (("exhaustive", 1 << 60), ("pruned", 4096)):
+                S.LEAF_PHRASE_PRUNE_MIN_CANDS = mc
+                t0 = time.time()
+                rows = search(
+                    reader, req, fetch_fields=("url",)
+                ).collect()
+                arms[arm].append(round(time.time() - t0, 3))
+                tops[arm] = [(r["split_id"], r["docid"]) for r in rows]
+        out["prune_ab"] = {
+            "exhaustive": arms["exhaustive"],
+            "pruned": arms["pruned"],
+            "median_ratio": round(
+                statistics.median(arms["pruned"])
+                / statistics.median(arms["exhaustive"]),
+                3,
+            ),
+            "identical_topk": tops["exhaustive"] == tops["pruned"],
+        }
+
     print(json.dumps(out))
     spark.stop()
 
