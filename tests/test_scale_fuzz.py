@@ -380,3 +380,124 @@ def test_duplicate_clusters_1m_chains(spark):
     bad = labels.filter(F.col("cluster_id") != expected).count()
     assert bad == 0
     assert labels.count() == n
+
+
+def test_merge_at_scale_oracle_parity(big, spark, tmp_path_factory):
+    """Merge executor at 1M-doc geometry: merge 8 of the 64 splits (docid
+    rebase across ~15.6k-doc splits, multi-block positions re-encode) and
+    verify against the INDEPENDENT DuckDB oracle recomputing BM25 under
+    the post-merge split assignment (merging changes per-split stats by
+    design, exactly like a tantivy segment merge, so pre-vs-post score
+    equality is NOT the invariant — oracle parity is). The 600-doc merge
+    tests cannot reach multi-block rebase arithmetic."""
+    import shutil as _sh
+
+    from quickwit_spark.index.manifest import Manifest
+    from quickwit_spark.operators.merge import (
+        MergeOperation,
+        execute_merge,
+        garbage_collect,
+    )
+
+    reader, con = big
+    src_dir = reader.index_dir
+    d = str(tmp_path_factory.mktemp("scale_merge")) + "/idx"
+    _sh.copytree(src_dir, d)
+    p = os.path.join(d, "_FUZZ_BUILT")
+    if os.path.exists(p):
+        os.remove(p)
+    man = Manifest(d)
+    pub = sorted(man.list_published(), key=lambda m: m.split_id)[:8]
+    merged_ids = [m.split_id for m in pub]
+    # actual doc membership of the merged splits, by url (the oracle key)
+    pre = IndexReader(spark, d)
+    urls = [
+        r["url"]
+        for r in pre.docstore()
+        .filter(F.col("split_id").isin(merged_ids))
+        .select("url")
+        .collect()
+    ]
+    meta = execute_merge(spark, d, MergeOperation(splits=pub))
+    assert meta.num_docs == sum(m.num_docs for m in pub) == len(urls)
+    garbage_collect(d, deletion_grace_secs=0.0)
+    merged = IndexReader(spark, d)
+
+    con.execute("DROP TABLE IF EXISTS m8")
+    con.execute("CREATE TABLE m8 (url VARCHAR)")
+    con.executemany("INSERT INTO m8 VALUES (?)", [(u,) for u in urls])
+    con.execute("DROP TABLE IF EXISTS dm")
+    con.execute(
+        """CREATE TABLE dm AS
+        SELECT d.url, warc_ts, lang,
+               CASE WHEN m8.url IS NOT NULL THEN -1 ELSE split_id END
+                 AS split_id,
+               toks, dl
+        FROM d LEFT JOIN m8 ON d.url = m8.url"""
+    )
+    con.execute("DROP TABLE IF EXISTS ssm")
+    con.execute(
+        """CREATE TABLE ssm AS
+        SELECT split_id, count(*) AS n_docs, avg(dl) AS avgdl
+        FROM dm GROUP BY 1"""
+    )
+
+    # rare-term FULL score parity under the merged stats
+    got = sorted(
+        (u, s) for u, _, s in _engine(merged, "needleone", 5000)
+    )
+    exp = sorted(
+        (u, round(s + 1e-9, 4))
+        for u, s in con.execute("""
+SELECT url,
+  ln(1.0 + (ssm.n_docs - df.df + 0.5) / (df.df + 0.5))
+  * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / ssm.avgdl)) AS score
+FROM (
+  SELECT url, split_id, dl,
+         len(list_filter(toks, x -> x = 'needleone')) AS tf
+  FROM dm WHERE list_contains(toks, 'needleone')
+) m
+JOIN (SELECT split_id, count(*) AS df FROM dm
+      WHERE list_contains(toks, 'needleone') GROUP BY 1) df
+  USING (split_id)
+JOIN ssm USING (split_id)
+""").fetchall()
+    )
+    assert len(got) == len(exp) > 500
+    assert got == exp
+
+    # phrase top-k through the merged split's re-encoded positions
+    got_ph = _engine(merged, '"w0 w1"', 100)
+    exp_ph = con.execute("""
+WITH pfq AS (
+  SELECT url, split_id, dl,
+    len(list_filter(range(1, len(toks)),
+        i -> toks[i] = 'w0'
+         AND len(list_filter(range(i + 1, i + 2), j -> toks[j] = 'w1')) > 0
+    )) AS pf
+  FROM dm
+),
+idf AS (
+  SELECT df.split_id,
+         sum(ln(1.0 + (ssm.n_docs - df.df + 0.5) / (df.df + 0.5)))
+           AS idf_sum
+  FROM (
+    SELECT split_id, 'a' AS t, count(*) AS df FROM dm
+    WHERE list_contains(toks, 'w0') GROUP BY 1
+    UNION ALL
+    SELECT split_id, 'b' AS t, count(*) AS df FROM dm
+    WHERE list_contains(toks, 'w1') GROUP BY 1
+  ) df JOIN ssm USING (split_id)
+  GROUP BY 1
+)
+SELECT url,
+  round(idf_sum * (pf * 2.2)
+        / (pf + 1.2 * (0.25 + 0.75 * dl / ssm.avgdl)) + 1e-9, 4) AS score
+FROM pfq JOIN ssm USING (split_id) JOIN idf USING (split_id)
+WHERE pf > 0
+ORDER BY score DESC, url ASC
+""").fetchall()
+    exp_ranked = [(u, round(s, 4)) for u, s in exp_ph][: len(got_ph)]
+    assert _canon_topk(exp_ranked) == _canon_topk(
+        [(u, s) for u, _sid, s in got_ph]
+    )
