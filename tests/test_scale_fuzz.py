@@ -501,3 +501,65 @@ ORDER BY score DESC, url ASC
     assert _canon_topk(exp_ranked) == _canon_topk(
         [(u, s) for u, _sid, s in got_ph]
     )
+
+
+def test_delete_at_scale_oracle_parity(big, spark, tmp_path_factory):
+    """delete_by_query at 1M-doc geometry: delete every 'needleone' doc
+    (~1k docs scattered over all 64 splits — every split pays a docid
+    compaction across many blocks), then verify the survivors against the
+    oracle under the post-delete stats: the deleted docs are gone from a
+    conjunction they used to match, and a hot-term top-k recomputed with
+    needleone-docs excluded matches exactly."""
+    import shutil as _sh
+
+    from quickwit_spark.operators.janitor import delete_by_query
+
+    reader, con = big
+    d = str(tmp_path_factory.mktemp("scale_del")) + "/idx"
+    _sh.copytree(reader.index_dir, d)
+    p = os.path.join(d, "_FUZZ_BUILT")
+    if os.path.exists(p):
+        os.remove(p)
+
+    m = delete_by_query(spark, d, "needleone")
+    assert m.matched_docs > 500
+    after = IndexReader(spark, d)
+    assert not _engine(after, "needleone", 10)
+
+    con.execute("DROP TABLE IF EXISTS dd")
+    con.execute(
+        """CREATE TABLE dd AS
+        SELECT * FROM d WHERE NOT list_contains(toks, 'needleone')"""
+    )
+    con.execute("DROP TABLE IF EXISTS ssd")
+    con.execute(
+        """CREATE TABLE ssd AS
+        SELECT split_id, count(*) AS n_docs, avg(dl) AS avgdl
+        FROM dd GROUP BY 1"""
+    )
+    got = _engine(after, "w3 w7", 200)
+    exp = con.execute("""
+WITH s AS (
+  SELECT url, split_id, dl,
+         len(list_filter(toks, x -> x = 'w3')) AS tf3,
+         len(list_filter(toks, x -> x = 'w7')) AS tf7
+  FROM dd
+  WHERE list_contains(toks, 'w3') AND list_contains(toks, 'w7')
+),
+df3 AS (SELECT split_id, count(*) AS df FROM dd
+        WHERE list_contains(toks, 'w3') GROUP BY 1),
+df7 AS (SELECT split_id, count(*) AS df FROM dd
+        WHERE list_contains(toks, 'w7') GROUP BY 1)
+SELECT url, round(
+    ln(1.0 + (ssd.n_docs - df3.df + 0.5) / (df3.df + 0.5))
+    * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / ssd.avgdl))
+  + ln(1.0 + (ssd.n_docs - df7.df + 0.5) / (df7.df + 0.5))
+    * (tf7 * 2.2) / (tf7 + 1.2 * (0.25 + 0.75 * dl / ssd.avgdl))
+  + 1e-9, 4) AS score
+FROM s JOIN df3 USING (split_id) JOIN df7 USING (split_id)
+JOIN ssd USING (split_id)
+ORDER BY score DESC, split_id ASC, url ASC LIMIT 200
+""").fetchall()
+    assert _canon_topk([(u, round(s, 4)) for u, s in exp]) == _canon_topk(
+        [(u, s) for u, _sid, s in got]
+    )
