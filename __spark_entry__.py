@@ -699,7 +699,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             TS.quality_expr(F.col("_toks")).alias("quality"),
             F.md5(F.concat_ws(" ", "_toks")).alias("fingerprint"),
         )
-        return base.join(TS.repetition_stats(docs), "doc_id")
+        # reuse the tokenized frame — repetition rides the SAME tokenize
+        # pass as the other stats, no second regex scan of the corpus
+        rep = TS.repetition_stats(df, toks_col="_toks")
+        return base.join(rep, "doc_id")
 
     q["ts_doc_stats"] = ts_doc_stats
     q["dedup_exact"] = lambda s, d: DD.exact_dedup(docs_df(s, d))

@@ -69,16 +69,24 @@ def clean_corpus(
     extensions default OFF; the 4-stage core is the oracle-gated shape.
     """
     if url_col is not None:
+        # docs WITHOUT a url are not url-duplicates of each other — they
+        # bypass this stage entirely (grouping NULLs would collapse every
+        # url-less doc into one survivor)
         u_min = (
-            df.select(
+            df.filter(F.col(url_col).isNotNull())
+            .select(
                 F.col(id_col),
                 normalize_url_expr(F.col(url_col)).alias("_cu"),
             )
             .groupBy("_cu")
             .agg(F.min(id_col).alias("_ukeep"))
         )
-        df = df.join(
-            u_min.select(F.col("_ukeep").alias(id_col)), id_col, "left_semi"
+        df = df.filter(F.col(url_col).isNull()).unionByName(
+            df.join(
+                u_min.select(F.col("_ukeep").alias(id_col)),
+                id_col,
+                "left_semi",
+            )
         )
     if pii_scrub:
         df = scrub_pii(df, text_col=text_col)
@@ -193,11 +201,19 @@ _PII_RULES = (
         r"(?:\.(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})){3}(?![0-9.])",
         "[IP]",
     ),
-    # +country / (area) phone shapes with >= 7 digits total
+    # +country / (area) phone shapes. The mandatory core is 3+4 digits
+    # (the NANP local-number shape) so a bare 3+3 pair — European
+    # thousands separators ("500 000"), page ranges, score pairs — can
+    # never be redacted; 3+3 digit runs only match with a country or
+    # area-code prefix making them >= 8 digits total.
     (
-        r"(?<![0-9A-Za-z])(?:\+?[0-9]{1,3}[ \-.])?"
-        r"(?:\([0-9]{2,4}\)[ \-.]?)?[0-9]{3}[ \-.][0-9]{3,4}"
-        r"(?:[ \-.][0-9]{2,4})?(?![0-9])",
+        r"(?<![0-9A-Za-z])(?:"
+        r"(?:\+?[0-9]{1,3}[ \-.])?(?:\([0-9]{2,4}\)[ \-.]?)?"
+        r"[0-9]{3}[ \-.][0-9]{4}"
+        r"|"
+        r"(?:\+?[0-9]{1,3}[ \-.])?\([0-9]{2,4}\)[ \-.]?"
+        r"[0-9]{3}[ \-.][0-9]{3}"
+        r")(?:[ \-.][0-9]{2,4})?(?![0-9])",
         "[PHONE]",
     ),
 )
@@ -302,18 +318,26 @@ def dedup_lines(
             & (F.col("keeper")["pos"] == F.col("pos"))
         )
     )
-    return (
-        kept.groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
-                    ),
-                    lambda s: s["line"],
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
                 ),
-            ).alias(text_col)
+                lambda s: s["line"],
+            ),
+        ).alias(text_col)
+    )
+    # a doc whose EVERY line was a removed duplicate has no kept rows —
+    # it must still come back (with empty text), not vanish from the
+    # corpus: left-join against the input id set
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
         )
     )
 
@@ -331,11 +355,21 @@ def hash_split(
     and the holdout can be re-derived from ids alone.
 
     Adds ``split`` ('train' | 'holdout'): holdout iff
-    pmod(xxhash64(salt, id), 10_000) < holdout_pct * 100. Pure projection,
-    zero shuffle; change ``salt`` to draw an independent split."""
-    bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(10_000))
+    pmod(xxhash64(salt, id), 1_000_000) < holdout_pct * 10_000 — bucket
+    resolution 0.0001%, and a positive request that would still round to
+    zero buckets raises instead of silently yielding no holdout. Pure
+    projection, zero shuffle; change ``salt`` to draw an independent
+    split."""
+    threshold = int(round(holdout_pct * 10_000))
+    if holdout_pct > 0 and threshold == 0:
+        raise ValueError(
+            f"holdout_pct={holdout_pct} is below the 0.00005 bucket "
+            "resolution — it would select zero documents"
+        )
+    bucket = F.pmod(
+        F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(1_000_000)
+    )
     return df.withColumn(
         "split",
-        F.when(bucket < F.lit(int(round(holdout_pct * 100))), "holdout")
-        .otherwise("train"),
+        F.when(bucket < F.lit(threshold), "holdout").otherwise("train"),
     )

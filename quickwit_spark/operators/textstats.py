@@ -164,7 +164,10 @@ def dup_line_frac_expr(text: Column) -> Column:
 
 
 def repetition_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Gopher-style intra-document repetition signals per doc:
 
@@ -181,8 +184,14 @@ def repetition_stats(
     counts each doc's bigrams locally (a doc's exploded rows stay in its
     input partition), so the shuffle carries one row per DISTINCT
     (doc, bigram), not per occurrence, then collapses per doc. Docs with
-    fewer than two tokens report 0.0 for both bigram fractions."""
-    toks = tokenize_expr(F.col(text_col))
+    fewer than two tokens report 0.0 for both bigram fractions.
+
+    ``toks_col`` names an already-tokenized array column to reuse (a
+    caller that tokenized for other stats avoids a second regex pass
+    over the corpus); default is to tokenize ``text_col`` here."""
+    toks = (
+        F.col(toks_col) if toks_col else tokenize_expr(F.col(text_col))
+    )
     base = df.select(
         F.col(id_col),
         dup_line_frac_expr(F.col(text_col)).alias("dup_line_frac"),
@@ -261,14 +270,27 @@ def unigram_logprob(
     the scoring pass is a map-side hash probe per token — the corpus pays
     no shuffle to be scored, exactly like `decontaminate`'s benchmark
     broadcast."""
+    from quickwit_spark.session import local_rows_df
+
     toks = tokenize_expr(F.col(text_col))
     tok_rows = df.select(F.explode(toks).alias("_t"))
-    counts = tok_rows.groupBy("_t").agg(F.count("*").alias("_c"))
-    top = counts.orderBy(F.desc("_c"), F.asc("_t")).limit(vocab_size)
-    # total corpus tokens INCLUDING the tail that fell outside the vocab:
-    # the smoothing denominator must cover the true distribution mass
-    total = tok_rows.count()
-    vocab = F.broadcast(top)
+    counts = tok_rows.groupBy("_t").agg(F.count("*").alias("_c")).persist()
+    try:
+        # total corpus tokens INCLUDING the tail outside the vocab (the
+        # smoothing denominator covers the true distribution mass) —
+        # derived from the counts aggregate, NOT a second corpus scan
+        total = counts.agg(F.sum("_c")).collect()[0][0] or 0
+        top_rows = [
+            (r["_t"], r["_c"])
+            for r in counts.orderBy(F.desc("_c"), F.asc("_t"))
+            .limit(vocab_size)
+            .collect()
+        ]
+    finally:
+        counts.unpersist()
+    vocab = F.broadcast(
+        local_rows_df(df.sparkSession, top_rows, "_t string, _c long")
+    )
     denom = float(total) + alpha * (vocab_size + 1)
     exploded = df.select(
         F.col(id_col), F.posexplode(toks).alias("_p", "_t")

@@ -17,8 +17,6 @@ score is strictly below theta, so tie-break by docid can never be robbed).
 
 from __future__ import annotations
 
-import shutil
-
 import numpy as np
 import pytest
 from pyspark.sql import functions as F

@@ -466,6 +466,68 @@ def test_dedup_lines(spark):
     assert len(out) == 4
 
 
+def test_scrub_pii_keeps_number_pairs(spark):
+    """3+3-digit pairs (European thousands separators, page ranges) are
+    NOT phones; prefixed/area-code forms still redact."""
+    from quickwit_spark.operators.pipeline import scrub_pii
+
+    rows = [
+        (0, "sold 500 000 units on pages 100 200 of the book"),
+        (1, "call +49 (030) 123 456 now"),  # 3+3 WITH area code -> phone
+        (2, "score was 123-4567 final"),    # bare 3+4 is phone-shaped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in scrub_pii(df).collect()}
+    assert out[0] == rows[0][1]
+    assert "[PHONE]" in out[1] and "456" not in out[1]
+    assert "[PHONE]" in out[2]
+
+
+def test_dedup_lines_all_duplicate_doc_survives(spark):
+    """A doc whose every line was deduplicated away comes back with empty
+    text — it must not vanish from the corpus."""
+    from quickwit_spark.operators.pipeline import dedup_lines
+
+    rows = [(0, "shared line"), (1, "shared line"), (2, "shared line")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(df).collect()}
+    assert out == {0: "shared line", 1: "", 2: ""}
+
+
+def test_clean_corpus_null_urls_bypass_url_dedup(spark):
+    """Docs without a URL are not url-duplicates of each other."""
+    from quickwit_spark.operators.pipeline import clean_corpus
+
+    good = "the quick brown fox jumps over the lazy dog and runs to the barn"
+    rows = [
+        (0, None, good + " zero"),
+        (1, None, good + " one"),
+        (2, "http://x.com/a", good + " two"),
+        (3, "http://x.com/a#f", good + " three"),  # url-dup of 2 -> out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = clean_corpus(
+        df, langs=("en",), min_quality=0.3, jaccard_threshold=0.99,
+        url_col="url",
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 1, 2]
+
+
+def test_hash_split_fine_grained_and_guard(spark):
+    from quickwit_spark.operators.pipeline import hash_split
+
+    df = spark.range(200_000).withColumnRenamed("id", "doc_id")
+    frac = (
+        hash_split(df, holdout_pct=0.01)
+        .filter(F.col("split") == "holdout")
+        .count()
+        / 200_000
+    )
+    assert 0.00002 < frac < 0.0003  # ~0.01% with binomial slack
+    with pytest.raises(ValueError):
+        hash_split(df, holdout_pct=0.000001)
+
+
 def test_clean_corpus_pipeline(spark):
     """clean_corpus end-to-end semantics on a hand-built corpus: lang gate,
     quality gate, exact keep-first, greedy near-dup drop."""
