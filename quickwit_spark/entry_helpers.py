@@ -122,6 +122,10 @@ def gate_index_merged(spark: SparkSession, sf_dir: str) -> IndexReader:
     plain whole-corpus BM25 SQL (``ORACLE_PRELUDE_MERGED``). Mirrors the
     reference merge pipeline semantics (merge_executor.rs: docid rebase,
     postings re-encode, atomic replace-publish)."""
+    # Pin the session timezone BEFORE the build so split time-range
+    # metadata is host-timezone-independent — every other gate index gets
+    # this pin via _fts_topk, but this one builds first (ADVICE r4).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     from quickwit_spark.index.manifest import Manifest
     from quickwit_spark.operators.merge import (
         MergeOperation,

@@ -195,10 +195,13 @@ def decontaminate(
 _PII_RULES = (
     # local@domain.tld (letters/digits/._%+- local part)
     (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
-    # dotted-quad IPv4 with word boundaries
+    # dotted-quad IPv4 with word boundaries. The trailing guard rejects
+    # only a CONTINUING dotted run (".<digit>" or a bare digit) so an IP
+    # at the end of a sentence — "connect to 10.0.0.1." — still redacts;
+    # a naive (?![0-9.]) would let sentence-final IPs survive (ADVICE r4).
     (
         r"(?<![0-9.])(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})"
-        r"(?:\.(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})){3}(?![0-9.])",
+        r"(?:\.(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})){3}(?!\.?[0-9])",
         "[IP]",
     ),
     # +country / (area) phone shapes. The mandatory core is 3+4 digits
@@ -206,8 +209,17 @@ _PII_RULES = (
     # thousands separators ("500 000"), page ranges, score pairs — can
     # never be redacted; 3+3 digit runs only match with a country or
     # area-code prefix making them >= 8 digits total.
+    # The first alternative anchors on an explicit "+country" prefix and
+    # then accepts a BARE area code before the 3+3/4 core, so the whole of
+    # "+1 555-123-4567" redacts — without it the engine matched only the
+    # "555-123-4567" tail and left the recoverable "+1 " prefix in the
+    # scrubbed text (ADVICE r4). Bare-area without "+" stays restricted to
+    # the paren form to avoid eating date/score digit runs.
     (
         r"(?<![0-9A-Za-z])(?:"
+        r"\+[0-9]{1,3}[ \-.](?:\([0-9]{2,4}\)|[0-9]{2,4})[ \-.]?"
+        r"[0-9]{3}[ \-.][0-9]{3,4}"
+        r"|"
         r"(?:\+?[0-9]{1,3}[ \-.])?(?:\([0-9]{2,4}\)[ \-.]?)?"
         r"[0-9]{3}[ \-.][0-9]{4}"
         r"|"

@@ -483,6 +483,27 @@ def test_scrub_pii_keeps_number_pairs(spark):
     assert "[PHONE]" in out[2]
 
 
+def test_scrub_pii_sentence_final_and_full_intl(spark):
+    """ADVICE r4 regressions: an IPv4 at the end of a sentence must still
+    redact, and a +country-prefixed number must redact IN FULL — no
+    recoverable '+1 555-' prefix left behind."""
+    from quickwit_spark.operators.pipeline import scrub_pii
+
+    rows = [
+        (0, "connect to 10.0.0.1."),                 # sentence-final IP
+        (1, "call +1 555-123-4567 today"),           # full intl number
+        (2, "gateway is 192.168.0.254, then retry"),  # comma after IP
+        (3, "build 1.2.3.4.5 unchanged"),            # 5 octets: not an IP
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in scrub_pii(df).collect()}
+    assert out[0] == "connect to [IP]."
+    assert out[1] == "call [PHONE] today"
+    assert "555" not in out[1] and "+1" not in out[1]
+    assert out[2] == "gateway is [IP], then retry"
+    assert out[3] == rows[3][1]
+
+
 def test_dedup_lines_all_duplicate_doc_survives(spark):
     """A doc whose every line was deduplicated away comes back with empty
     text — it must not vanish from the corpus."""
