@@ -32,6 +32,29 @@ N_GATE_SPLITS = 4
 # meta (struct) fast-field columns for the typed-field gates
 _CACHE_ROOT = os.environ.get("QS_INDEX_CACHE", "/tmp/quickwit_spark_gate_index_v4")
 
+# QS_GATE_STORAGE=fakeos runs the ENTIRE gate battery with every gate index
+# on the dir-backed fake object store (index/storage.py): split artifacts
+# land as single PUTs, the manifest log claims versions by conditional PUT,
+# GC deletes by LIST+DELETE — no POSIX rename in the engine's write path.
+# The cache root is suffixed so object-store and local gate indexes never
+# alias each other.
+_GATE_STORAGE = (
+    "dir_object_store"
+    if os.environ.get("QS_GATE_STORAGE", "").lower()
+    in ("fakeos", "dir_object_store")
+    else "local"
+)
+if _GATE_STORAGE != "local":
+    _CACHE_ROOT = _CACHE_ROOT + "_fakeos"
+
+
+def _init_gate_storage(index_dir: str) -> None:
+    """Apply the env-selected storage backend to a fresh gate index dir."""
+    if _GATE_STORAGE != "local":
+        from quickwit_spark.index.storage import init_storage
+
+        init_storage(index_dir, _GATE_STORAGE)
+
 
 def docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -56,6 +79,7 @@ def gate_index(
     marker = os.path.join(index_dir, "_BUILT")
     if not os.path.exists(marker):
         shutil.rmtree(index_dir, ignore_errors=True)
+        _init_gate_storage(index_dir)
         docs = (
             docs_df(spark, sf_dir)
             .withColumn("gate_part", (F.col("doc_id") % N_GATE_SPLITS).cast("int"))
@@ -138,6 +162,7 @@ def gate_index_merged(spark: SparkSession, sf_dir: str) -> IndexReader:
     marker = os.path.join(index_dir, "_BUILT")
     if not os.path.exists(marker):
         shutil.rmtree(index_dir, ignore_errors=True)
+        _init_gate_storage(index_dir)
         docs = (
             docs_df(spark, sf_dir)
             .withColumn(
@@ -189,6 +214,7 @@ def gate_index_evolved(spark: SparkSession, sf_dir: str) -> IndexReader:
     marker = os.path.join(index_dir, "_BUILT")
     if not os.path.exists(marker):
         shutil.rmtree(index_dir, ignore_errors=True)
+        _init_gate_storage(index_dir)
         docs = (
             docs_df(spark, sf_dir)
             .withColumn("gate_part", (F.col("doc_id") % N_GATE_SPLITS).cast("int"))

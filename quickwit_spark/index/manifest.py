@@ -108,12 +108,19 @@ class Manifest:
     two-writer race because replay is last-writer-wins on identical rows."""
 
     def __init__(self, index_dir: str, store=None):
-        """``store`` overrides the transaction log's claim backend (POSIX
-        hard-link by default; pass an ObjectStoreLogStore for S3-style
-        conditional-PUT commit atomicity on object storage)."""
+        """``store`` overrides the transaction log's claim backend. When
+        omitted it is resolved from the index root's storage marker
+        (index/storage.py): POSIX hard-link claims by default, S3-style
+        conditional-PUT claims for object-store indexes — so every opener
+        (build, searcher, merge, janitor, CLI) lands on the same commit
+        protocol without threading a handle through each call site."""
         self.index_dir = index_dir
         self.dir = os.path.join(index_dir, "manifest")
         os.makedirs(self.dir, exist_ok=True)
+        if store is None:
+            from quickwit_spark.index.storage import get_storage
+
+            store = get_storage(index_dir).log_store("manifest/_txn")
         self.log = TransactionLog(os.path.join(self.dir, "_txn"), store=store)
         # MVCC pin: when set, READ methods (get / list_* / load_index_config
         # / config_generations) replay the log only up to this version, so a

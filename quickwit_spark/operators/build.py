@@ -72,6 +72,7 @@ from quickwit_spark.functions.tokenize import (
 )
 from quickwit_spark.index.codec import _pack_blocks_flat
 from quickwit_spark.index.manifest import Manifest, SplitMetadata
+from quickwit_spark.index.storage import get_storage
 from quickwit_spark.session import local_rows_df
 
 BLOCK_STRUCT = T.StructType(
@@ -812,37 +813,11 @@ _PA_STATS_SCHEMA = pa.schema(
 )
 
 
-def _write_split_file(tbl: "pa.Table", dir_: str) -> None:
-    """Write one immutable split artifact atomically: tmp file + os.replace,
-    then remove stale siblings from a previous build of the same split id
-    (legacy Spark task files, or an old one-pass file). Task retries are
-    idempotent — the input partition is deterministic, so every attempt
-    writes byte-equivalent content and last-writer-wins is safe. Visibility
-    is governed by the manifest's stage->publish protocol, not by these
-    files (the searcher only opens splits the manifest lists)."""
-    import uuid as _uuid
-
-    import pyarrow.parquet as pq
-
-    os.makedirs(dir_, exist_ok=True)
-    # zstd to match the session's spark.sql.parquet.compression.codec: ~30%
-    # slower to encode than snappy (~5 ms/split file) but 34% smaller — at
-    # scale the postings/docstore scan and storage win dominates
-    final = os.path.join(dir_, "part-00000.zstd.parquet")
-    tmp = final + f".inprogress-{_uuid.uuid4().hex}"
-    pq.write_table(tbl, tmp, compression="zstd")
-    for nm in os.listdir(dir_):
-        p = os.path.join(dir_, nm)
-        if p != tmp and p != final:
-            try:
-                os.unlink(p)
-            except OSError:
-                pass
-    os.replace(tmp, final)
-
-
 def _make_split_writer_kernel(
-    cfg: "IndexConfig", index_dir: str, passthrough: tuple[str, ...]
+    cfg: "IndexConfig",
+    index_dir: str,
+    passthrough: tuple[str, ...],
+    storage=None,
 ):
     """mapInArrow: routed+sorted docs -> ONE stats row per split, writing the
     split's docstore and postings parquet files from inside the task.
@@ -857,9 +832,20 @@ def _make_split_writer_kernel(
     clustered by partition_id and sorted by url (the build's
     perfect-placement repartition + sortWithinPartitions), and docids are
     assigned densely in arrival order — identical to the legacy docid
-    window's row_number ordered by doc_key."""
+    window's row_number ordered by doc_key.
+
+    ``storage`` is the artifact-write seam (index/storage.py): the POSIX
+    backend writes tmp+replace exactly as before; the object-store backend
+    serializes the artifact and uploads it as one PUT (uploader.rs:322
+    analog) — no rename in the engine's write path. The handle is captured
+    by the closure and pickled to executors (both backends are plain
+    picklable state)."""
     import json as _json
 
+    from quickwit_spark.index.storage import LocalStorage
+
+    if storage is None:
+        storage = LocalStorage(index_dir)
     with_positions = cfg.record == "position"
     tokenizer = cfg.tokenizer
     extra_fields = tuple(cfg.extra_text_fields)
@@ -925,9 +911,9 @@ def _make_split_writer_kernel(
         for c in passthrough:
             ds_cols.append(tbl.column(c).combine_chunks())
             ds_names.append(c)
-        _write_split_file(
+        storage.write_parquet(
+            f"docstore/split_id={sid}",
             pa.Table.from_arrays(ds_cols, names=ds_names),
-            os.path.join(index_dir, "docstore", f"split_id={sid}"),
         )
 
         # --- postings (same encoder as the two-job path)
@@ -966,9 +952,7 @@ def _make_split_writer_kernel(
         # term-sorted file = the hotcache/row-group-pruning analog the
         # legacy sortWithinPartitions("term") provided
         post = post.sort_by("term").drop_columns(["partition_id"])
-        _write_split_file(
-            post, os.path.join(index_dir, "postings", f"split_id={sid}")
-        )
+        storage.write_parquet(f"postings/split_id={sid}", post)
 
         # --- per-numeric-field min/max over non-null values (the Iceberg
         # column-stats analog; consumed by range-query split pruning).
@@ -1308,6 +1292,10 @@ def build_index(
         if "_source" not in cfg.store_fields:
             cfg = replace(cfg, store_fields=cfg.store_fields + ("_source",))
     t0 = time.time()
+    # artifact-write seam: resolved ONCE on the driver from the index
+    # root's persisted marker (local POSIX by default; dir_object_store for
+    # indexes created via init_storage) and shipped to the kernel tasks
+    storage = get_storage(index_dir)
     manifest = Manifest(index_dir)
     new_icfg = {
         "index_id": cfg.index_id,
@@ -1471,7 +1459,9 @@ def build_index(
         )
         stats_rows = (
             routed.mapInArrow(
-                _make_split_writer_kernel(cfg, index_dir, passthrough),
+                _make_split_writer_kernel(
+                    cfg, index_dir, passthrough, storage=storage
+                ),
                 ONE_PASS_STATS_SCHEMA,
             )
             .collect()

@@ -408,11 +408,12 @@ def garbage_collect(
 
     Pass ``deletion_grace_secs=0`` for immediate reclaim (tests, `index
     clear`). Returns the split ids whose files were deleted."""
-    import os
-    import shutil
     import time as _time
 
+    from quickwit_spark.index.storage import get_storage
+
     t_now = _time.time() if now is None else now
+    storage = get_storage(index_dir)
     manifest = Manifest(index_dir)
     stale_staged = [
         m.split_id
@@ -431,10 +432,9 @@ def garbage_collect(
         if m.update_timestamp > t_now - deletion_grace_secs:
             continue  # inside the grace window: in-flight readers may hold it
         for sub in ("docstore", "postings"):
-            shutil.rmtree(
-                os.path.join(index_dir, sub, f"split_id={m.split_id}"),
-                ignore_errors=True,
-            )
+            # prefix delete through the storage seam: rmtree on POSIX,
+            # LIST+DELETE on object stores (garbage_collection.rs analog)
+            storage.delete_prefix(f"{sub}/split_id={m.split_id}")
         manifest.remove_split(m.split_id)
         removed.append(m.split_id)
     return removed
