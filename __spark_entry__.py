@@ -786,14 +786,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_image_decode_stat"] = mm_image_stat
 
-    def sim_lsh_topk(s: SparkSession, d: str) -> DataFrame:
-        # approximate path — gated rows-only (no oracle entry); registered
-        # LAST so the weaker check never displaces an oracle-backed gate
+    def sim_lsh_recall(s: SparkSession, d: str) -> DataFrame:
+        # recall-on-true-neighbors gate for the approximate ANN path (r4
+        # VERDICT item 2, replacing the rows-only sim_lsh_topk): the TRUE
+        # near-neighbor pairs are the fixture's planted near-dups (exactly
+        # reproducible by all-pairs cosine SQL); the multi-table LSH top-10
+        # must contain the planted neighbor for every query — any recall
+        # regression flips a `found` to false and hash-mismatches.
         emb = _emb(s, d)
-        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-        return SIM.lsh_topk(emb, qv, k=10, multiprobe=2)
+        pairs = [
+            (r["id_a"], r["id_b"])
+            for r in DD.embedding_near_dup_pairs(emb, threshold=0.46)
+            .select("id_a", "id_b")
+            .collect()
+        ]
+        both = sorted(pairs + [(b, a) for a, b in pairs])
+        return SIM.lsh_planted_recall(
+            emb, both, k=10, n_tables=16, n_planes=8, multiprobe=1
+        )
 
-    q["sim_lsh_topk"] = sim_lsh_topk
+    q["sim_lsh_recall"] = sim_lsh_recall
 
     # merge executor + GC gate (SURVEY §2 rows 21/51): 4-split build
     # merged to ONE split (docid rebase, postings re-encode, atomic
@@ -1258,6 +1270,23 @@ FROM e, q ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
     o["sim_topk"] = sim_topk_sql
     o["sim_ivf_topk"] = sim_topk_sql  # nprobe==n_cells => exact
+    # recall gate: the oracle reproduces the TRUE near-neighbor pair list
+    # (planted near-dups via exact all-pairs cosine, both directions) and
+    # asserts the LSH side reported found=true for every one of them
+    o["sim_lsh_recall"] = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.46
+)
+SELECT id_a AS query_id, id_b AS neighbor_id, TRUE AS found FROM p
+UNION ALL
+SELECT id_b AS query_id, id_a AS neighbor_id, TRUE AS found FROM p
+"""
     o["mm_features"] = """
 SELECT doc_id AS media_id,
   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

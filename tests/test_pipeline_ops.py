@@ -194,6 +194,87 @@ def test_ivf_topk(vecs):
     ]
 
 
+def test_ivf_assign_plan_flat_at_1024_cells(vecs):
+    """r4 VERDICT item 3: the nearest-centroid assignment must not grow the
+    plan with n_cells (the old chained-`when` form would emit a 1024-deep
+    conditional that Catalyst codegen cannot survive at real cell counts).
+    n_cells is capped by the corpus here (22 seed vectors), so build the
+    plan with an oversized request and inspect its shape."""
+    assigned, centroids = S.ivf_assign(vecs, n_cells=1024)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    # one vectorized python stage, zero per-centroid CASE WHEN branches
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+    assert "CASE WHEN" not in plan
+    # and it still assigns every vector to a real cell
+    cells = {r["cell"] for r in assigned.select("cell").collect()}
+    assert cells <= set(range(len(centroids)))
+
+
+def test_ivf_assign_nearest_semantics(vecs):
+    """Each vector's assigned centroid is its true cosine argmax (ties to
+    the lowest cell id) — checked against numpy."""
+    assigned, centroids = S.ivf_assign(vecs, n_cells=4)
+    C = np.array([c for _, c in centroids], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    for r in assigned.collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        cos = (v / np.linalg.norm(v)) @ Cn.T
+        assert r["cell"] == int(np.argmax(cos))
+
+
+def test_lsh_multi_table_finds_planted_neighbor(vecs):
+    """The multi-table path recovers the planted near pair (100, 101) in
+    both directions, and reports it through lsh_planted_recall."""
+    rep = S.lsh_planted_recall(
+        vecs, [(100, 101), (101, 100)], k=5, n_tables=8, n_planes=6,
+        multiprobe=1,
+    )
+    rows = {(r["query_id"], r["neighbor_id"]): r["found"] for r in rep.collect()}
+    assert rows == {(100, 101): True, (101, 100): True}
+
+
+def test_lsh_nn_batch_exact_when_probes_cover_all(vecs):
+    """With multiprobe raised so every bucket is probed, the batched ANN
+    result equals brute force per query — the machinery itself is exact."""
+    qs = [(100, [1.0, 0.0, 0.0, 0.0]), (5, [0.0, 1.0, 0.0, 0.0])]
+    got = S.lsh_nn_batch(
+        vecs, qs, k=4, n_tables=1, n_planes=2, multiprobe=2
+    ).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for qid, qv in qs:
+        exact = [
+            (r["vec_id"], r["cosine"])
+            for r in S.brute_force_topk(vecs, qv, k=4).collect()
+        ]
+        assert by_q[qid] == exact, f"query {qid}"
+
+
+def test_lsh_table_signatures_deterministic(vecs):
+    """Signatures are pure functions of (vector, seed): stable across runs
+    and consistent with the driver-side probe computation."""
+    a = {
+        r["vec_id"]: r["sigs"]
+        for r in S.lsh_table_signatures(
+            vecs, n_tables=4, n_planes=6, dim=4
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: r["sigs"]
+        for r in S.lsh_table_signatures(
+            vecs, n_tables=4, n_planes=6, dim=4
+        ).collect()
+    }
+    assert a == b
+    # the query-side signature (probe center) matches the corpus-side one
+    row = next(r for r in vecs.collect() if r["vec_id"] == 100)
+    probes = S._query_probes(
+        [float(x) for x in row["embedding"]], 4, 6, 7, 0
+    )
+    assert [p[0] for p in probes] == list(a[100])
+
+
 # --- multimodal ------------------------------------------------------------
 
 def test_media_pipeline(docs):
