@@ -376,6 +376,14 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_export_delta(args) -> int:
+    from quickwit_spark.index.delta_export import export_delta_log
+
+    spark = _spark(args)
+    _emit(export_delta_log(spark, args.index_dir))
+    return 0
+
+
 def cmd_gc(args) -> int:
     from quickwit_spark.operators.merge import garbage_collect
 
@@ -683,6 +691,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("merge", help="run the merge policy once")
     common(sp)
     sp.set_defaults(fn=cmd_merge)
+
+    sp = sub.add_parser(
+        "export-delta",
+        help="materialize the docstore as a Delta-protocol table "
+        "(_delta_log over the published splits; re-run after merges/"
+        "deletes to append the diff commit)",
+    )
+    common(sp)
+    sp.set_defaults(fn=cmd_export_delta)
 
     sp = sub.add_parser("gc", help="remove dead split files")
     common(sp)

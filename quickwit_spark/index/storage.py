@@ -85,9 +85,30 @@ class LocalStorage:
             os.fsync(f.fileno())
         os.replace(tmp, path)
 
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        """Atomic create-iff-absent (hard-link claim): True when this
+        writer won, False when the key already existed."""
+        path = os.path.join(self.root, key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".inprogress-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
     def get_bytes(self, key: str) -> bytes:
         with open(os.path.join(self.root, key), "rb") as f:
             return f.read()
+
+    def size(self, key: str) -> int:
+        return os.path.getsize(os.path.join(self.root, key))
 
     def exists(self, key: str) -> bool:
         return os.path.exists(os.path.join(self.root, key))
@@ -163,11 +184,24 @@ class ObjectStorage:
     def put_bytes(self, key: str, data: bytes) -> None:
         self.client.put_object(key, data, if_none_match=False)
 
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        """S3 conditional PUT (If-None-Match: *): one writer wins."""
+        try:
+            self.client.put_object(key, data, if_none_match=True)
+            return True
+        except ObjectStoreLogStore.PreconditionFailed:
+            return False
+
     def get_bytes(self, key: str) -> bytes:
         try:
             return self.client.get_object(key)
         except KeyError:
             raise FileNotFoundError(key) from None
+
+    def size(self, key: str) -> int:
+        # the boto3 contract would HEAD here; the minimal client contract
+        # has no head_object, so a GET stands in (fine for sidecar sizes)
+        return len(self.get_bytes(key))
 
     def exists(self, key: str) -> bool:
         try:

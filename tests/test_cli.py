@@ -354,3 +354,11 @@ def test_cli_search_envelope(spark, small_index, run):
     assert body["num_hits"] > 3 and len(body["hits"]) == 3
     assert all("w30" in h["_snippets"]["text"] for h in body["hits"])
     assert body["errors"] == [] and "elapsed_time_micros" in body
+
+
+def test_cli_export_delta(spark, small_index, run):
+    out = run("export-delta", "--index-dir", small_index.index_dir)
+    assert out[0]["version"] == 0 and out[0]["added"] == 3
+    # idempotent second run appends nothing
+    out2 = run("export-delta", "--index-dir", small_index.index_dir)
+    assert out2[0]["version"] == -1 and out2[0]["added"] == 0
