@@ -4192,8 +4192,18 @@ def search(
     fetch_mode: str | None = None,
     leaf_topk: bool | None = None,
     with_count: bool = False,
+    lazy: bool = False,
 ) -> DataFrame:
     """Full search: prune -> match/score -> global top-k -> fetch.
+
+    **Eager by default**: the auto fetch mode materializes the winner rows
+    with a driver collect while CONSTRUCTING the result (the reference
+    root's collect-then-fetch, measured faster at every scale) — so the
+    returned DataFrame is a snapshot, and the scoring job runs even if the
+    caller never consumes it. Pass ``lazy=True`` (sugar for
+    ``fetch_mode="dpp"``) to get a fully-deferred plan instead: nothing
+    executes until an action, at the cost of planning the scored+top-k
+    subtree twice when it does (see ``fetch_mode`` below).
 
     ``with_count=True`` returns ``(DataFrame, num_hits | None)``: when the
     leaf-local plan applies, the kernel's per-split match counts ride the
@@ -4219,6 +4229,13 @@ def search(
     transformations — but plans the scored+top-k subtree twice, so a
     common-term query pays the scoring plan twice over.
     """
+    if lazy:
+        if fetch_mode not in (None, "dpp"):
+            raise ValueError(
+                "lazy=True means fetch_mode='dpp'; don't combine it with "
+                f"fetch_mode={fetch_mode!r}"
+            )
+        fetch_mode = "dpp"
     ast = parse_query(request.query)
     reader.release_scratch()  # previous query's WAND block-metadata cache
     # fast-field sort discards BM25 entirely — take the scoring opt-out
