@@ -1,0 +1,310 @@
+"""OTLP trace ingestion: ExportTraceServiceRequest JSON -> span docs -> index.
+
+The reference ships a gRPC OTLP traces service that flattens every OTLP span
+into a strict doc mapping and indexes it under ``otel-trace-v0``
+(quickwit-opentelemetry/src/otlp/trace.rs: OTEL_TRACE_INDEX_CONFIG at :44-141,
+the parse loop at :505-600), which the Jaeger query surface then reads back
+through the search service (quickwit-jaeger/src/lib.rs:74-91 SpanReader).
+This module is that doc-mapping recipe on Spark: the transport (gRPC) is out
+of scope — a Spark library ingests the SAME payloads from wherever they land
+(Kafka topic, object-store drop, ingest queue) as a DataFrame of OTLP JSON
+bodies — but the field mapping, derived fields and index layout mirror the
+reference so Jaeger-style queries (service+operation+time window ->
+find_trace_ids) run unchanged:
+
+- ``trace_id`` / ``span_id`` / ``parent_span_id``: base64 strings exactly as
+  proto-JSON renders the bytes fields (B64TraceId / B64SpanId analog);
+- ``service_name``: the resource attribute ``service.name``, defaulting to
+  ``unknown`` (trace.rs:512-520), and doubling as the tag + partition
+  routing field (``partition_key: hash_mod(service_name, ...)``);
+- ``span_name`` defaulting to ``unknown`` (trace.rs:529-533);
+- ``span_fingerprint`` = service_name NUL span_kind NUL span_name
+  (SpanFingerprint::new, trace.rs:296-309);
+- start/end nanos (u64-as-string in proto JSON), derived
+  ``span_start_timestamp_secs`` (the index's timestamp field) and
+  ``span_duration_millis`` (trace.rs:536-539);
+- ``event_names`` as an extra searchable text field next to the raw
+  ``events`` payload (the config's array<text> field);
+- attributes flattened to string maps (extract_attributes analog: scalar
+  values stringified, like the reference's JSON dynamic storage).
+
+All parsing is Spark-native (``from_json`` + explode + higher-order
+functions) — one shuffle-free scan per payload batch, no Python in the row
+path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+OTEL_TRACE_INDEX_ID = "otel-trace-v0"
+
+# OTLP/JSON attribute: {"key": k, "value": {"stringValue": ...}} — one of
+# the AnyValue variants is set (proto-JSON encoding of KeyValue)
+_ANYVALUE = T.StructType(
+    [
+        T.StructField("stringValue", T.StringType()),
+        T.StructField("intValue", T.StringType()),  # u64 renders as string
+        T.StructField("doubleValue", T.DoubleType()),
+        T.StructField("boolValue", T.BooleanType()),
+    ]
+)
+_ATTR = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("value", _ANYVALUE),
+        ]
+    )
+)
+_SPAN = T.StructType(
+    [
+        T.StructField("traceId", T.StringType()),
+        T.StructField("spanId", T.StringType()),
+        T.StructField("parentSpanId", T.StringType()),
+        T.StructField("traceState", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("kind", T.LongType()),
+        T.StructField("startTimeUnixNano", T.StringType()),
+        T.StructField("endTimeUnixNano", T.StringType()),
+        T.StructField("attributes", _ATTR),
+        T.StructField("droppedAttributesCount", T.LongType()),
+        T.StructField(
+            "events",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("timeUnixNano", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField("attributes", _ATTR),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("droppedEventsCount", T.LongType()),
+        T.StructField(
+            "links",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("traceId", T.StringType()),
+                        T.StructField("spanId", T.StringType()),
+                        T.StructField("attributes", _ATTR),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("droppedLinksCount", T.LongType()),
+        T.StructField(
+            "status",
+            T.StructType(
+                [
+                    T.StructField("code", T.LongType()),
+                    T.StructField("message", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+# ExportTraceServiceRequest, proto-JSON encoding
+OTLP_TRACES_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceSpans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "resource",
+                            T.StructType(
+                                [T.StructField("attributes", _ATTR)]
+                            ),
+                        ),
+                        T.StructField(
+                            "scopeSpans",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "scope",
+                                            T.StructType(
+                                                [
+                                                    T.StructField(
+                                                        "name", T.StringType()
+                                                    ),
+                                                    T.StructField(
+                                                        "version",
+                                                        T.StringType(),
+                                                    ),
+                                                ]
+                                            ),
+                                        ),
+                                        T.StructField(
+                                            "spans", T.ArrayType(_SPAN)
+                                        ),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def _attr_map(col):
+    """KeyValue list -> map<string,string> (extract_attributes analog:
+    whichever AnyValue variant is set, stringified)."""
+    return F.map_from_entries(
+        F.transform(
+            F.coalesce(col, F.array()),
+            lambda a: F.struct(
+                a["key"].alias("key"),
+                F.coalesce(
+                    a["value"]["stringValue"],
+                    a["value"]["intValue"],
+                    a["value"]["doubleValue"].cast("string"),
+                    a["value"]["boolValue"].cast("string"),
+                ).alias("value"),
+            ),
+        )
+    )
+
+
+def parse_otlp_traces(
+    payloads: DataFrame, json_col: str = "payload"
+) -> DataFrame:
+    """Flatten a DataFrame of OTLP/JSON trace export bodies into span docs
+    with the reference's column names (trace.rs field_mappings)."""
+    req = F.from_json(F.col(json_col), OTLP_TRACES_SCHEMA)
+    rs = payloads.select(
+        F.explode(req["resourceSpans"]).alias("_rs")
+    )
+    svc = F.element_at(
+        _attr_map(F.col("_rs.resource.attributes")), "service.name"
+    )
+    ss = rs.select(
+        F.coalesce(svc, F.lit("unknown")).alias("service_name"),
+        _attr_map(F.col("_rs.resource.attributes")).alias(
+            "resource_attributes"
+        ),
+        F.explode(F.col("_rs.scopeSpans")).alias("_ss"),
+    )
+    sp = ss.select(
+        "service_name",
+        "resource_attributes",
+        F.coalesce(F.col("_ss.scope.name"), F.lit("")).alias("scope_name"),
+        F.coalesce(F.col("_ss.scope.version"), F.lit("")).alias(
+            "scope_version"
+        ),
+        F.explode(F.col("_ss.spans")).alias("_sp"),
+    )
+    start_ns = F.col("_sp.startTimeUnixNano").cast("long")
+    end_ns = F.col("_sp.endTimeUnixNano").cast("long")
+    kind = F.coalesce(F.col("_sp.kind"), F.lit(0))
+    name = F.when(
+        F.coalesce(F.col("_sp.name"), F.lit("")) == "", F.lit("unknown")
+    ).otherwise(F.col("_sp.name"))
+    return sp.select(
+        F.col("_sp.traceId").alias("trace_id"),
+        F.coalesce(F.col("_sp.traceState"), F.lit("")).alias("trace_state"),
+        "service_name",
+        "resource_attributes",
+        "scope_name",
+        "scope_version",
+        F.col("_sp.spanId").alias("span_id"),
+        kind.alias("span_kind"),
+        name.alias("span_name"),
+        # SpanFingerprint::new — NUL-separated service/kind/name
+        F.concat_ws(
+            "\x00", F.col("service_name"), kind.cast("string"), name
+        ).alias("span_fingerprint"),
+        start_ns.alias("span_start_timestamp_nanos"),
+        end_ns.alias("span_end_timestamp_nanos"),
+        F.timestamp_seconds(
+            (start_ns / F.lit(1_000_000_000)).cast("long")
+        ).alias("span_start_timestamp_secs"),
+        ((end_ns - start_ns) / F.lit(1_000_000)).cast("long").alias(
+            "span_duration_millis"
+        ),
+        _attr_map(F.col("_sp.attributes")).alias("span_attributes"),
+        F.coalesce(F.col("_sp.droppedAttributesCount"), F.lit(0)).alias(
+            "span_dropped_attributes_count"
+        ),
+        F.coalesce(F.col("_sp.droppedEventsCount"), F.lit(0)).alias(
+            "span_dropped_events_count"
+        ),
+        F.coalesce(F.col("_sp.droppedLinksCount"), F.lit(0)).alias(
+            "span_dropped_links_count"
+        ),
+        F.to_json(F.col("_sp.status")).alias("span_status"),
+        F.coalesce(F.col("_sp.parentSpanId"), F.lit("")).alias(
+            "parent_span_id"
+        ),
+        F.to_json(F.col("_sp.events")).alias("events"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.coalesce(F.col("_sp.events"), F.array()),
+                lambda e: e["name"],
+            ),
+        ).alias("event_names"),
+        F.to_json(F.col("_sp.links")).alias("links"),
+    )
+
+
+def otel_trace_index_config(num_partitions: int = 8):
+    """The engine-side analog of OTEL_TRACE_INDEX_CONFIG (trace.rs:44-141):
+    span_name is the default searchable text field with event_names as a
+    second one; service_name is the tag (and routing) field; the timestamp
+    field backs time-window pruning; the trace/span ids, fingerprint,
+    duration and raw payloads are stored fast fields. Routing =
+    ``hash_mod(service_name, N)`` like the reference's partition_key."""
+    from quickwit_spark.operators.build import IndexConfig
+
+    return IndexConfig(
+        index_id=OTEL_TRACE_INDEX_ID,
+        num_splits=num_partitions,
+        text_field="span_name",
+        extra_text_fields=("event_names",),
+        tag_field="service_name",
+        timestamp_field="span_start_timestamp_secs",
+        doc_key="span_id",
+        routing_col="_svc_part",
+        store_fields=(
+            "trace_id",
+            "span_fingerprint",
+            "span_kind",
+            "span_duration_millis",
+            "parent_span_id",
+            "span_attributes",
+            "events",
+        ),
+    )
+
+
+def ingest_otlp_traces(
+    spark: SparkSession,
+    payloads: DataFrame,
+    index_dir: str,
+    num_partitions: int = 8,
+    json_col: str = "payload",
+):
+    """Parse OTLP/JSON bodies and build/append the trace index. Returns the
+    BuildMetrics. The span docs get ``url``-compatible identity via
+    span_id (doc_key) and route by service hash, so per-service queries
+    prune at the manifest tag level AND the partition level."""
+    from quickwit_spark.operators.build import build_index
+
+    spans = parse_otlp_traces(payloads, json_col).withColumn(
+        "_svc_part",
+        F.pmod(F.xxhash64("service_name"), F.lit(num_partitions)).cast(
+            "int"
+        ),
+    )
+    cfg = otel_trace_index_config(num_partitions)
+    return build_index(spark, spans, index_dir, cfg)

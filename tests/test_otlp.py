@@ -1,0 +1,186 @@
+"""OTLP trace doc-mapping recipe (sources/otlp.py): field-mapping parity
+with the reference's OTEL_TRACE_INDEX_CONFIG parse (trace.rs:505-600), then
+the Jaeger-style read path end-to-end — ingest spans, query by service /
+operation / time window, collect top trace ids (find_trace_ids)."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+
+from quickwit_spark.operators.aggs import find_trace_ids
+from quickwit_spark.operators.search import (
+    IndexReader,
+    SearchRequest,
+    search,
+)
+from quickwit_spark.sources.otlp import (
+    ingest_otlp_traces,
+    parse_otlp_traces,
+)
+
+_NS = 1_000_000_000
+
+
+def _b64(n: int, width: int) -> str:
+    return base64.b64encode(n.to_bytes(width, "big")).decode()
+
+
+def _attr(k, v):
+    return {"key": k, "value": {"stringValue": v}}
+
+
+def _span(trace, span, name, start_s, dur_ms, kind=2, events=(), parent=None):
+    return {
+        "traceId": _b64(trace, 16),
+        "spanId": _b64(span, 8),
+        **({"parentSpanId": _b64(parent, 8)} if parent else {}),
+        "name": name,
+        "kind": kind,
+        "startTimeUnixNano": str(start_s * _NS),
+        "endTimeUnixNano": str(start_s * _NS + dur_ms * 1_000_000),
+        "attributes": [_attr("http.method", "GET")],
+        "events": [
+            {
+                "timeUnixNano": str(start_s * _NS + 1),
+                "name": e,
+                "attributes": [],
+            }
+            for e in events
+        ],
+    }
+
+
+def _payload(service, spans):
+    return json.dumps(
+        {
+            "resourceSpans": [
+                {
+                    "resource": {
+                        "attributes": [_attr("service.name", service)]
+                    },
+                    "scopeSpans": [
+                        {
+                            "scope": {"name": "otel-sdk", "version": "1.0"},
+                            "spans": spans,
+                        }
+                    ],
+                }
+            ]
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    t0 = 1_700_000_000
+    rows = [
+        (
+            _payload(
+                "frontend",
+                [
+                    _span(1, 11, "GET /checkout", t0 + 10, 120,
+                          events=("cache_miss", "retry")),
+                    _span(1, 12, "auth_call", t0 + 10, 30, parent=11),
+                    _span(2, 21, "GET /search", t0 + 50, 80),
+                ],
+            ),
+        ),
+        (
+            _payload(
+                "payments",
+                [
+                    _span(1, 13, "charge_card", t0 + 11, 90, parent=11),
+                    _span(3, 31, "charge_card", t0 + 99, 40),
+                    # empty name -> "unknown" (trace.rs:529-533)
+                    _span(3, 32, "", t0 + 99, 5, parent=31),
+                ],
+            ),
+        ),
+    ]
+    return spark.createDataFrame(rows, "payload string")
+
+
+def test_parse_field_parity(spark, payloads):
+    spans = {r["span_id"]: r for r in parse_otlp_traces(payloads).collect()}
+    assert len(spans) == 6
+    s = spans[_b64(11, 8)]
+    assert s["trace_id"] == _b64(1, 16)
+    assert s["service_name"] == "frontend"
+    assert s["span_name"] == "GET /checkout"
+    assert s["span_kind"] == 2
+    # SpanFingerprint::new — NUL-separated service/kind/name
+    assert s["span_fingerprint"] == "frontend\x002\x00GET /checkout"
+    assert s["span_duration_millis"] == 120
+    assert s["span_start_timestamp_nanos"] == (1_700_000_010) * _NS
+    assert s["span_attributes"]["http.method"] == "GET"
+    assert s["event_names"] == "cache_miss retry"
+    assert json.loads(s["events"])[0]["name"] == "cache_miss"
+    assert s["resource_attributes"]["service.name"] == "frontend"
+    assert s["scope_name"] == "otel-sdk"
+    # child span carries its parent id; root spans carry ""
+    assert spans[_b64(12, 8)]["parent_span_id"] == _b64(11, 8)
+    assert s["parent_span_id"] == ""
+    # empty span name defaults to "unknown"
+    assert spans[_b64(32, 8)]["span_name"] == "unknown"
+    assert spans[_b64(32, 8)]["service_name"] == "payments"
+
+
+@pytest.fixture(scope="module")
+def trace_index(spark, payloads, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("otlp") / "otel-trace-v0")
+    m = ingest_otlp_traces(spark, payloads, d, num_partitions=4)
+    assert m.num_docs == 6
+    return IndexReader(spark, d)
+
+
+def test_jaeger_style_operation_search(spark, trace_index):
+    """SpanReader-style query: operation name + service tag + time window,
+    fetching the trace ids of matching spans."""
+    hits = search(
+        trace_index,
+        SearchRequest(
+            query="charge_card tag:payments",
+            max_hits=10,
+            start_timestamp="2023-11-14T00:00:00",
+        ),
+        fetch_fields=("trace_id", "span_duration_millis"),
+    ).collect()
+    assert {r["trace_id"] for r in hits} == {_b64(1, 16), _b64(3, 16)}
+    assert all(r["span_duration_millis"] in (90, 40) for r in hits)
+
+
+def test_find_trace_ids_over_matches(spark, trace_index):
+    """The trace_top_ids path over ingested spans: top traces by max span
+    timestamp, newest first (find_trace_ids_collector.rs:122-142)."""
+    docs = trace_index.docstore().select(
+        "trace_id", "ts"
+    )
+    top = find_trace_ids(docs, "trace_id", "ts", n=2).collect()
+    # trace 3 has the newest span (t0+99), then trace 2 (t0+50)
+    assert [r["trace_id"] for r in top] == [_b64(3, 16), _b64(2, 16)]
+
+
+def test_service_tag_pruning(spark, trace_index):
+    """service_name rides the manifest tag field: a tag-filtered search
+    prunes at metadata level before any scan (the reference's
+    tag_fields: [service_name])."""
+    hits = search(
+        trace_index,
+        SearchRequest(query="unknown tag:payments"),
+        fetch_fields=("trace_id",),
+    ).collect()
+    assert len(hits) == 1 and hits[0]["trace_id"] == _b64(3, 16)
+
+
+def test_event_names_are_searchable(spark, trace_index):
+    """event_names is an extra text field (the config's array<text> with
+    default tokenizer): searching an event term finds the span."""
+    hits = search(
+        trace_index,
+        SearchRequest(query="event_names:cache_miss"),
+        fetch_fields=("trace_id",),
+    ).collect()
+    assert len(hits) == 1 and hits[0]["trace_id"] == _b64(1, 16)
