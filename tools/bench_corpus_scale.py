@@ -101,6 +101,34 @@ def main() -> None:
                     search(reader, req).collect()
                 best = min(best, time.time() - t0)
             lat[name] = round(best, 3)
+        # analytics shapes at ladder scale (r4 VERDICT item 7): the
+        # date_histogram bucket partials and the fast-field stream export,
+        # same requests bench.py measures at sf0.1
+        from quickwit_spark.operators.search import (
+            SearchRequest,
+            export_fast_field,
+            search_aggs,
+        )
+
+        best = float("inf")
+        for _ in range(args.trials + 1):
+            t0 = time.time()
+            search_aggs(
+                reader,
+                SearchRequest(query="w0", max_hits=0),
+                {"t": {"date_histogram": {"field": "warc_ts",
+                                          "fixed_interval": "1d"}}},
+            )["t"].collect()
+            best = min(best, time.time() - t0)
+        lat["q_agg_datehist"] = round(best, 3)
+        best = float("inf")
+        for _ in range(args.trials + 1):
+            t0 = time.time()
+            export_fast_field(
+                reader, SearchRequest(query="w3 w7"), "url"
+            ).count()
+            best = min(best, time.time() - t0)
+        lat["q_export"] = round(best, 3)
 
         row = {
             "n_docs": n_docs,
