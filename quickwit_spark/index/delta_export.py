@@ -96,38 +96,59 @@ def export_delta_log(spark, index_dir: str) -> dict:
     manifest = Manifest(index_dir)
     table_root = os.path.join(index_dir, "docstore")
 
-    # target state: one parquet object per PUBLISHED split
+    # target state: the parquet object set of every PUBLISHED split. A
+    # kernel-built split is one object; Spark-written splits (merge
+    # executor, delete-rewrite) hold one object per task — numRecords is
+    # a PER-FILE stat in the protocol, so it is only emitted for
+    # single-object splits (stats are optional per add action; readers
+    # fall back to footers where absent) rather than stamping the split
+    # total on every file, which would make metadata COUNT(*) overcount.
     target: dict[str, dict] = {}
     now_ms = int(time.time() * 1000)
     for meta in manifest.list_published():
-        prefix = f"docstore/split_id={meta.split_id}"
-        for key in storage.list(prefix):
-            if not key.endswith(".parquet"):
-                continue
+        prefix = f"docstore/split_id={meta.split_id}/"
+        keys = [
+            k for k in storage.list(prefix) if k.endswith(".parquet")
+        ]
+        for key in keys:
             rel = key[len("docstore/") :]
             try:
                 size = storage.size(key)
             except (FileNotFoundError, OSError):
                 continue
-            target[rel] = {
+            add = {
                 "path": rel,
                 "partitionValues": {"split_id": meta.split_id},
                 "size": size,
                 "modificationTime": now_ms,
                 "dataChange": True,
-                "stats": json.dumps({"numRecords": meta.num_docs}),
             }
+            if len(keys) == 1:
+                add["stats"] = json.dumps({"numRecords": meta.num_docs})
+            # manifest state-transition time: lets a re-export detect a
+            # same-path rewrite (see below) without hashing file contents
+            add["_updated_ms"] = int(meta.update_timestamp * 1000)
+            target[rel] = add
 
     next_version, live = _replay(storage)
     to_add = [target[p] for p in sorted(set(target) - set(live))]
-    # a path present in both but with a different size was rewritten
-    # in place (delete-rewrite keeps the file name): re-add it so readers
-    # pick up the new file metadata
+    # a path present in both logs may have been REWRITTEN in place: a
+    # resumed/replacing ingest writes the split's fixed part-00000 object
+    # anew (delete-rewrite and merges mint NEW split ids, so they never
+    # hit this). Size alone can tie, so also re-add whenever the split's
+    # manifest row transitioned AFTER the recorded export stamp.
     for p in sorted(set(target) & set(live)):
-        if target[p]["size"] != live[p]["size"]:
+        if (
+            target[p]["size"] != live[p]["size"]
+            or target[p]["_updated_ms"] > live[p]["modificationTime"]
+        ):
             to_add.append(target[p])
     to_remove = sorted(set(live) - set(target))
-    if not to_add and not to_remove and next_version > 0:
+    if (not to_add and not to_remove) or (next_version == 0 and not target):
+        # nothing to commit. Covers both the idempotent re-export and the
+        # index with no published splits yet (fresh, or every build crashed
+        # pre-publish) — a clean no-op, not an error. An EXISTING export
+        # whose splits were all retired still commits its removes above.
         return {
             "table_root": table_root,
             "version": -1,
@@ -174,7 +195,8 @@ def export_delta_log(spark, index_dir: str) -> dict:
             }
         )
     for add in to_add:
-        actions.append({"add": add})
+        # _updated_ms is export-internal bookkeeping, not a protocol field
+        actions.append({"add": {k: v for k, v in add.items() if k != "_updated_ms"}})
     body = "\n".join(json.dumps(a) for a in actions).encode()
     # the protocol's writer rule: a version is claimed atomically (S3
     # conditional PUT / rename-onto-EEXIST) — same primitive our own

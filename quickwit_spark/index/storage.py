@@ -185,12 +185,22 @@ class ObjectStorage:
         self.client.put_object(key, data, if_none_match=False)
 
     def put_if_absent(self, key: str, data: bytes) -> bool:
-        """S3 conditional PUT (If-None-Match: *): one writer wins."""
+        """S3 conditional PUT (If-None-Match: *): one writer wins. Maps
+        both the in-repo PreconditionFailed and the boto3-style 412
+        ClientError shape the client contract allows (same mapping as
+        ObjectStoreLogStore.put_if_absent)."""
         try:
             self.client.put_object(key, data, if_none_match=True)
             return True
         except ObjectStoreLogStore.PreconditionFailed:
             return False
+        except Exception as e:  # noqa: BLE001 — boto3-style error mapping
+            if getattr(e, "response", {}).get("Error", {}).get("Code") in (
+                "PreconditionFailed",
+                "412",
+            ):
+                return False
+            raise
 
     def get_bytes(self, key: str) -> bytes:
         try:
@@ -199,8 +209,14 @@ class ObjectStorage:
             raise FileNotFoundError(key) from None
 
     def size(self, key: str) -> int:
-        # the boto3 contract would HEAD here; the minimal client contract
-        # has no head_object, so a GET stands in (fine for sidecar sizes)
+        # HEAD when the client offers it (DirObjectStoreClient.size_object,
+        # boto3 head_object adapter); GET fallback only for minimal clients
+        sz = getattr(self.client, "size_object", None)
+        if sz is not None:
+            try:
+                return sz(key)
+            except KeyError:
+                raise FileNotFoundError(key) from None
         return len(self.get_bytes(key))
 
     def exists(self, key: str) -> bool:
@@ -217,6 +233,11 @@ class ObjectStorage:
         self.client.delete_object(key)
 
     def delete_prefix(self, prefix: str) -> None:
+        # normalize to a "directory" boundary so a prefix like
+        # "docstore/split_id=X" can never match a sibling split whose id
+        # string-extends it ("split_id=X2/...") under raw S3 LIST semantics
+        if prefix and not prefix.endswith("/"):
+            prefix = prefix + "/"
         for key in list(self.client.list_keys(prefix)):
             self.client.delete_object(key)
 
@@ -308,7 +329,20 @@ class DirObjectStoreClient:
     def list_keys(self, prefix: str):
         out: list[str] = []
         base = os.path.join(self.root, prefix) if prefix else self.root
-        scan_root = base if os.path.isdir(base) else os.path.dirname(base)
+        # raw-prefix LIST semantics (like S3): when the prefix is not a
+        # directory boundary, fall back to scanning the nearest existing
+        # parent and string-filtering; absent trees list empty without a
+        # walk (the common GC case: a staged split that never wrote files)
+        if os.path.isdir(base):
+            scan_root = base
+        elif prefix.endswith("/"):
+            # a directory-boundary prefix whose directory is absent can
+            # match nothing — skip the parent walk entirely
+            return out
+        else:
+            scan_root = os.path.dirname(base)
+            if not os.path.isdir(scan_root):
+                return out
         for dirpath, _dirs, files in os.walk(scan_root):
             rel = os.path.relpath(dirpath, self.root)
             for nm in files:
@@ -318,6 +352,13 @@ class DirObjectStoreClient:
                 if key.startswith(prefix):
                     out.append(key)
         return out
+
+    def size_object(self, key: str) -> int:
+        """HEAD analog: object size without a data transfer."""
+        try:
+            return os.path.getsize(self._path(key))
+        except OSError:
+            raise KeyError(key) from None
 
     def delete_object(self, key: str) -> None:
         try:

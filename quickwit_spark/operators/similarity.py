@@ -289,6 +289,12 @@ def lsh_planted_recall(
     reproducible by exact SQL (all-pairs cosine over the fixture), so an
     oracle can assert every row comes back ``found = true`` — the standard
     recall-on-true-neighbors ANN evaluation, made hash-checkable."""
+    if not pairs:
+        # no true pairs (fixture/threshold drift): a well-formed empty
+        # report, not a ValueError from deep inside the ANN batcher
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, found boolean"
+        )
     ids = sorted({q for q, _ in pairs})
     vec_rows = {
         r[id_col]: [float(x) for x in r[vec_col]]

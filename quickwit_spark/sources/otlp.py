@@ -158,8 +158,13 @@ OTLP_TRACES_SCHEMA = T.StructType(
 
 def _attr_map(col):
     """KeyValue list -> map<string,string> (extract_attributes analog:
-    whichever AnyValue variant is set, stringified)."""
-    return F.map_from_entries(
+    whichever AnyValue variant is set, stringified). Real-world SDKs emit
+    duplicate attribute keys, and Spark's default mapKeyDedupPolicy
+    EXCEPTION would kill the whole ingest batch on the first one — so
+    null keys are dropped and duplicates deduped LAST-WINS here (the
+    reference's extract_attributes HashMap insert semantics), keeping the
+    parse total like the reference's doc processor."""
+    entries = F.filter(
         F.transform(
             F.coalesce(col, F.array()),
             lambda a: F.struct(
@@ -171,8 +176,19 @@ def _attr_map(col):
                     a["value"]["boolValue"].cast("string"),
                 ).alias("value"),
             ),
-        )
+        ),
+        lambda e: e["key"].isNotNull(),
     )
+    # keep entry i only when no LATER entry reuses its key (attr lists are
+    # tiny, so the quadratic exists() stays cheap and fully JVM-side)
+    deduped = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + F.lit(2), F.size(entries)),
+            lambda e2: e2["key"] == e["key"],
+        ),
+    )
+    return F.map_from_entries(deduped)
 
 
 def parse_otlp_traces(

@@ -175,3 +175,37 @@ def test_version_claim_single_winner(spark, idx, tmp_path):
     [t.join() for t in ts]
     assert sorted(results) == [False] * 5 + [True]
     st.delete("docstore/_delta_log/00000000000000000099.json")
+
+
+def test_multifile_split_stats_omitted(spark, tmp_path):
+    """numRecords is a PER-FILE stat: a Spark-written multi-file split must
+    not stamp the split total on each file (metadata COUNT(*) would
+    overcount) — stats are simply omitted for those files, and the sum of
+    emitted numRecords never exceeds the true row count."""
+    d = str(tmp_path / "idx3")
+    pages = synth_pages(spark, 900, partitions=3)
+    build_index(spark, pages, d, IndexConfig(num_splits=3))
+    man = Manifest(d)
+    execute_merge(spark, d, MergeOperation(splits=man.list_published()))
+    garbage_collect(d, deletion_grace_secs=0.0)
+    export_delta_log(spark, d)
+    adds = [
+        a["add"] for a in _log_lines(d, 0) if "add" in a
+    ]
+    files = read_delta_table_files(d)
+    if len(files) > 1:
+        assert all("stats" not in a for a in adds)
+    stats_sum = sum(
+        json.loads(a["stats"])["numRecords"] for a in adds if "stats" in a
+    )
+    assert stats_sum <= spark.read.parquet(*files).count() == 900
+
+
+def test_export_no_published_splits_is_noop(spark, tmp_path):
+    """Fresh index / crashed-before-publish: export is a clean no-op, not
+    an AnalysisException on the missing docstore path."""
+    d = str(tmp_path / "fresh")
+    Manifest(d)  # initialize an empty manifest, no builds
+    out = export_delta_log(spark, d)
+    assert out["version"] == -1 and out["added"] == 0
+    assert not os.path.exists(os.path.join(d, "docstore", "_delta_log"))

@@ -184,3 +184,21 @@ def test_event_names_are_searchable(spark, trace_index):
         fetch_fields=("trace_id",),
     ).collect()
     assert len(hits) == 1 and hits[0]["trace_id"] == _b64(1, 16)
+
+
+def test_duplicate_attribute_keys_last_wins(spark):
+    """Real SDKs emit duplicate attribute keys; Spark's default
+    mapKeyDedupPolicy=EXCEPTION must not kill the batch — dedupe is
+    last-wins like the reference's HashMap insert."""
+    span = _span(9, 91, "dup_attrs", 1_700_000_000, 10)
+    span["attributes"] = [
+        _attr("http.method", "GET"),
+        _attr("http.method", "POST"),  # duplicate key, later wins
+        {"key": None, "value": {"stringValue": "dropped"}},
+    ]
+    df = spark.createDataFrame(
+        [(_payload("svc", [span]),)], "payload string"
+    )
+    rows = parse_otlp_traces(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["span_attributes"]["http.method"] == "POST"

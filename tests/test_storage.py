@@ -285,3 +285,45 @@ def test_storage_marker_contents(tmp_path):
     init_storage(d, "dir_object_store")
     with open(os.path.join(d, "_storage.json")) as f:
         assert json.load(f) == {"backend": "dir_object_store"}
+
+
+def test_object_storage_put_if_absent_maps_boto_412(tmp_path):
+    """A real boto3-shaped client signals the lost conditional PUT as a
+    ClientError carrying response.Error.Code=412 — mapped to False, not
+    an unhandled exception (same mapping as the txnlog store)."""
+
+    class Boto412(Exception):
+        def __init__(self):
+            self.response = {"Error": {"Code": "412"}}
+
+    class FakeBotoClient:
+        def put_object(self, key, body, if_none_match=False):
+            if if_none_match:
+                raise Boto412()
+
+    st = ObjectStorage(FakeBotoClient(), str(tmp_path))
+    assert st.put_if_absent("k", b"x") is False
+
+
+def test_dir_client_list_absent_prefix_cheap(tmp_path):
+    """Directory-boundary prefixes with no directory list empty (the GC
+    case of a staged split that never wrote files), and a raw prefix can
+    never match a sibling whose name string-extends it through
+    delete_prefix's boundary normalization."""
+    c = DirObjectStoreClient(str(tmp_path / "os"))
+    c.put_object("docstore/split_id=X2/part-0.parquet", b"a")
+    assert c.list_keys("docstore/split_id=Q/") == []
+    st = ObjectStorage(c, str(tmp_path / "os"))
+    st.delete_prefix("docstore/split_id=X")  # X, not X2
+    assert c.list_keys("docstore/") == ["docstore/split_id=X2/part-0.parquet"]
+
+
+def test_lsh_planted_recall_empty_pairs(spark):
+    from quickwit_spark.operators.similarity import lsh_planted_recall
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    rep = lsh_planted_recall(df, [])
+    assert rep.columns == ["query_id", "neighbor_id", "found"]
+    assert rep.count() == 0
