@@ -563,3 +563,42 @@ ORDER BY score DESC, split_id ASC, url ASC LIMIT 200
     assert _canon_topk([(u, round(s, 4)) for u, s in exp]) == _canon_topk(
         [(u, s) for u, _sid, s in got]
     )
+
+
+def test_object_store_build_parity_at_scale(big, spark):
+    """r5 storage seam at REAL split sizes: the same 1M-doc corpus built
+    on the dir-backed object store (every split docstore/postings a
+    single buffered PUT, manifest on conditional-PUT commits) answers
+    scored, phrase, and count queries identically to the POSIX build —
+    the buffer-serialize upload path is exercised at ~15.6k-doc splits,
+    not toy fixtures."""
+    from quickwit_spark.index.storage import get_storage, init_storage
+
+    reader, _con = big
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    root = os.path.join(scratch, "qs_scale_fuzz")
+    src = os.path.join(root, "pages")
+    idx_os = os.path.join(root, "idx_fakeos")
+    if not os.path.exists(os.path.join(idx_os, "_FUZZ_BUILT")):
+        import shutil
+
+        shutil.rmtree(idx_os, ignore_errors=True)
+        init_storage(idx_os, "dir_object_store")
+        staged = spark.read.parquet(src)
+        build_index(
+            spark, staged, idx_os,
+            IndexConfig(
+                index_id="big", num_splits=N_SPLITS, routing_col="gate_part"
+            ),
+        )
+        open(os.path.join(idx_os, "_FUZZ_BUILT"), "w").close()
+    assert get_storage(idx_os).backend == "dir_object_store"
+    os_reader = IndexReader(spark, idx_os)
+    for q in ("needletwo", "w3 AND w5", '"w9 w12"', "w120 OR needleone"):
+        a = _engine(reader, q, 20)
+        b = _engine(os_reader, q, 20)
+        assert a == b, f"object-store parity broke for {q!r}"
+    assert (
+        count_hits(os_reader, SearchRequest(query="w3")).first()["num_hits"]
+        == count_hits(reader, SearchRequest(query="w3")).first()["num_hits"]
+    )
