@@ -1,4 +1,4 @@
-"""OTLP trace ingestion: ExportTraceServiceRequest JSON -> span docs -> index.
+"""OTLP ingestion: trace/log export JSON -> typed docs -> index.
 
 The reference ships a gRPC OTLP traces service that flattens every OTLP span
 into a strict doc mapping and indexes it under ``otel-trace-v0``
@@ -324,3 +324,202 @@ def ingest_otlp_traces(
     )
     cfg = otel_trace_index_config(num_partitions)
     return build_index(spark, spans, index_dir, cfg)
+
+
+# ---------------------------------------------------------------------------
+# OTLP logs (quickwit-opentelemetry/src/otlp/logs.rs: OTEL_LOGS_INDEX_CONFIG
+# + the ExportLogsServiceRequest parse loop at :260-340) — same recipe as
+# traces: flatten resourceLogs -> scopeLogs -> logRecords into the
+# reference's otel-logs-v0 doc shape, index body text with service tag +
+# hash routing and second-precision time pruning.
+# ---------------------------------------------------------------------------
+
+OTEL_LOGS_INDEX_ID = "otel-logs-v0"
+
+_LOG_RECORD = T.StructType(
+    [
+        T.StructField("timeUnixNano", T.StringType()),
+        T.StructField("observedTimeUnixNano", T.StringType()),
+        T.StructField("severityText", T.StringType()),
+        T.StructField("severityNumber", T.LongType()),
+        T.StructField("body", _ANYVALUE),
+        T.StructField("attributes", _ATTR),
+        T.StructField("droppedAttributesCount", T.LongType()),
+        T.StructField("traceId", T.StringType()),
+        T.StructField("spanId", T.StringType()),
+        T.StructField("flags", T.LongType()),
+    ]
+)
+
+# ExportLogsServiceRequest, proto-JSON encoding
+OTLP_LOGS_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceLogs",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "resource",
+                            T.StructType(
+                                [T.StructField("attributes", _ATTR)]
+                            ),
+                        ),
+                        T.StructField(
+                            "scopeLogs",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "scope",
+                                            T.StructType(
+                                                [
+                                                    T.StructField(
+                                                        "name", T.StringType()
+                                                    ),
+                                                    T.StructField(
+                                                        "version",
+                                                        T.StringType(),
+                                                    ),
+                                                ]
+                                            ),
+                                        ),
+                                        T.StructField(
+                                            "logRecords",
+                                            T.ArrayType(_LOG_RECORD),
+                                        ),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def parse_otlp_logs(
+    payloads: DataFrame, json_col: str = "payload"
+) -> DataFrame:
+    """Flatten OTLP/JSON log export bodies into log docs with the
+    reference's otel-logs-v0 column names (logs.rs field_mappings +
+    parse loop)."""
+    req = F.from_json(F.col(json_col), OTLP_LOGS_SCHEMA)
+    rl = payloads.select(F.explode(req["resourceLogs"]).alias("_rl"))
+    svc = F.element_at(
+        _attr_map(F.col("_rl.resource.attributes")), "service.name"
+    )
+    sl = rl.select(
+        F.coalesce(svc, F.lit("unknown")).alias("service_name"),
+        _attr_map(F.col("_rl.resource.attributes")).alias(
+            "resource_attributes"
+        ),
+        F.explode(F.col("_rl.scopeLogs")).alias("_sl"),
+    )
+    lr = sl.select(
+        "service_name",
+        "resource_attributes",
+        F.coalesce(F.col("_sl.scope.name"), F.lit("")).alias("scope_name"),
+        F.coalesce(F.col("_sl.scope.version"), F.lit("")).alias(
+            "scope_version"
+        ),
+        F.explode(F.col("_sl.logRecords")).alias("_lr"),
+    )
+    t_ns = F.coalesce(F.col("_lr.timeUnixNano").cast("long"), F.lit(0))
+    sev_text = F.when(
+        F.coalesce(F.col("_lr.severityText"), F.lit("")) == "", F.lit(None)
+    ).otherwise(F.col("_lr.severityText"))
+    body_text = F.coalesce(
+        F.col("_lr.body.stringValue"),
+        F.col("_lr.body.intValue"),
+        F.col("_lr.body.doubleValue").cast("string"),
+        F.col("_lr.body.boolValue").cast("string"),
+        F.lit(""),
+    )
+    return lr.select(
+        F.timestamp_seconds((t_ns / F.lit(1_000_000_000)).cast("long")).alias(
+            "timestamp_secs"
+        ),
+        t_ns.alias("timestamp_nanos"),
+        F.coalesce(
+            F.col("_lr.observedTimeUnixNano").cast("long"), F.lit(0)
+        ).alias("observed_timestamp_nanos"),
+        "service_name",
+        sev_text.alias("severity_text"),
+        F.coalesce(F.col("_lr.severityNumber"), F.lit(0)).alias(
+            "severity_number"
+        ),
+        body_text.alias("body"),
+        _attr_map(F.col("_lr.attributes")).alias("attributes"),
+        F.coalesce(F.col("_lr.droppedAttributesCount"), F.lit(0)).alias(
+            "dropped_attributes_count"
+        ),
+        # all-zero ids are "absent" in OTLP; proto-JSON omits them, and an
+        # explicit base64 all-zero id means the same (logs.rs:297-308)
+        F.coalesce(F.col("_lr.traceId"), F.lit("")).alias("trace_id"),
+        F.coalesce(F.col("_lr.spanId"), F.lit("")).alias("span_id"),
+        F.coalesce(F.col("_lr.flags"), F.lit(0)).alias("trace_flags"),
+    )
+
+
+def otel_logs_index_config(num_partitions: int = 8):
+    """otel-logs-v0 analog: body is the searchable text field,
+    service_name the tag + routing, timestamp_secs the pruning field;
+    severity/trace linkage stored as fast fields. The doc key is a
+    deterministic per-record identity (service, nanos, body hash) since
+    OTLP log records carry no id of their own."""
+    from quickwit_spark.operators.build import IndexConfig
+
+    return IndexConfig(
+        index_id=OTEL_LOGS_INDEX_ID,
+        num_splits=num_partitions,
+        text_field="body",
+        tag_field="service_name",
+        timestamp_field="timestamp_secs",
+        doc_key="_log_key",
+        routing_col="_svc_part",
+        store_fields=(
+            "severity_text",
+            "severity_number",
+            "trace_id",
+            "span_id",
+            "attributes",
+            "timestamp_nanos",
+        ),
+    )
+
+
+def ingest_otlp_logs(
+    spark: SparkSession,
+    payloads: DataFrame,
+    index_dir: str,
+    num_partitions: int = 8,
+    json_col: str = "payload",
+):
+    """Parse OTLP/JSON log bodies and build/append the logs index."""
+    from quickwit_spark.operators.build import build_index
+
+    logs = (
+        parse_otlp_logs(payloads, json_col)
+        .withColumn(
+            "_log_key",
+            F.concat_ws(
+                "\x00",
+                "service_name",
+                F.col("timestamp_nanos").cast("string"),
+                F.sha2(F.col("body"), 256),
+                F.col("span_id"),
+            ),
+        )
+        .withColumn(
+            "_svc_part",
+            F.pmod(F.xxhash64("service_name"), F.lit(num_partitions)).cast(
+                "int"
+            ),
+        )
+    )
+    return build_index(
+        spark, logs, index_dir, otel_logs_index_config(num_partitions)
+    )

@@ -202,3 +202,101 @@ def test_duplicate_attribute_keys_last_wins(spark):
     rows = parse_otlp_traces(df).collect()
     assert len(rows) == 1
     assert rows[0]["span_attributes"]["http.method"] == "POST"
+
+
+# --- OTLP logs (logs.rs otel-logs-v0) --------------------------------------
+
+def _log_payload(service, records):
+    return json.dumps(
+        {
+            "resourceLogs": [
+                {
+                    "resource": {
+                        "attributes": [_attr("service.name", service)]
+                    },
+                    "scopeLogs": [
+                        {
+                            "scope": {"name": "otel-sdk", "version": "1.0"},
+                            "logRecords": records,
+                        }
+                    ],
+                }
+            ]
+        }
+    )
+
+
+def _log(ts_s, body, sev="INFO", sev_no=9, trace=None, span=None):
+    rec = {
+        "timeUnixNano": str(ts_s * _NS),
+        "observedTimeUnixNano": str(ts_s * _NS + 5),
+        "severityText": sev,
+        "severityNumber": sev_no,
+        "body": {"stringValue": body},
+        "attributes": [_attr("k8s.pod", "web-0")],
+    }
+    if trace:
+        rec["traceId"] = _b64(trace, 16)
+        rec["spanId"] = _b64(span, 8)
+    return rec
+
+
+def test_parse_otlp_logs_field_parity(spark):
+    from quickwit_spark.sources.otlp import parse_otlp_logs
+
+    t0 = 1_700_000_000
+    df = spark.createDataFrame(
+        [
+            (_log_payload("frontend", [
+                _log(t0, "request failed with timeout", "ERROR", 17,
+                     trace=1, span=11),
+                _log(t0 + 5, "healthy", sev="", sev_no=0),
+            ]),),
+        ],
+        "payload string",
+    )
+    rows = sorted(
+        parse_otlp_logs(df).collect(), key=lambda r: r["timestamp_nanos"]
+    )
+    assert len(rows) == 2
+    r = rows[0]
+    assert r["service_name"] == "frontend"
+    assert r["severity_text"] == "ERROR" and r["severity_number"] == 17
+    assert r["body"] == "request failed with timeout"
+    assert r["timestamp_nanos"] == t0 * _NS
+    assert r["observed_timestamp_nanos"] == t0 * _NS + 5
+    assert r["trace_id"] == _b64(1, 16) and r["span_id"] == _b64(11, 8)
+    assert r["attributes"]["k8s.pod"] == "web-0"
+    # empty severity -> None (logs.rs:312-316); absent ids -> ""
+    assert rows[1]["severity_text"] is None
+    assert rows[1]["trace_id"] == ""
+
+
+def test_logs_ingest_and_severity_search(spark, tmp_path):
+    """otel-logs-v0 e2e: ingest, then the log-search shape — body term +
+    service tag + time window, severity fetched for filtering."""
+    from quickwit_spark.sources.otlp import ingest_otlp_logs
+
+    t0 = 1_700_000_000
+    payloads = spark.createDataFrame(
+        [
+            (_log_payload("frontend", [
+                _log(t0 + i, f"request {i} timeout error", "ERROR", 17)
+                for i in range(3)
+            ]),),
+            (_log_payload("payments", [
+                _log(t0 + 10, "charge ok", "INFO", 9),
+            ]),),
+        ],
+        "payload string",
+    )
+    d = str(tmp_path / "otel-logs-v0")
+    m = ingest_otlp_logs(spark, payloads, d, num_partitions=2)
+    assert m.num_docs == 4
+    hits = search(
+        IndexReader(spark, d),
+        SearchRequest(query="timeout tag:frontend", max_hits=10),
+        fetch_fields=("severity_text", "severity_number", "trace_id"),
+    ).collect()
+    assert len(hits) == 3
+    assert all(r["severity_text"] == "ERROR" for r in hits)
