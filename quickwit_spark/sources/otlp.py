@@ -523,3 +523,39 @@ def ingest_otlp_logs(
     return build_index(
         spark, logs, index_dir, otel_logs_index_config(num_partitions)
     )
+
+
+# ---------------------------------------------------------------------------
+# Jaeger read-side helpers (quickwit-jaeger/src/lib.rs SpanReader:
+# GetServices / GetOperations are served from the trace index's metadata
+# and fingerprint field, not from span scans)
+# ---------------------------------------------------------------------------
+
+
+def jaeger_services(reader) -> list[str]:
+    """GetServices analog: the distinct service names, read from the
+    manifest's TAG metadata only — zero data scans (the reference prunes
+    the same way via tag_fields: [service_name])."""
+    services: set[str] = set()
+    for meta in reader.manifest.list_published():
+        services.update(meta.tags or [])
+    return sorted(services)
+
+
+def jaeger_operations(reader, service_name: str) -> DataFrame:
+    """GetOperations analog: distinct (operation name, span kind) for one
+    service, decoded from the stored NUL-separated span_fingerprint
+    (SpanFingerprint::span_name/span_kind accessors in trace.rs). The
+    docstore scan prunes to the service's splits via the tag filter
+    before reading."""
+    docs = reader.docstore()
+    parts = F.split(F.col("span_fingerprint"), "\x00")
+    return (
+        docs.filter(F.col("tag") == service_name)
+        .select(
+            parts.getItem(2).alias("operation"),
+            parts.getItem(1).cast("int").alias("span_kind"),
+        )
+        .distinct()
+        .orderBy("operation", "span_kind")
+    )

@@ -300,3 +300,20 @@ def test_logs_ingest_and_severity_search(spark, tmp_path):
     ).collect()
     assert len(hits) == 3
     assert all(r["severity_text"] == "ERROR" for r in hits)
+
+
+def test_jaeger_services_and_operations(spark, trace_index):
+    """GetServices from manifest tags only (no scan); GetOperations
+    decoded from the stored span fingerprints, tag-pruned to the
+    service (quickwit-jaeger SpanReader surface)."""
+    from quickwit_spark.sources.otlp import (
+        jaeger_operations,
+        jaeger_services,
+    )
+
+    assert jaeger_services(trace_index) == ["frontend", "payments"]
+    ops = [
+        (r["operation"], r["span_kind"])
+        for r in jaeger_operations(trace_index, "payments").collect()
+    ]
+    assert ops == [("charge_card", 2), ("unknown", 2)]
