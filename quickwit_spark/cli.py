@@ -376,6 +376,39 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_ingest_otlp(args) -> int:
+    from quickwit_spark.sources.otlp import (
+        ingest_otlp_logs,
+        ingest_otlp_traces,
+    )
+
+    spark = _spark(args)
+    if args.input.endswith((".json", ".ndjson", ".jsonl")):
+        # one OTLP export request body per line
+        payloads = spark.read.text(args.input).withColumnRenamed(
+            "value", "payload"
+        )
+    else:
+        payloads = spark.read.parquet(args.input)
+    fn = ingest_otlp_traces if args.kind == "traces" else ingest_otlp_logs
+    m = fn(
+        spark,
+        payloads,
+        args.index_dir,
+        num_partitions=args.num_partitions,
+        json_col=args.json_col,
+    )
+    _emit(
+        {
+            "kind": args.kind,
+            "num_docs": m.num_docs,
+            "num_splits": m.num_splits,
+            "docs_per_sec": round(m.docs_per_sec, 1),
+        }
+    )
+    return 0
+
+
 def cmd_export_delta(args) -> int:
     from quickwit_spark.index.delta_export import export_delta_log
 
@@ -691,6 +724,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("merge", help="run the merge policy once")
     common(sp)
     sp.set_defaults(fn=cmd_merge)
+
+    sp = sub.add_parser(
+        "ingest-otlp",
+        help="ingest OTLP trace/log export JSON payloads (the otel-trace-v0 /"
+        " otel-logs-v0 doc mappings); --input is a parquet of payload"
+        " strings or an NDJSON file (one export body per line)",
+    )
+    common(sp)
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--kind", choices=("traces", "logs"), default="traces")
+    sp.add_argument("--json-col", default="payload")
+    sp.add_argument("--num-partitions", type=int, default=8)
+    sp.set_defaults(fn=cmd_ingest_otlp)
 
     sp = sub.add_parser(
         "export-delta",

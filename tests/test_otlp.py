@@ -317,3 +317,26 @@ def test_jaeger_services_and_operations(spark, trace_index):
         for r in jaeger_operations(trace_index, "payments").collect()
     ]
     assert ops == [("charge_card", 2), ("unknown", 2)]
+
+
+def test_cli_ingest_otlp(spark, payloads, tmp_path, capsys):
+    """CLI lane: NDJSON payload file -> ingest-otlp -> searchable index."""
+    from quickwit_spark import cli
+
+    nd = str(tmp_path / "payloads.ndjson")
+    with open(nd, "w") as f:
+        for r in payloads.collect():
+            f.write(r["payload"] + "\n")
+    d = str(tmp_path / "otel-cli")
+    rc = cli.main(
+        ["ingest-otlp", "--index-dir", d, "--input", nd, "--kind", "traces"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert out["kind"] == "traces" and out["num_docs"] == 6
+    hits = search(
+        IndexReader(spark, d),
+        SearchRequest(query="auth_call"),
+        fetch_fields=("trace_id",),
+    ).collect()
+    assert len(hits) == 1 and hits[0]["trace_id"] == _b64(1, 16)
