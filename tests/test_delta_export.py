@@ -209,3 +209,111 @@ def test_export_no_published_splits_is_noop(spark, tmp_path):
     out = export_delta_log(spark, d)
     assert out["version"] == -1 and out["added"] == 0
     assert not os.path.exists(os.path.join(d, "docstore", "_delta_log"))
+
+
+# --- property: replay == published state under arbitrary op sequences -------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pyarrow as pa
+
+from quickwit_spark.index.manifest import SplitMetadata
+from quickwit_spark.index.storage import init_storage
+
+
+def _mk_meta(sid: str, n: int) -> SplitMetadata:
+    return SplitMetadata(
+        split_id=sid,
+        index_id="prop",
+        partition_id=0,
+        num_docs=n,
+        uncompressed_docs_size_in_bytes=n * 10,
+        total_tokens=n * 3,
+        time_range_start=None,
+        time_range_end=None,
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("publish"), st.integers(1, 50)),
+            st.tuples(st.just("merge"), st.just(0)),
+            st.tuples(st.just("gc"), st.just(0)),
+            st.tuples(st.just("export"), st.just(0)),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_delta_replay_equals_published_state(spark, tmp_path_factory, ops):
+    """Protocol invariant under ARBITRARY publish/merge/GC/export
+    interleavings: after every export, replaying the Delta log per the
+    spec (last add-or-remove winner per path) yields exactly the file set
+    of the manifest's published splits, and the numRecords stats sum to
+    the manifest's doc total (single-file splits throughout)."""
+    d = str(tmp_path_factory.mktemp("prop") / "idx")
+    storage = init_storage(d, "dir_object_store")
+    man = Manifest(d)
+    counter = 0
+
+    def write_split(sid: str, n: int):
+        tbl = pa.table(
+            {
+                "docid": list(range(n)),
+                "url": [f"u{sid}-{i}" for i in range(n)],
+                "text": ["w" for _ in range(n)],
+            }
+        )
+        storage.write_parquet(f"docstore/split_id={sid}", tbl)
+
+    def check_export():
+        out = export_delta_log(spark, d)
+        files = read_delta_table_files(d)
+        published = {m.split_id for m in man.list_published()}
+        got = {
+            os.path.basename(os.path.dirname(p))[len("split_id=") :]
+            for p in files
+        }
+        assert got == published, (out, got, published)
+        # stats conservation: every split here is single-file
+        _v, live = __import__(
+            "quickwit_spark.index.delta_export", fromlist=["_replay"]
+        )._replay(storage)
+        n_stats = sum(
+            json.loads(a["stats"])["numRecords"]
+            for a in live.values()
+            if "stats" in a
+        )
+        assert n_stats == sum(m.num_docs for m in man.list_published())
+
+    for op, arg in ops:
+        if op == "publish":
+            counter += 1
+            sid = f"s{counter:03d}"
+            write_split(sid, arg)
+            meta = _mk_meta(sid, arg)
+            man.stage(meta)
+            man.publish([meta])
+        elif op == "merge":
+            pub = man.list_published()
+            if len(pub) < 2:
+                continue
+            counter += 1
+            sid = f"m{counter:03d}"
+            n = sum(m.num_docs for m in pub)
+            write_split(sid, n)
+            meta = _mk_meta(sid, n)
+            man.stage(meta)
+            man.publish([meta], replaced=[m.split_id for m in pub])
+        elif op == "gc":
+            garbage_collect(d, deletion_grace_secs=0.0)
+        else:
+            check_export()
+    check_export()
