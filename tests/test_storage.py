@@ -327,3 +327,44 @@ def test_lsh_planted_recall_empty_pairs(spark):
     rep = lsh_planted_recall(df, [])
     assert rep.columns == ["query_id", "neighbor_id", "found"]
     assert rep.count() == 0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dir_client_model_equivalence(tmp_path, seed):
+    """Model-based check: DirObjectStoreClient behaves exactly like an
+    in-memory dict with S3 conditional-PUT semantics across random op
+    sequences (put/conditional-put/get/list/delete)."""
+    import random
+
+    rng = random.Random(seed)
+    c = DirObjectStoreClient(str(tmp_path / f"os{seed}"))
+    model: dict[str, bytes] = {}
+    keys = [f"a/k{i}" for i in range(4)] + [f"b/n{i}/x" for i in range(3)]
+    for step in range(120):
+        op = rng.choice(["put", "cput", "get", "list", "delete"])
+        k = rng.choice(keys)
+        v = f"v{step}".encode()
+        if op == "put":
+            c.put_object(k, v)
+            model[k] = v
+        elif op == "cput":
+            try:
+                c.put_object(k, v, if_none_match=True)
+                assert k not in model
+                model[k] = v
+            except ObjectStoreLogStore.PreconditionFailed:
+                assert k in model
+        elif op == "get":
+            if k in model:
+                assert c.get_object(k) == model[k]
+            else:
+                with pytest.raises(KeyError):
+                    c.get_object(k)
+        elif op == "list":
+            prefix = rng.choice(["", "a/", "b/", "a/k1", "b/n0/"])
+            want = sorted(x for x in model if x.startswith(prefix))
+            assert sorted(c.list_keys(prefix)) == want
+        else:
+            c.delete_object(k)
+            model.pop(k, None)
+    assert sorted(c.list_keys("")) == sorted(model)
