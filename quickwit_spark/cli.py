@@ -76,6 +76,23 @@ def cmd_create(args) -> int:
     return 0
 
 
+def _read_input(spark, path: str):
+    """Batch-ingest input by extension: parquet (default), NDJSON
+    (.json/.ndjson/.jsonl — one doc per line, schema inferred, the
+    reference CLI's `--input-format json`), or CSV with header
+    (.csv/.tsv). Everything downstream is format-agnostic: build_index
+    sees a DataFrame either way."""
+    low = path.rstrip("/").lower()
+    if low.endswith((".json", ".ndjson", ".jsonl")):
+        return spark.read.json(path)
+    if low.endswith((".csv", ".tsv")):
+        sep = "\t" if low.endswith(".tsv") else ","
+        return spark.read.options(
+            header=True, inferSchema=True, sep=sep
+        ).csv(path)
+    return spark.read.parquet(path)
+
+
 def cmd_ingest(args) -> int:
     if getattr(args, "source", None):
         return _ingest_from_source(args)
@@ -104,8 +121,20 @@ def cmd_ingest(args) -> int:
     pages = (
         spark.read.table(args.table)
         if getattr(args, "table", None)
-        else spark.read.parquet(args.input)
+        else _read_input(spark, args.input)
     )
+    if cfg.timestamp_field and dict(pages.dtypes).get(
+        cfg.timestamp_field
+    ) == "string":
+        # text formats (NDJSON/CSV) land ISO timestamps as strings; the
+        # index needs a real timestamp column for time-range metadata
+        # (full multi-format parsing lives in the DocMapping datetime
+        # fields — this is the CLI lane's ISO fast path)
+        from pyspark.sql import functions as F
+
+        pages = pages.withColumn(
+            cfg.timestamp_field, F.to_timestamp(cfg.timestamp_field)
+        )
     m = build_index(spark, pages, args.index_dir, cfg, resume=True)
     _emit(
         {

@@ -362,3 +362,41 @@ def test_cli_export_delta(spark, small_index, run):
     # idempotent second run appends nothing
     out2 = run("export-delta", "--index-dir", small_index.index_dir)
     assert out2[0]["version"] == -1 and out2[0]["added"] == 0
+
+
+def test_cli_ingest_ndjson_and_csv(spark, tmp_path, run):
+    """Batch ingest reads NDJSON and CSV by extension (the reference
+    CLI's --input-format surface); downstream build is format-agnostic."""
+    idx_j = str(tmp_path / "idx_json")
+    idx_c = str(tmp_path / "idx_csv")
+    nd = str(tmp_path / "docs.ndjson")
+    cv = str(tmp_path / "docs.csv")
+    rows = [
+        {
+            "url": f"https://x.example/{i}",
+            "text": f"alpha w{i} beta",
+            "lang": "en",
+            "warc_ts": f"2023-01-01T00:{i:02d}:00",
+        }
+        for i in range(40)
+    ]
+    with open(nd, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    with open(cv, "w") as f:
+        f.write("url,text,lang,warc_ts\n")
+        for r in rows:
+            f.write(
+                f"{r['url']},{r['text']},{r['lang']},{r['warc_ts']}\n"
+            )
+    cfg = str(tmp_path / "cfg.json")
+    with open(cfg, "w") as f:
+        json.dump({"index_id": "fmt", "num_splits": 2}, f)
+    run("create", "--index-dir", idx_j, "--config", cfg)
+    run("create", "--index-dir", idx_c, "--config", cfg)
+    out_j = run("ingest", "--index-dir", idx_j, "--input", nd)
+    out_c = run("ingest", "--index-dir", idx_c, "--input", cv)
+    assert out_j[0]["num_docs"] == 40 and out_c[0]["num_docs"] == 40
+    hit_j = run("search", "--index-dir", idx_j, "--query", "alpha", "--max-hits", "50")
+    hit_c = run("search", "--index-dir", idx_c, "--query", "alpha", "--max-hits", "50")
+    assert len(hit_j) == len(hit_c) == 40
