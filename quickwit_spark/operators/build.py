@@ -216,6 +216,11 @@ class BuildMetrics:
     elapsed_sec: float = 0.0
     docs_per_sec: float = 0.0
     uncompressed_bytes: int = 0
+    # total on-storage size of the written split artifacts (docstore +
+    # postings parquet after zstd) — the north-star's "bytes compressed"
+    # indexing metric; 0 on the legacy two-job path (Spark writes there,
+    # sizes not surfaced)
+    compressed_bytes: int = 0
     postings_bytes: int = 0
     transform_errors: int = 0  # docs rejected by the VRL ingest transform
     splits: list[str] = field(default_factory=list)
@@ -795,6 +800,7 @@ ONE_PASS_STATS_SCHEMA = T.StructType(
         T.StructField("tags", T.ArrayType(T.StringType())),
         T.StructField("field_total_tokens", T.StringType()),  # JSON map
         T.StructField("field_ranges", T.StringType()),  # JSON {col: [lo, hi]}
+        T.StructField("compressed_bytes", T.LongType()),
     ]
 )
 
@@ -809,6 +815,7 @@ _PA_STATS_SCHEMA = pa.schema(
         ("tags", pa.list_(pa.string())),
         ("field_total_tokens", pa.string()),
         ("field_ranges", pa.string()),
+        ("compressed_bytes", pa.int64()),
     ]
 )
 
@@ -911,7 +918,7 @@ def _make_split_writer_kernel(
         for c in passthrough:
             ds_cols.append(tbl.column(c).combine_chunks())
             ds_names.append(c)
-        storage.write_parquet(
+        ds_bytes = storage.write_parquet(
             f"docstore/split_id={sid}",
             pa.Table.from_arrays(ds_cols, names=ds_names),
         )
@@ -952,7 +959,7 @@ def _make_split_writer_kernel(
         # term-sorted file = the hotcache/row-group-pruning analog the
         # legacy sortWithinPartitions("term") provided
         post = post.sort_by("term").drop_columns(["partition_id"])
-        storage.write_parquet(f"postings/split_id={sid}", post)
+        post_bytes = storage.write_parquet(f"postings/split_id={sid}", post)
 
         # --- per-numeric-field min/max over non-null values (the Iceberg
         # column-stats analog; consumed by range-query split pruning).
@@ -1010,6 +1017,7 @@ def _make_split_writer_kernel(
                     "tags": tags,
                     "field_total_tokens": _json.dumps(ftt) if ftt else None,
                     "field_ranges": _json.dumps(franges) if franges else None,
+                    "compressed_bytes": int(ds_bytes + post_bytes),
                 }
             ],
             schema=_PA_STATS_SCHEMA,
@@ -1488,6 +1496,7 @@ def build_index(
                     if r["field_ranges"]
                     else None
                 ),
+                "cbytes": r["compressed_bytes"],
             }
             for r in stats_rows
         ]
@@ -1790,6 +1799,7 @@ def _stage_and_publish(
         new_metas.append(meta)
         metrics.num_docs += row["num_docs"]
         metrics.uncompressed_bytes += row["bytes"]
+        metrics.compressed_bytes += int(row.get("cbytes") or 0)
     if new_metas:
         manifest.stage_many(new_metas)  # one commit for the whole batch
     # retire superseded splits by (generation, partition_id) among Published

@@ -217,3 +217,20 @@ def test_onepass_adversarial_shapes(spark, tmp_path):
         ).collect()
         for r in per:
             assert r["lo"] == 0 and r["hi"] == r["n"] - 1
+
+
+def test_onepass_compressed_bytes_metric(spark, pages_small, tmp_path):
+    """BuildMetrics.compressed_bytes equals the on-storage artifact size
+    (docstore + postings after zstd) — the 'bytes compressed' indexing
+    metric, summed from the kernel's write returns."""
+    import os
+
+    d = str(tmp_path / "cb")
+    m = build_index(spark, pages_small, d, IndexConfig(num_splits=3))
+    on_disk = 0
+    for sub in ("docstore", "postings"):
+        for dp, _dirs, fs in os.walk(os.path.join(d, sub)):
+            on_disk += sum(
+                os.path.getsize(os.path.join(dp, f)) for f in fs
+            )
+    assert m.compressed_bytes == on_disk > 0
