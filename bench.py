@@ -195,6 +195,7 @@ def main() -> None:
         "n_docs": n_docs,
         "n_splits": n_splits,
         "docs_per_sec": round(metrics.num_docs / t_build, 1),
+        "index_mb_zstd": round(metrics.compressed_bytes / 1e6, 1),
         "query_p50_sec": round(statistics.median(lat), 3),
     }
     print(json.dumps(out))

@@ -145,6 +145,7 @@ def cmd_ingest(args) -> int:
             "docs_per_sec": round(m.num_docs / m.elapsed_sec, 1)
             if m.elapsed_sec
             else None,
+            "compressed_bytes": m.compressed_bytes,
         }
     )
     return 0
