@@ -105,11 +105,18 @@ def export_delta_log(spark, index_dir: str) -> dict:
     # total on every file, which would make metadata COUNT(*) overcount.
     target: dict[str, dict] = {}
     now_ms = int(time.time() * 1000)
+    # ONE LIST over the docstore prefix, grouped by split in memory — not
+    # a LIST per split, which would be 10^5 round trips at real split
+    # counts (S3 LIST pages 1000 keys/call either way)
+    by_split: dict[str, list[str]] = {}
+    for key in storage.list("docstore/"):
+        if not key.endswith(".parquet"):
+            continue
+        part = key[len("docstore/") :].split("/", 1)[0]
+        if part.startswith("split_id="):
+            by_split.setdefault(part[len("split_id=") :], []).append(key)
     for meta in manifest.list_published():
-        prefix = f"docstore/split_id={meta.split_id}/"
-        keys = [
-            k for k in storage.list(prefix) if k.endswith(".parquet")
-        ]
+        keys = by_split.get(meta.split_id, [])
         for key in keys:
             rel = key[len("docstore/") :]
             try:
