@@ -413,10 +413,11 @@ def cmd_ingest_otlp(args) -> int:
     )
 
     spark = _spark(args)
-    if args.input.endswith((".json", ".ndjson", ".jsonl")):
-        # one OTLP export request body per line
+    if args.input.lower().endswith((".json", ".ndjson", ".jsonl")):
+        # one OTLP export request body per line; the text column takes the
+        # configured payload column name so --json-col works for both lanes
         payloads = spark.read.text(args.input).withColumnRenamed(
-            "value", "payload"
+            "value", args.json_col
         )
     else:
         payloads = spark.read.parquet(args.input)

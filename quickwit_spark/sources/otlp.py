@@ -336,13 +336,54 @@ def ingest_otlp_traces(
 
 OTEL_LOGS_INDEX_ID = "otel-logs-v0"
 
+# Log bodies are full AnyValues: scalars OR structured kvlist/array/bytes
+# (structured-logging SDKs emit kvlistValue routinely). AnyValue is
+# recursive; a static Spark schema captures ONE level of nesting — deeper
+# levels land as nulls inside the JSON rendering, which still leaves the
+# top-level keys searchable. The reference serializes the whole AnyValue
+# to JSON (logs.rs parse_log_record_body); this is that behavior at the
+# depth a static schema allows.
+_BODY_VALUE = T.StructType(
+    [
+        T.StructField("stringValue", T.StringType()),
+        T.StructField("intValue", T.StringType()),
+        T.StructField("doubleValue", T.DoubleType()),
+        T.StructField("boolValue", T.BooleanType()),
+        T.StructField("bytesValue", T.StringType()),
+        T.StructField(
+            "kvlistValue",
+            T.StructType(
+                [
+                    T.StructField(
+                        "values",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("key", T.StringType()),
+                                    T.StructField("value", _ANYVALUE),
+                                ]
+                            )
+                        ),
+                    )
+                ]
+            ),
+        ),
+        T.StructField(
+            "arrayValue",
+            T.StructType(
+                [T.StructField("values", T.ArrayType(_ANYVALUE))]
+            ),
+        ),
+    ]
+)
+
 _LOG_RECORD = T.StructType(
     [
         T.StructField("timeUnixNano", T.StringType()),
         T.StructField("observedTimeUnixNano", T.StringType()),
         T.StructField("severityText", T.StringType()),
         T.StructField("severityNumber", T.LongType()),
-        T.StructField("body", _ANYVALUE),
+        T.StructField("body", _BODY_VALUE),
         T.StructField("attributes", _ATTR),
         T.StructField("droppedAttributesCount", T.LongType()),
         T.StructField("traceId", T.StringType()),
@@ -427,7 +468,17 @@ def parse_otlp_logs(
         ),
         F.explode(F.col("_sl.logRecords")).alias("_lr"),
     )
-    t_ns = F.coalesce(F.col("_lr.timeUnixNano").cast("long"), F.lit(0))
+    # timeUnixNano is optional in practice (the Collector's filelog
+    # receiver often sets only observedTimeUnixNano); an epoch-0 timestamp
+    # would park the doc outside every realistic time window, so fall back
+    # to the observed time when the event time is absent/zero. (The pinned
+    # reference parse takes time_unix_nano verbatim; this is the
+    # observability-correct extension, flagged here deliberately.)
+    event_ns = F.col("_lr.timeUnixNano").cast("long")
+    observed_ns = F.col("_lr.observedTimeUnixNano").cast("long")
+    t_ns = F.coalesce(
+        F.when(event_ns > 0, event_ns), observed_ns, F.lit(0)
+    )
     sev_text = F.when(
         F.coalesce(F.col("_lr.severityText"), F.lit("")) == "", F.lit(None)
     ).otherwise(F.col("_lr.severityText"))
@@ -436,6 +487,18 @@ def parse_otlp_logs(
         F.col("_lr.body.intValue"),
         F.col("_lr.body.doubleValue").cast("string"),
         F.col("_lr.body.boolValue").cast("string"),
+        F.col("_lr.body.bytesValue"),
+        # structured bodies: JSON-render so the content stays stored AND
+        # its keys/values remain searchable text (logs.rs serializes the
+        # AnyValue the same way)
+        F.when(
+            F.col("_lr.body.kvlistValue").isNotNull(),
+            F.to_json(F.col("_lr.body.kvlistValue")),
+        ),
+        F.when(
+            F.col("_lr.body.arrayValue").isNotNull(),
+            F.to_json(F.col("_lr.body.arrayValue")),
+        ),
         F.lit(""),
     )
     return lr.select(
@@ -534,21 +597,40 @@ def ingest_otlp_logs(
 
 def jaeger_services(reader) -> list[str]:
     """GetServices analog: the distinct service names, read from the
-    manifest's TAG metadata only — zero data scans (the reference prunes
-    the same way via tag_fields: [service_name])."""
-    services: set[str] = set()
-    for meta in reader.manifest.list_published():
-        services.update(meta.tags or [])
-    return sorted(services)
+    manifest's TAG metadata only when it is complete — zero data scans
+    (the reference prunes the same way via tag_fields: [service_name]).
+    A split whose distinct-tag count exceeded the build's ``max_tags``
+    cardinality cap records NO tags; tag metadata then under-reports, so
+    this falls back to a distinct scan over the PUBLISHED splits' tag
+    column — correct at any service cardinality, just not metadata-only."""
+    published = reader.manifest.list_published()
+    if all(m.tags for m in published) or not published:
+        services: set[str] = set()
+        for meta in published:
+            services.update(meta.tags or [])
+        return sorted(services)
+    sids = [m.split_id for m in published]
+    return sorted(
+        r["tag"]
+        for r in reader.docstore()
+        .filter(F.col("split_id").isin(sids))
+        .select("tag")
+        .distinct()
+        .collect()
+        if r["tag"] is not None
+    )
 
 
 def jaeger_operations(reader, service_name: str) -> DataFrame:
     """GetOperations analog: distinct (operation name, span kind) for one
     service, decoded from the stored NUL-separated span_fingerprint
     (SpanFingerprint::span_name/span_kind accessors in trace.rs). The
-    docstore scan prunes to the service's splits via the tag filter
-    before reading."""
-    docs = reader.docstore()
+    scan is restricted to PUBLISHED splits (files of merged-away /
+    delete-rewritten splits persist until GC and must not leak results —
+    the same filter every engine docstore consumer applies) and pruned to
+    the service's splits via the tag filter."""
+    published = [m.split_id for m in reader.manifest.list_published()]
+    docs = reader.docstore().filter(F.col("split_id").isin(published))
     parts = F.split(F.col("span_fingerprint"), "\x00")
     return (
         docs.filter(F.col("tag") == service_name)

@@ -340,3 +340,85 @@ def test_cli_ingest_otlp(spark, payloads, tmp_path, capsys):
         fetch_fields=("trace_id",),
     ).collect()
     assert len(hits) == 1 and hits[0]["trace_id"] == _b64(1, 16)
+
+
+def test_log_timestamp_falls_back_to_observed(spark):
+    """Collector filelog-style records carry only observedTimeUnixNano;
+    the doc must not land at epoch 0 (outside every real time window)."""
+    from quickwit_spark.sources.otlp import parse_otlp_logs
+
+    t0 = 1_700_000_000
+    rec = {
+        "observedTimeUnixNano": str(t0 * _NS),
+        "severityText": "WARN",
+        "severityNumber": 13,
+        "body": {"stringValue": "late arrival"},
+    }
+    df = spark.createDataFrame(
+        [(_log_payload("svc", [rec]),)], "payload string"
+    )
+    r = parse_otlp_logs(df).collect()[0]
+    assert r["timestamp_nanos"] == t0 * _NS
+    assert r["observed_timestamp_nanos"] == t0 * _NS
+    assert str(r["timestamp_secs"]) != "1970-01-01 00:00:00"
+
+
+def test_structured_log_body_rendered_as_json(spark):
+    """kvlist/array bodies (structured-logging SDKs) must not collapse to
+    empty text — they render as JSON, keys searchable."""
+    from quickwit_spark.sources.otlp import parse_otlp_logs
+
+    recs = [
+        {
+            "timeUnixNano": str(1_700_000_000 * _NS),
+            "body": {
+                "kvlistValue": {
+                    "values": [
+                        {"key": "event", "value": {"stringValue": "login"}},
+                        {"key": "attempts", "value": {"intValue": "3"}},
+                    ]
+                }
+            },
+        },
+        {
+            "timeUnixNano": str(1_700_000_001 * _NS),
+            "body": {
+                "arrayValue": {
+                    "values": [{"stringValue": "a"}, {"stringValue": "b"}]
+                }
+            },
+        },
+    ]
+    df = spark.createDataFrame(
+        [(_log_payload("svc", recs),)], "payload string"
+    )
+    rows = sorted(
+        parse_otlp_logs(df).collect(), key=lambda r: r["timestamp_nanos"]
+    )
+    assert "login" in rows[0]["body"] and "attempts" in rows[0]["body"]
+    assert "a" in rows[1]["body"] and "b" in rows[1]["body"]
+
+
+def test_jaeger_operations_excludes_unpublished_splits(spark, payloads, tmp_path):
+    """Files of merged-away splits persist until GC; the operations scan
+    must honor the manifest's published set, not the directory listing."""
+    from quickwit_spark.index.manifest import Manifest
+    from quickwit_spark.operators.merge import MergeOperation, execute_merge
+    from quickwit_spark.sources.otlp import (
+        ingest_otlp_traces,
+        jaeger_operations,
+    )
+
+    d = str(tmp_path / "otel-merge")
+    ingest_otlp_traces(spark, payloads, d, num_partitions=4)
+    man = Manifest(d)
+    execute_merge(spark, d, MergeOperation(splits=man.list_published()))
+    # NO garbage_collect: the replaced splits' files are still on disk
+    reader = IndexReader(spark, d)
+    ops = [
+        (r["operation"], r["span_kind"])
+        for r in jaeger_operations(reader, "payments").collect()
+    ]
+    # duplicates from stale files would break distinct-set equality at
+    # the row level; the published-only filter keeps the result exact
+    assert ops == [("charge_card", 2), ("unknown", 2)]
