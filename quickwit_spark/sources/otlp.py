@@ -108,51 +108,65 @@ _SPAN = T.StructType(
     ]
 )
 
-# ExportTraceServiceRequest, proto-JSON encoding
-OTLP_TRACES_SCHEMA = T.StructType(
-    [
-        T.StructField(
-            "resourceSpans",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField(
-                            "resource",
-                            T.StructType(
-                                [T.StructField("attributes", _ATTR)]
-                            ),
-                        ),
-                        T.StructField(
-                            "scopeSpans",
-                            T.ArrayType(
+
+def _export_request_schema(
+    group: str, scope_group: str, leaf: str, leaf_type: T.StructType
+) -> T.StructType:
+    """proto-JSON shape shared by every OTLP export request: a list of
+    per-resource groups (resource.attributes + scope{name,version} nesting)
+    holding a list of leaf records — only the group/leaf field names and
+    the record type differ between traces and logs."""
+    return T.StructType(
+        [
+            T.StructField(
+                group,
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField(
+                                "resource",
                                 T.StructType(
-                                    [
-                                        T.StructField(
-                                            "scope",
-                                            T.StructType(
-                                                [
-                                                    T.StructField(
-                                                        "name", T.StringType()
-                                                    ),
-                                                    T.StructField(
-                                                        "version",
-                                                        T.StringType(),
-                                                    ),
-                                                ]
-                                            ),
-                                        ),
-                                        T.StructField(
-                                            "spans", T.ArrayType(_SPAN)
-                                        ),
-                                    ]
-                                )
+                                    [T.StructField("attributes", _ATTR)]
+                                ),
                             ),
-                        ),
-                    ]
-                )
-            ),
-        )
-    ]
+                            T.StructField(
+                                scope_group,
+                                T.ArrayType(
+                                    T.StructType(
+                                        [
+                                            T.StructField(
+                                                "scope",
+                                                T.StructType(
+                                                    [
+                                                        T.StructField(
+                                                            "name",
+                                                            T.StringType(),
+                                                        ),
+                                                        T.StructField(
+                                                            "version",
+                                                            T.StringType(),
+                                                        ),
+                                                    ]
+                                                ),
+                                            ),
+                                            T.StructField(
+                                                leaf, T.ArrayType(leaf_type)
+                                            ),
+                                        ]
+                                    )
+                                ),
+                            ),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+
+
+# ExportTraceServiceRequest, proto-JSON encoding
+OTLP_TRACES_SCHEMA = _export_request_schema(
+    "resourceSpans", "scopeSpans", "spans", _SPAN
 )
 
 
@@ -393,51 +407,8 @@ _LOG_RECORD = T.StructType(
 )
 
 # ExportLogsServiceRequest, proto-JSON encoding
-OTLP_LOGS_SCHEMA = T.StructType(
-    [
-        T.StructField(
-            "resourceLogs",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField(
-                            "resource",
-                            T.StructType(
-                                [T.StructField("attributes", _ATTR)]
-                            ),
-                        ),
-                        T.StructField(
-                            "scopeLogs",
-                            T.ArrayType(
-                                T.StructType(
-                                    [
-                                        T.StructField(
-                                            "scope",
-                                            T.StructType(
-                                                [
-                                                    T.StructField(
-                                                        "name", T.StringType()
-                                                    ),
-                                                    T.StructField(
-                                                        "version",
-                                                        T.StringType(),
-                                                    ),
-                                                ]
-                                            ),
-                                        ),
-                                        T.StructField(
-                                            "logRecords",
-                                            T.ArrayType(_LOG_RECORD),
-                                        ),
-                                    ]
-                                )
-                            ),
-                        ),
-                    ]
-                )
-            ),
-        )
-    ]
+OTLP_LOGS_SCHEMA = _export_request_schema(
+    "resourceLogs", "scopeLogs", "logRecords", _LOG_RECORD
 )
 
 
