@@ -568,39 +568,49 @@ def ingest_otlp_logs(
 
 def jaeger_services(reader) -> list[str]:
     """GetServices analog: the distinct service names, read from the
-    manifest's TAG metadata only when it is complete — zero data scans
-    (the reference prunes the same way via tag_fields: [service_name]).
-    A split whose distinct-tag count exceeded the build's ``max_tags``
-    cardinality cap records NO tags; tag metadata then under-reports, so
-    this falls back to a distinct scan over the PUBLISHED splits' tag
-    column — correct at any service cardinality, just not metadata-only."""
+    manifest's TAG metadata — zero data scans (the reference prunes the
+    same way via tag_fields: [service_name]). A split whose distinct-tag
+    count exceeded the build's ``max_tags`` cardinality cap records NO
+    tags; for exactly those splits a distinct scan over their tag column
+    fills the gap (the other splits' metadata is exact, so they are never
+    rescanned). An index built without a tag field has no services to
+    report: empty list, no scan."""
+    if not (reader.manifest.load_index_config() or {}).get("tag_field"):
+        return []
     published = reader.manifest.list_published()
-    if all(m.tags for m in published) or not published:
-        services: set[str] = set()
-        for meta in published:
-            services.update(meta.tags or [])
-        return sorted(services)
-    sids = [m.split_id for m in published]
-    return sorted(
-        r["tag"]
-        for r in reader.docstore()
-        .filter(F.col("split_id").isin(sids))
-        .select("tag")
-        .distinct()
-        .collect()
-        if r["tag"] is not None
-    )
+    services: set[str] = set()
+    capped: list[str] = []
+    for meta in published:
+        if meta.tags:
+            services.update(meta.tags)
+        else:
+            capped.append(meta.split_id)
+    if capped:
+        services.update(
+            r["tag"]
+            for r in reader.docstore()
+            .filter(F.col("split_id").isin(capped))
+            .select("tag")
+            .distinct()
+            .collect()
+            if r["tag"] is not None
+        )
+    return sorted(services)
 
 
 def jaeger_operations(reader, service_name: str) -> DataFrame:
     """GetOperations analog: distinct (operation name, span kind) for one
     service, decoded from the stored NUL-separated span_fingerprint
-    (SpanFingerprint::span_name/span_kind accessors in trace.rs). The
-    scan is restricted to PUBLISHED splits (files of merged-away /
-    delete-rewritten splits persist until GC and must not leak results —
-    the same filter every engine docstore consumer applies) and pruned to
-    the service's splits via the tag filter."""
-    published = [m.split_id for m in reader.manifest.list_published()]
+    (SpanFingerprint::span_name/span_kind accessors in trace.rs). Split
+    set = manifest-published AND tag-pruned to the service (the sound
+    over-approximation list_published applies — untagged splits are kept;
+    files of merged-away splits persist until GC and must not leak, hence
+    the published filter every engine docstore consumer applies), then
+    the row-level tag filter finishes the job."""
+    published = [
+        m.split_id
+        for m in reader.manifest.list_published(tags={service_name})
+    ]
     docs = reader.docstore().filter(F.col("split_id").isin(published))
     parts = F.split(F.col("span_fingerprint"), "\x00")
     return (

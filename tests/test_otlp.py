@@ -422,3 +422,20 @@ def test_jaeger_operations_excludes_unpublished_splits(spark, payloads, tmp_path
     # duplicates from stale files would break distinct-set equality at
     # the row level; the published-only filter keeps the result exact
     assert ops == [("charge_card", 2), ("unknown", 2)]
+
+
+def test_jaeger_services_no_tag_field_index(spark, tmp_path):
+    """An index built without a tag field has no services: empty list,
+    no docstore scan, no AnalysisException on the missing tag column."""
+    from quickwit_spark.operators.build import IndexConfig, build_index
+    from quickwit_spark.sources.otlp import jaeger_services
+    from quickwit_spark.sources.pages import synth_pages
+
+    d = str(tmp_path / "notags")
+    build_index(
+        spark,
+        synth_pages(spark, 300, partitions=2),
+        d,
+        IndexConfig(num_splits=2, tag_field=None),
+    )
+    assert jaeger_services(IndexReader(spark, d)) == []
